@@ -1,0 +1,103 @@
+"""Sources & sinks (SURVEY.md §2.1 S1–S4).
+
+Storage interface: one read/write pair that targets Iceberg when a catalog
+is configured (cluster) and parquet otherwise (this sandbox has no Iceberg
+jar — measured). ``format("iceberg")`` never leaks outside this module.
+
+The transcript schema is the binding input shape (BASELINE.json:15):
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_transcripts(
+    spark: SparkSession,
+    source: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """S1/S2: read the transcript table.
+
+    ``source`` is an Iceberg table name (``catalog.db.tbl``) on a cluster with
+    an Iceberg catalog, else a parquet path. ``snapshot_id`` pins an Iceberg
+    snapshot for resume (BASELINE.json:14 "resumable from Iceberg snapshot");
+    the parquet fallback ignores it (paths are immutable in this sandbox).
+    """
+    if "/" not in source and _has_iceberg(spark):
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        df = reader.load(source)
+    else:
+        df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source)
+    return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
+
+
+def current_snapshot_id(spark: SparkSession, source: str) -> int | None:
+    """Snapshot id of an Iceberg table (None on the parquet fallback)."""
+    if "/" not in source and _has_iceberg(spark):
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {source}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).head()
+        return int(row[0]) if row else None
+    return None
+
+
+def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
+    """S3: write a result table (pairs / clusters / metrics / lineage).
+
+    Iceberg table name on a cluster, parquet path locally.
+    """
+    if "/" not in target and _has_iceberg(df.sparkSession):
+        if mode == "append":
+            df.writeTo(target).append()
+        else:
+            df.writeTo(target).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(target)
+
+
+def read_table(spark: SparkSession, source: str) -> DataFrame:
+    if "/" not in source and _has_iceberg(spark):
+        return spark.read.format("iceberg").load(source)
+    return spark.read.parquet(source)
+
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` table to the binding transcript shape
+    (FIXTURES.md §A: conv_id=str(doc_id), turn_idx=0, role='doc', ts=const).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )

@@ -1,0 +1,81 @@
+"""Validation + conversation reassembly (SURVEY.md §2.2 P2, §2.5 W1/W2,
+§2.4 A1).
+
+Row invariant (BASELINE.json:15): per-turn text equality under stable turn
+ordering. Reassembly must therefore order by turn_idx deterministically
+(ties broken by ts then role are *rejected*, not tolerated: duplicate
+(conv_id, turn_idx) rows are quarantined, W2) and must never alter `text`.
+
+Reassembly avoids a window + second shuffle: `sort_array(collect_list(
+struct(turn_idx, text)))` orders by the struct's leading field inside one
+aggregation — collect_list order is shuffle-nondeterministic, the struct
+sort is what makes the result stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SEP = "\n"
+
+
+def split_valid(turns: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (valid turns, quarantined turns).
+
+    Quarantine: null conv_id / turn_idx, and every row of any (conv_id,
+    turn_idx) that appears more than once (the invariant makes ordering
+    ambiguous — reject loudly rather than guess).
+    """
+    base_bad = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+    dup_keys = (
+        turns.groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("conv_id", "turn_idx")
+    )
+    bad = turns.filter(base_bad).unionByName(
+        turns.filter(~base_bad).join(dup_keys, ["conv_id", "turn_idx"], "left_semi")
+    )
+    good = turns.filter(~base_bad).join(
+        dup_keys, ["conv_id", "turn_idx"], "left_anti"
+    )
+    return good, bad
+
+
+def reassemble(turns: DataFrame) -> DataFrame:
+    """valid turns -> (conv_id, doc_text, n_turns, n_chars).
+
+    doc_text = texts joined by '\\n' in turn_idx order; null text treated as
+    empty string for concatenation (the turn still occupies its slot).
+    """
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("turn_idx"),
+                                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["text"],
+                ),
+                SEP,
+            ).alias("doc_text"),
+            F.count("*").cast("long").alias("n_turns"),
+        )
+        .withColumn("n_chars", F.length("doc_text").cast("long"))
+    )
+
+
+def explode_back(docs: DataFrame) -> DataFrame:
+    """Inverse of reassemble for the round-trip invariant test:
+    (conv_id, doc_text) -> (conv_id, turn_idx, text). Only valid when no
+    turn text itself contains SEP (true for the synthetic corpus)."""
+    return docs.select(
+        "conv_id",
+        F.posexplode(F.split("doc_text", SEP, -1)).alias("turn_idx", "text"),
+    )
