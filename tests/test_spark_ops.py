@@ -1,0 +1,135 @@
+"""Spark-side operator tests: reassembly invariant, candidate generation
+(incl. hot-key capping), connected components, fixtures determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dedup.candidates import bucket_pairs, canonical_pairs
+from dedup.cc import connected_components
+from dedup.config import DedupConfig
+from dedup.fixtures import gen_transcripts, gen_quarantine_fixture
+from dedup.io import TRANSCRIPT_SCHEMA
+from dedup.reassemble import explode_back, reassemble, split_valid
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+
+# --- reassembly / row invariant ---
+
+def test_reassemble_stable_order_and_roundtrip(spark):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 2, "user", "third", None, ts),
+        ("c1", 0, "user", "first", None, ts),
+        ("c1", 1, "assistant", "second", None, ts),
+        ("c2", 0, "user", "only", None, ts),
+        ("c3", 0, "user", "", None, ts),       # empty text survives as a slot
+        ("c3", 5, "user", "gap", None, ts),    # turn_idx gap: order still stable
+    ]
+    docs = reassemble(_turns(spark, rows).repartition(4))
+    got = {r["conv_id"]: r["doc_text"] for r in docs.collect()}
+    assert got == {"c1": "first\nsecond\nthird", "c2": "only", "c3": "\ngap"}
+
+    # round-trip: explode_back recovers per-turn text in order (row invariant)
+    back = explode_back(docs.filter("conv_id = 'c1'")).orderBy("turn_idx").collect()
+    assert [r["text"] for r in back] == ["first", "second", "third"]
+
+
+def test_reassemble_order_independent_of_partitioning(spark):
+    df = gen_transcripts(spark, 30, seed=7, partitions=1, edge_rows=False)
+    d1 = reassemble(df).orderBy("conv_id").collect()
+    d2 = reassemble(df.repartition(13, "turn_idx")).orderBy("conv_id").collect()
+    assert [r["doc_text"] for r in d1] == [r["doc_text"] for r in d2]
+
+
+def test_quarantine_duplicate_turn_idx(spark):
+    good, bad = split_valid(gen_quarantine_fixture(spark))
+    assert {r["conv_id"] for r in good.collect()} == {"ok"}
+    assert bad.count() == 2  # both ambiguous rows quarantined
+
+
+# --- candidate generation ---
+
+def test_bucket_pairs_small_bucket_all_pairs(spark):
+    cfg = DedupConfig(bucket_cap=10, shuffle_partitions=4)
+    rows = [(1, f"c{i}") for i in range(4)] + [(2, "c9"), (3, "c1"), (3, "c2")]
+    df = spark.createDataFrame(rows, "fp long, conv_id string")
+    pairs = {
+        (r["a"], r["b"]) for r in bucket_pairs(df, ["fp"], cfg).collect()
+    }
+    expect = {("c0", "c1"), ("c0", "c2"), ("c0", "c3"), ("c1", "c2"),
+              ("c1", "c3"), ("c2", "c3")}
+    assert pairs == expect  # (c1,c2) deduped across fp=1 and fp=3
+
+
+def test_bucket_pairs_hot_key_linear_chain(spark):
+    cfg = DedupConfig(bucket_cap=8, shuffle_partitions=4)
+    n = 100
+    df = spark.createDataFrame([(1, f"c{i:03d}") for i in range(n)], "fp long, conv_id string")
+    out = bucket_pairs(df, ["fp"], cfg).collect()
+    # linear chain: n-1 pairs, not n*(n-1)/2
+    assert len(out) == n - 1
+    # chain connects every member transitively
+    nodes = {r["a"] for r in out} | {r["b"] for r in out}
+    assert len(nodes) == n
+
+
+def test_canonical_pairs(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("x", "x")], "a string, b string"
+    )
+    got = canonical_pairs(df).collect()
+    assert [(r["a"], r["b"]) for r in got] == [("a", "b")]
+
+
+# --- connected components ---
+
+def _cc(spark, edges, cfg):
+    df = spark.createDataFrame(edges, "a string, b string")
+    out, rounds = connected_components(df, cfg)
+    return {r["conv_id"]: r["cluster_id"] for r in out.collect()}, rounds
+
+
+def test_cc_chain(spark, config):
+    got, _ = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")], config)
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_cc_two_components_and_star(spark, config):
+    edges = [("a", "b"), ("c", "d"), ("c", "e"), ("c", "f")]
+    got, _ = _cc(spark, edges, config)
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "c", "f": "c"}
+
+
+def test_cc_empty(spark, config):
+    df = spark.createDataFrame([], "a string, b string")
+    out, rounds = connected_components(df, config)
+    assert out.count() == 0 and rounds == 0
+
+
+def test_cc_long_chain_logarithmic_rounds(spark, config):
+    n = 64
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)]
+    got, rounds = _cc(spark, edges, config)
+    assert set(got.values()) == {"n000"}
+    assert rounds <= 12  # O(log n), not O(n)
+
+
+# --- fixtures ---
+
+def test_fixtures_deterministic_and_schema(spark):
+    d1 = gen_transcripts(spark, 50, seed=5, partitions=3)
+    d2 = gen_transcripts(spark, 50, seed=5, partitions=7)
+    assert d1.schema == TRANSCRIPT_SCHEMA
+    r1 = sorted(map(tuple, d1.collect()))
+    r2 = sorted(map(tuple, d2.collect()))
+    assert r1 == r2
+    # different seed -> different corpus
+    d3 = gen_transcripts(spark, 50, seed=6, partitions=3)
+    assert sorted(map(tuple, d3.collect())) != r1
