@@ -1,0 +1,473 @@
+"""Driver-contract queries (SURVEY.md §3.2, M8).
+
+Each entry returns a DataFrame given (spark, sf_dir); ORACLE_SQL holds the
+DuckDB-equivalent ANSI SQL for value-checked entries. Conventions for exact
+value-hash parity with DuckDB:
+  - monetary/double sums go through DECIMAL(18,2) accumulation (exact in
+    both engines), then cast back to double;
+  - every computed column is aliased identically in both;
+  - timestamps run under UTC sessions;
+  - token ops use identical whitespace-collapse + single-space split.
+
+Dedup-core operators whose hashing cannot be reproduced in ANSI SQL
+(MinHash/SimHash/suffix fingerprints, connected components) are exported as
+rows-only entries (driver records a weaker check; pytest holds the recall
+gates instead — tests/test_e2e.py, tests/test_documents.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .config import DedupConfig
+from .normalize import normalize_sql, NORMALIZE_DUCKDB_SQL
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DEC = "decimal(18,2)"
+
+
+# ---------- relational coverage (oracle-checked) ----------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            # product of two (18,2) decimals is exact at 4 decimals — summing
+            # it unrounded keeps both engines bit-identical after the final
+            # double cast (rounding back to 2 decimals would diverge on ties)
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    )
+    joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        joined.select("c_custkey", "c_name", "revenue")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+Q02_SQL = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INTEGER) AS rnk
+FROM rev JOIN customer ON o_custkey = c_custkey
+QUALIFY rnk <= 10
+"""
+
+
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q04_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+Q04_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q05_orders_with_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) coverage: orders having a lineitem shipped in 1996+."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= F.lit("1996-01-01"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+Q05_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) coverage."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+Q06_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q07_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+Q07_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q08_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+Q08_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(k) AS sum_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q09_events_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-ingest semantics of the reference (per-event hash lookup →
+    keep first occurrence of a payload): first event per (user_id,
+    event_type, value) by (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_first"))
+    )
+
+
+Q09_SQL = """
+SELECT event_type, COUNT(*) AS n_first
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, value
+            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+def q10_events_user_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassembly operator (A1) oracle-checked: per-user event-type stream
+    concatenated under stable (ts, event_id) ordering — the same
+    sort-structs-inside-one-aggregation pattern as conversation reassembly."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("stream"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+Q10_SQL = """
+SELECT user_id,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS stream,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# ---------- dedup operators on `documents` (oracle-checked) ----------
+
+_NORM = NORMALIZE_DUCKDB_SQL.format(col="text")
+
+
+def q11_docs_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup clustering by normalized text (A7): cluster_id = min doc_id
+    among identical normalized texts."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_sql(F.col("text")).alias("norm")
+    keyed = docs.select("doc_id", norm)
+    reps = keyed.groupBy("norm").agg(F.min("doc_id").alias("cluster_id"))
+    return keyed.join(reps, "norm").select("doc_id", "cluster_id")
+
+
+Q11_SQL = f"""
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY {_NORM}) AS cluster_id
+FROM documents
+"""
+
+
+def q12_docs_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-token Jaccard verification (A3) oracle-checked: pairs
+    within the same (lang, source) blocking key at J >= 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(normalize_sql(F.col("text")), " "))
+    d = docs.select("doc_id", "lang", "source", toks.alias("toks"))
+    l, r = d.alias("l"), d.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
+    uni = F.size(F.col("l.toks")) + F.size(F.col("r.toks")) - inter
+    return (
+        l.join(
+            r,
+            (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.round(inter / uni, 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+Q12_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+             / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 4) AS jac
+FROM d l JOIN d r
+  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+WHERE ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+             / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 4) >= 0.5
+"""
+
+
+def q13_docs_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard (the pipeline's verification semantics)
+    oracle-checked, same blocking as q12, J >= 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    n = F.size(toks)
+    sh = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    d = docs.select("doc_id", "lang", "source", sh.alias("sh"))
+    l, r = d.alias("l"), d.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    uni = F.size(F.col("l.sh")) + F.size(F.col("r.sh")) - inter
+    return (
+        l.join(
+            r,
+            (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.round(inter / uni, 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+Q13_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM (SELECT doc_id, lang, source, string_split({_NORM}, ' ') AS toks FROM documents)
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4) AS jac
+FROM d l JOIN d r
+  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+WHERE ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4) >= 0.5
+"""
+
+
+# ---------- dedup-core (rows-only: hashing not ANSI-reproducible) ----------
+
+def _docs_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    import hashlib
+    import tempfile
+
+    from .io import documents_as_transcripts
+    from .pipeline import run_pipeline
+
+    cfg = DedupConfig()
+    turns = documents_as_transcripts(spark, sf_dir)
+    # deterministic run dir keyed by (input, config): repeated query calls
+    # resume from the materialized stages instead of recomputing the pipeline
+    key = hashlib.sha256(f"{sf_dir}|{cfg.fingerprint}".encode()).hexdigest()[:12]
+    run_dir = f"{tempfile.gettempdir()}/dedup_queries_cache"
+    return run_pipeline(spark, turns, cfg, run_dir, f"q_{key}")
+
+
+def q20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full MinHash+SimHash+suffix dedup pipeline over documents
+    treated as 1-turn transcripts; (conv_id, cluster_id)."""
+    return _docs_pipeline(spark, sf_dir)["clusters"]
+
+
+def q21_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _docs_pipeline(spark, sf_dir)
+    return out["cand_minhash"].select("a", "b")
+
+
+def q22_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _docs_pipeline(spark, sf_dir)
+    return out["verified"].select("a", "b", "source")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_customers": q02_top_customers,
+    "q03_region_revenue": q03_region_revenue,
+    "q04_latest_order_per_customer": q04_latest_order_per_customer,
+    "q05_orders_with_late_ship": q05_orders_with_late_ship,
+    "q06_customers_without_orders": q06_customers_without_orders,
+    "q07_events_daily": q07_events_daily,
+    "q08_events_json_stats": q08_events_json_stats,
+    "q09_events_first_occurrence": q09_events_first_occurrence,
+    "q10_events_user_stream": q10_events_user_stream,
+    "q11_docs_exact_clusters": q11_docs_exact_clusters,
+    "q12_docs_token_jaccard_pairs": q12_docs_token_jaccard_pairs,
+    "q13_docs_shingle_jaccard_pairs": q13_docs_shingle_jaccard_pairs,
+    "q20_dedup_clusters": q20_dedup_clusters,
+    "q21_minhash_lsh_pairs": q21_minhash_lsh_pairs,
+    "q22_verified_pairs": q22_verified_pairs,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_top_customers": Q02_SQL,
+    "q03_region_revenue": Q03_SQL,
+    "q04_latest_order_per_customer": Q04_SQL,
+    "q05_orders_with_late_ship": Q05_SQL,
+    "q06_customers_without_orders": Q06_SQL,
+    "q07_events_daily": Q07_SQL,
+    "q08_events_json_stats": Q08_SQL,
+    "q09_events_first_occurrence": Q09_SQL,
+    "q10_events_user_stream": Q10_SQL,
+    "q11_docs_exact_clusters": Q11_SQL,
+    "q12_docs_token_jaccard_pairs": Q12_SQL,
+    "q13_docs_shingle_jaccard_pairs": Q13_SQL,
+}
