@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract + scaling evidence input).
+
+Runs the headline dedup pipeline and representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Headline = full near-dup pipeline (reassembly → shingles/MinHash/SimHash/
+suffix → candidates → verify → CC → clusters) over a deterministic synthetic
+transcript corpus sized to the sf tier (north-rule shape; documents table at
+sf0.1 is only 5k rows, too small to exercise shuffles).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+BENCH_CONVS = {"sf0.001": 1_000, "sf0.01": 5_000, "sf0.1": 20_000}
+
+
+def ensure_corpus(spark, n_convs: int, seed: int = 42) -> str:
+    """Materialize the synthetic corpus once per (n, seed); reused across
+    bench invocations so generation cost never pollutes pipeline timing."""
+    from dedup.fixtures import gen_transcripts
+
+    path = f"{tempfile.gettempdir()}/dedup_bench_corpus_n{n_convs}_s{seed}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        gen_transcripts(
+            spark, n_convs, seed=seed, partitions=max(16, n_convs // 500)
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "") or 0.1)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dedup.config import DedupConfig
+    from dedup.io import documents_as_transcripts, read_transcripts
+    from dedup.pipeline import run_pipeline
+    from dedup.queries import QUERIES
+    from dedup.session import build_session
+
+    cfg = DedupConfig(shuffle_partitions=max(cpus, 8))
+    spark = build_session(
+        app_name="dedup-bench", master=f"local[{cpus}]", config=cfg
+    )
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- headline: transcript dedup pipeline ---
+    n_convs = BENCH_CONVS.get(sf_name, 20_000)
+    corpus_path = ensure_corpus(spark, n_convs)
+    turns = read_transcripts(spark, corpus_path)
+    n_turns = turns.count()
+
+    run_dir = tempfile.mkdtemp(prefix="dedup_bench_run_")
+    t0 = time.monotonic()
+    out = run_pipeline(spark, turns, cfg, run_dir, "bench")
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    headline = time.monotonic() - t0
+    shutil.rmtree(run_dir, ignore_errors=True)
+    queries["dedup_pipeline_transcripts"] = round(headline, 3)
+    extras["turns"] = n_turns
+    extras["turns_per_sec"] = round(n_turns / headline, 1)
+    extras["n_convs"] = n_convs
+    extras["n_clusters"] = n_clusters
+
+    # --- dedup pipeline over the driver documents table ---
+    run_dir = tempfile.mkdtemp(prefix="dedup_bench_docs_")
+    t0 = time.monotonic()
+    out = run_pipeline(
+        spark, documents_as_transcripts(spark, sf_dir), cfg, run_dir, "bench"
+    )
+    out["clusters"].count()
+    queries["dedup_pipeline_documents"] = round(time.monotonic() - t0, 3)
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+    # --- representative relational/operator queries ---
+    for name in (
+        "q01_pricing_summary",
+        "q03_region_revenue",
+        "q04_latest_order_per_customer",
+        "q09_events_first_occurrence",
+        "q10_events_user_stream",
+        "q12_docs_token_jaccard_pairs",
+    ):
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_wall",
+                "value": queries["dedup_pipeline_transcripts"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

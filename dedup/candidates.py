@@ -41,10 +41,15 @@ def bucket_pairs(
 ) -> DataFrame:
     """(key..., conv_id [, payload...]) -> canonical candidate pairs (a < b)
     [+ payload_a/payload_b columns], deduplicated across keys."""
+    from pyspark import StorageLevel
+
     payload_cols = payload_cols or []
     members = bucket_df.select(*key_cols, "conv_id", *payload_cols).distinct()
     sizes = salted_sizes(members, key_cols, config)
-    with_n = members.join(sizes, key_cols)
+    # persisted: both the small-bucket and hot-bucket branches read this —
+    # without it the whole upstream (scan + distinct + sizing) runs twice.
+    # Freed by the pipeline's post-stage cache clear.
+    with_n = members.join(sizes, key_cols).persist(StorageLevel.MEMORY_AND_DISK)
 
     mem = F.struct(F.col("conv_id"), *[F.col(c) for c in payload_cols]).alias("m")
 

@@ -65,12 +65,11 @@ def connected_components(
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).filter(
         F.col("u") != F.col("v")
     ).distinct().localCheckpoint()
-    if edges.isEmpty():
+    sig = _edge_signature(edges)
+    if sig[0] == 0:
         spark = pairs.sparkSession
         empty = spark.createDataFrame([], "conv_id string, cluster_id string")
         return empty, 0
-
-    sig = _edge_signature(edges)
     rounds = 0
     while True:
         rounds += 1

@@ -18,8 +18,11 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .config import DedupConfig
 
-# keep the broadcasted (shingles x lanes) temp under ~256 MB per chunk
-_CHUNK_CELLS = 4_000_000
+# per-row shingle sub-chunk so the (chunk x lanes) temp stays cache-resident
+# (~512 shingles x 128 lanes x 8 B = 512 KB): this machine-sympathy detail is
+# what lets 32 concurrent workers scale — a batch-wide broadcast matrix is
+# DRAM-bandwidth-bound and collapses under multi-process concurrency
+_ROW_CHUNK = 512
 
 
 def perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -33,30 +36,24 @@ def minhash_batch(
     shingle_arrays: list[np.ndarray], a: np.ndarray, b: np.ndarray
 ) -> list[np.ndarray | None]:
     """Signatures for a batch of shingle arrays (None for empty docs)."""
-    num_perm = len(a)
-    sizes = np.fromiter((len(s) for s in shingle_arrays), dtype=np.int64)
     out: list[np.ndarray | None] = [None] * len(shingle_arrays)
-    nonempty = np.flatnonzero(sizes > 0)
-    if len(nonempty) == 0:
-        return out
-    # chunk rows so flat_size * num_perm stays bounded
-    start = 0
-    max_rows_flat = max(1, _CHUNK_CELLS // num_perm)
-    while start < len(nonempty):
-        end = start
-        flat = 0
-        while end < len(nonempty) and (flat == 0 or flat + sizes[nonempty[end]] <= max_rows_flat):
-            flat += sizes[nonempty[end]]
-            end += 1
-        idx = nonempty[start:end]
-        X = np.concatenate([shingle_arrays[i].view(np.uint64) for i in idx])
-        with np.errstate(over="ignore"):
-            H = X[:, None] * a + b  # (flat, num_perm) wrap-around affine perm
-        offs = np.concatenate([[0], np.cumsum(sizes[idx])[:-1]])
-        mins = np.minimum.reduceat(H, offs, axis=0)
-        for row, i in enumerate(idx):
-            out[i] = mins[row].view(np.int64)
-        start = end
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(shingle_arrays):
+            n = len(s)
+            if n == 0:
+                continue
+            x = s.view(np.uint64)
+            if n <= _ROW_CHUNK:
+                sig = (x[:, None] * a + b).min(axis=0)
+            else:
+                sig = np.full_like(a, np.iinfo(np.uint64).max)
+                for lo in range(0, n, _ROW_CHUNK):
+                    np.minimum(
+                        sig,
+                        (x[lo : lo + _ROW_CHUNK, None] * a + b).min(axis=0),
+                        out=sig,
+                    )
+            out[i] = sig.view(np.int64)
     return out
 
 

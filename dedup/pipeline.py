@@ -3,7 +3,7 @@
 Stage graph (each stage materialized via state.RunState → resumable,
 lineage-tracked, plan-tree-bounded):
 
-  read → valid_turns/quarantine → docs (reassemble + normalize)
+  read → docs (validate + reassemble + normalize, one pass) + quarantine
        → features (shingles, MinHash sig, SimHash, suffix fingerprints)
        → exact_groups  (identical-normalized-text collapse — skew fast path)
        → candidates: minhash-LSH ∥ simhash-Hamming ∥ suffix-windows
@@ -23,13 +23,13 @@ from . import exact
 from .candidates import bucket_pairs
 from .cc import connected_components
 from .config import DedupConfig
-from .minhash import band_table, make_minhash_udf
+from .features import featurize
+from .minhash import band_table
 from .normalize import normalize_text
-from .reassemble import reassemble, split_valid
-from .shingle import make_shingle_udf
-from .simhash import hamming_candidates, simhash64
+from .reassemble import reassemble
+from .simhash import hamming_candidates
 from .state import RunState
-from .suffix import make_suffix_udf, suffix_candidates
+from .suffix import suffix_candidates
 from .verify import verify_jaccard, verify_substring
 
 
@@ -48,35 +48,36 @@ def run_pipeline(
             state.flush_metrics()
             raise RuntimeError(f"injected failure after stage {stage}")
 
-    valid = state.materialize("valid_turns", lambda: split_valid(turns)[0])
-    state.materialize("quarantine", lambda: split_valid(turns)[1])
-    check_fail("valid_turns")
+    nullsafe = turns.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
 
     def build_docs() -> DataFrame:
-        return reassemble(valid).withColumn("norm_text", normalize_text("doc_text"))
+        # validation (ambiguous-order detection) + reassembly + normalization
+        # in one aggregation pass over the turn set — the only full-input
+        # shuffle in the pipeline
+        return reassemble(nullsafe).withColumn(
+            "norm_text", normalize_text("doc_text")
+        )
 
-    docs = state.materialize("docs", build_docs)
+    docs_all = state.materialize("docs", build_docs)
+    docs = docs_all.filter(~F.col("ambiguous"))
+
+    def build_quarantine() -> DataFrame:
+        null_rows = turns.filter(
+            F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+        ).select("conv_id", "turn_idx", F.lit("null_key").alias("reason"))
+        amb = docs_all.filter(F.col("ambiguous")).select(
+            "conv_id",
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit("ambiguous_turn_order").alias("reason"),
+        )
+        return null_rows.unionByName(amb)
+
+    quarantine = state.materialize("quarantine", build_quarantine)
     check_fail("docs")
 
-    def build_features() -> DataFrame:
-        shingle_udf = make_shingle_udf(config.k_shingle)
-        minhash_udf = make_minhash_udf(config)
-        suffix_udf = make_suffix_udf(config)
-        feat = docs.select(
-            "conv_id",
-            shingle_udf("norm_text").alias("shingles"),
-            suffix_udf("norm_text").alias("suffix_fps"),
-        )
-        # second select so sig/simhash reuse the computed shingles column
-        return feat.select(
-            "conv_id",
-            "shingles",
-            "suffix_fps",
-            minhash_udf("shingles").alias("sig"),
-            simhash64("shingles").alias("simhash"),
-        )
-
-    features = state.materialize("features", build_features)
+    features = state.materialize("features", lambda: featurize(docs, config))
     check_fail("features")
 
     groups = state.materialize(
@@ -160,7 +161,7 @@ def run_pipeline(
     state.flush_metrics()
 
     return {
-        "valid_turns": valid,
+        "quarantine": quarantine,
         "docs": docs,
         "features": features,
         "exact_groups": groups,

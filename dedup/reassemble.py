@@ -19,53 +19,59 @@ from pyspark.sql import DataFrame, functions as F
 SEP = "\n"
 
 
-def split_valid(turns: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """-> (valid turns, quarantined turns).
-
-    Quarantine: null conv_id / turn_idx, and every row of any (conv_id,
+def mark_quarantined(turns: DataFrame) -> DataFrame:
+    """Append a `quarantined` flag in a single pass (one window, no joins):
+    true for null conv_id / turn_idx, and for every row of any (conv_id,
     turn_idx) that appears more than once (the invariant makes ordering
-    ambiguous — reject loudly rather than guess).
-    """
+    ambiguous — reject loudly rather than guess)."""
+    from pyspark.sql import Window
+
     base_bad = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
-    dup_keys = (
-        turns.groupBy("conv_id", "turn_idx")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > 1)
-        .select("conv_id", "turn_idx")
+    w = Window.partitionBy("conv_id", "turn_idx")
+    return turns.withColumn(
+        "quarantined", base_bad | (F.count("*").over(w) > 1)
     )
-    bad = turns.filter(base_bad).unionByName(
-        turns.filter(~base_bad).join(dup_keys, ["conv_id", "turn_idx"], "left_semi")
+
+
+def split_valid(turns: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (valid turns, quarantined turns)."""
+    marked = mark_quarantined(turns)
+    return (
+        marked.filter(~F.col("quarantined")).drop("quarantined"),
+        marked.filter(F.col("quarantined")).drop("quarantined"),
     )
-    good = turns.filter(~base_bad).join(
-        dup_keys, ["conv_id", "turn_idx"], "left_anti"
-    )
-    return good, bad
 
 
 def reassemble(turns: DataFrame) -> DataFrame:
-    """valid turns -> (conv_id, doc_text, n_turns, n_chars).
+    """turns (non-null keys) -> (conv_id, doc_text, n_turns, n_chars,
+    ambiguous).
 
     doc_text = texts joined by '\\n' in turn_idx order; null text treated as
     empty string for concatenation (the turn still occupies its slot).
+    `ambiguous` marks conversations with a duplicate (conv_id, turn_idx) —
+    their ordering is undefined (W2), so the whole conversation is
+    quarantined downstream rather than guessed at. Validation rides the same
+    single aggregation as reassembly: no extra shuffle over the turn set.
     """
+    ms = F.col("_ms")
+    idxs = F.transform(ms, lambda s: s["turn_idx"])
     return (
         turns.groupBy("conv_id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col("turn_idx"),
-                                F.coalesce(F.col("text"), F.lit("")).alias("text"),
-                            )
-                        )
-                    ),
-                    lambda s: s["text"],
-                ),
-                SEP,
-            ).alias("doc_text"),
-            F.count("*").cast("long").alias("n_turns"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("turn_idx"),
+                        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                    )
+                )
+            ).alias("_ms")
+        )
+        .select(
+            "conv_id",
+            F.array_join(F.transform(ms, lambda s: s["text"]), SEP).alias("doc_text"),
+            F.size(ms).cast("long").alias("n_turns"),
+            (F.size(ms) != F.size(F.array_distinct(idxs))).alias("ambiguous"),
         )
         .withColumn("n_chars", F.length("doc_text").cast("long"))
     )

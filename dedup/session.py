@@ -36,13 +36,25 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CPU-bound pandas-UDF stages die when byte-based coalescing packs a
+        # small-but-expensive dataset onto 1-2 cores: size partitions for
+        # cores, not for 64/128 MB of bytes. At petabyte scale these would be
+        # raised back toward defaults (bytes per task dominates there).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART", "16m"))
         .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/spill files on tmpfs: the sandbox block device has high
+        # latency variance; on a real cluster leave this on local SSDs
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # footer-level count/min/max pushdown: stage row counts come from
+        # parquet metadata instead of data scans
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     if master is not None:
         builder = builder.master(master)

@@ -22,19 +22,22 @@ _SHIFTS = np.arange(64, dtype=np.uint64)
 
 
 def simhash_batch(shingle_arrays: list[np.ndarray]) -> list[int | None]:
-    sizes = np.fromiter((len(s) for s in shingle_arrays), dtype=np.int64)
+    """Per-row bit-vote with cache-resident temporaries (a doc's unpacked bit
+    matrix is n_shingles x 64 uint8 ≈ tens of KB): scales under multi-worker
+    concurrency where a batch-wide bit matrix saturates DRAM bandwidth."""
     out: list[int | None] = [None] * len(shingle_arrays)
-    nonempty = np.flatnonzero(sizes > 0)
-    if len(nonempty) == 0:
-        return out
-    X = np.concatenate([shingle_arrays[i].view(np.uint64) for i in nonempty])
-    bits = ((X[:, None] >> _SHIFTS) & np.uint64(1)).astype(np.int64)  # (flat, 64)
-    offs = np.concatenate([[0], np.cumsum(sizes[nonempty])[:-1]])
-    votes = np.add.reduceat(bits, offs, axis=0) * 2 - sizes[nonempty][:, None]
-    packed = ((votes > 0).astype(np.uint64) << _SHIFTS).sum(axis=1, dtype=np.uint64)
-    signed = packed.view(np.int64) if packed.ndim else packed
-    for row, i in enumerate(nonempty):
-        out[i] = int(signed[row])
+    for i, s in enumerate(shingle_arrays):
+        n = len(s)
+        if n == 0:
+            continue
+        x = s.view(np.uint64)
+        bits = np.unpackbits(
+            x.view(np.uint8).reshape(n, 8), axis=1, bitorder="little"
+        )
+        ones = bits.sum(axis=0, dtype=np.int32)
+        packed = ((ones * 2 > n).astype(np.uint64) << _SHIFTS).sum(dtype=np.uint64)
+        v = int(packed)
+        out[i] = v - (1 << 64) if v >= 1 << 63 else v
     return out
 
 

@@ -88,22 +88,20 @@ class RunState:
         df = build().withColumn(_PART_COL, F.spark_partition_id())
         df.write.mode("overwrite").parquet(path)
         wall_ms = int((time.monotonic() - t0) * 1000)
+        # stage-scoped caches (e.g. candidates.bucket_pairs' sized bucket
+        # table) are only needed while the stage computes — free them now
+        self.spark.catalog.clearCache()
 
         written = self.spark.read.parquet(path)
-        # per-partition lineage from the written table (single computation of
-        # the stage; the count scan touches one int column)
-        lineage = written.groupBy(F.col(_PART_COL).alias("partition_id")).agg(
-            F.count("*").alias("rows_out")
-        ).select(
-            F.lit(self.run_id).alias("run_id"),
-            F.lit(stage).alias("stage"),
-            "partition_id",
-            "rows_out",
-            F.lit(wall_ms).alias("wall_ms"),
-            F.lit(self.config.fingerprint).alias("config_fp"),
-        )
-        lineage.write.mode("append").parquet(f"{self.run_dir}/_lineage")
-        rows = written.count()
+        # per-partition lineage: one parquet footer read per task-written
+        # file — zero Spark jobs. Falls back to a Spark aggregation for
+        # non-local storage. The stage row count is the sum — no count() job.
+        per_part = self._partition_counts(path, written)
+        rows = sum(r[1] for r in per_part)
+        self._append_lineage(stage, per_part, wall_ms)
+        if os.environ.get("DEDUP_STAGE_DEBUG"):
+            total_ms = int((time.monotonic() - t0) * 1000)
+            print(f"[stage {stage}] build+write={wall_ms}ms total={total_ms}ms rows={rows}")
         self._metrics.append(
             {
                 "run_id": self.run_id,
@@ -126,25 +124,73 @@ class RunState:
         )
         return written.drop(_PART_COL)
 
+    def _partition_counts(self, path: str, written) -> list[tuple[int, int]]:
+        """[(partition_id, rows)] per written file. Local parquet: footer
+        metadata only (part files are 'part-<partid>-…'). Else: Spark agg."""
+        import glob
+
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        if files:
+            try:
+                import pyarrow.parquet as pq
+
+                out = []
+                for f in files:
+                    pid = int(os.path.basename(f).split("-")[1])
+                    out.append((pid, pq.read_metadata(f).num_rows))
+                return out
+            except Exception:
+                pass
+        rows = (
+            written.groupBy(F.col(_PART_COL).alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .collect()
+        )
+        return [(r["partition_id"], r["rows_out"]) for r in rows]
+
+    def _append_lineage(self, stage: str, per_part: list[tuple[int, int]], wall_ms: int) -> None:
+        """Lineage rows appended as one parquet file via pyarrow — no Spark
+        job for a driver-sized table."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "run_id": [self.run_id] * len(per_part),
+                "stage": [stage] * len(per_part),
+                "partition_id": pa.array([p for p, _ in per_part], pa.int32()),
+                "rows_out": pa.array([n for _, n in per_part], pa.int64()),
+                "wall_ms": pa.array([wall_ms] * len(per_part), pa.int64()),
+                "config_fp": [self.config.fingerprint] * len(per_part),
+            }
+        )
+        d = f"{self.run_dir}/_lineage"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, f"{d}/lineage-{stage}-{uuid.uuid4().hex[:8]}.parquet")
+
     def flush_metrics(self) -> None:
         if not self._metrics:
             return
-        df = self.spark.createDataFrame(
-            [
-                (
-                    m["run_id"],
-                    m["stage"],
-                    m["rows_out"],
-                    m["wall_ms"],
-                    m["resumed"],
-                    m["config_fp"],
-                )
-                for m in self._metrics
-            ],
-            "run_id string, stage string, rows_out long, wall_ms long, "
-            "resumed boolean, config_fp string",
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "run_id": [m["run_id"] for m in self._metrics],
+                "stage": [m["stage"] for m in self._metrics],
+                "rows_out": pa.array([m["rows_out"] for m in self._metrics], pa.int64()),
+                "wall_ms": pa.array([m["wall_ms"] for m in self._metrics], pa.int64()),
+                "resumed": [m["resumed"] for m in self._metrics],
+                "config_fp": [m["config_fp"] for m in self._metrics],
+            }
         )
-        df.write.mode("append").parquet(f"{self.run_dir}/_metrics")
+        d = f"{self.run_dir}/_metrics"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, f"{d}/metrics-{uuid.uuid4().hex[:8]}.parquet")
         self._metrics = []
 
     def metrics_df(self) -> DataFrame:

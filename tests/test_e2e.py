@@ -140,7 +140,7 @@ def test_resume_after_failure(spark, tmp_path):
         r["stage"]
         for r in out_resumed["state"].metrics_df().filter("resumed").collect()
     }
-    assert {"valid_turns", "docs", "features"} <= resumed_stages
+    assert {"docs", "features"} <= resumed_stages
 
 
 def test_resume_refused_across_config_change(spark, tmp_path):
