@@ -22,8 +22,39 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+_BURN_SECS = 0.5
+
+
+def _burn(_):
+    import time
+
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < _BURN_SECS:
+        x += 1
+    return x
+
+
+def effective_cores(n: int = 16) -> float:
+    """Probe how many cores the (time-shared) host actually grants right
+    now — recorded per rep so scaling numbers are interpretable."""
+    import multiprocessing as mp
+    import time
+
+    t0 = time.time()
+    with mp.Pool(n) as p:
+        res = p.map(_burn, range(n))
+    wall = time.time() - t0
+    return round(sum(res) / max(res) / (wall / _BURN_SECS), 1)
+
+
 def run_once(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_HEADLINE_ONLY="1",
+    )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env,
@@ -40,8 +71,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    # N vs 4N. Default 2 vs 8: the sandbox host time-shares CPU and rarely
+    # grants more than ~8-16 effective cores, so 8-vs-32 measures
+    # oversubscription, not scaling.
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     args = ap.parse_args()
 
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
@@ -50,11 +84,13 @@ def main() -> None:
     run_once(args.high, args.sf_dir)
     for rep in range(args.reps):
         for cpus in (args.low, args.high):
+            avail = effective_cores()
             r = run_once(cpus, args.sf_dir)
+            r["effective_cores_probe"] = avail
             results[cpus].append(r)
             print(
                 f"rep {rep} cpus {cpus}: {r['value']}s "
-                f"({r['turns_per_sec']} turns/s)",
+                f"({r['turns_per_sec']} turns/s; host granting ~{avail} cores)",
                 flush=True,
             )
 
@@ -94,7 +130,7 @@ def main() -> None:
         f"({'meets' if eff >= 0.8 else 'BELOW'} the ≥0.8 target)\n\n"
         f"Raw per-rep results:\n\n```json\n"
         + "\n".join(
-            json.dumps({"cpus": c, **{k: r[k] for k in ('value', 'turns_per_sec')}})
+            json.dumps({"cpus": c, **{k: r[k] for k in ('value', 'turns_per_sec', 'effective_cores_probe')}})
             for c in (args.low, args.high)
             for r in results[c]
         )

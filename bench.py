@@ -77,6 +77,23 @@ def main() -> None:
     extras["n_convs"] = n_convs
     extras["n_clusters"] = n_clusters
 
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        spark.stop()
+        print(
+            json.dumps(
+                {
+                    "metric": "dedup_pipeline_wall",
+                    "value": queries["dedup_pipeline_transcripts"],
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "cpus": cpus,
+                    **extras,
+                }
+            )
+        )
+        return
+
     # --- dedup pipeline over the driver documents table ---
     run_dir = tempfile.mkdtemp(prefix="dedup_bench_docs_")
     t0 = time.monotonic()

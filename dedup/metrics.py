@@ -32,6 +32,19 @@ def top_clusters(clusters: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def corpus_stats(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """Cheap corpus diagnostics (§2.4 A8, §2.6 O3): approximate distinct
+    text cardinality on a seeded sample — constant-memory at any scale."""
+    sample = docs.sample(fraction=0.1, seed=seed)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct("norm_text").alias("approx_distinct_texts"),
+        F.avg("n_turns").alias("avg_turns"),
+    ).crossJoin(
+        sample.agg(F.avg("n_chars").alias("sampled_avg_chars"))
+    )
+
+
 def pair_recall(predicted: DataFrame, truth: DataFrame) -> float:
     """|predicted ∩ truth| / |truth| over canonical (a, b) pair keys."""
     t = truth.select("a", "b").distinct()

@@ -308,7 +308,11 @@ def q12_docs_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the same (lang, source) blocking key at J >= 0.5."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(normalize_sql(F.col("text")), " "))
-    d = docs.select("doc_id", "lang", "source", toks.alias("toks"))
+    # spread the per-block nested pair comparison over the cluster: the
+    # blocked self-join is CPU-bound (array intersections), not byte-bound
+    d = docs.select("doc_id", "lang", "source", toks.alias("toks")).repartition(
+        32, "lang", "source"
+    )
     l, r = d.alias("l"), d.alias("r")
     inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
     uni = F.size(F.col("l.toks")) + F.size(F.col("r.toks")) - inter
@@ -364,7 +368,9 @@ def q13_docs_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    d = docs.select("doc_id", "lang", "source", sh.alias("sh"))
+    d = docs.select("doc_id", "lang", "source", sh.alias("sh")).repartition(
+        32, "lang", "source"
+    )
     l, r = d.alias("l"), d.alias("r")
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
     uni = F.size(F.col("l.sh")) + F.size(F.col("r.sh")) - inter
@@ -403,6 +409,118 @@ WHERE ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
 """
 
 
+def q17_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation via F.window (§2.8 date/ts):
+    1-day windows per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "avg_value")
+    )
+
+
+Q17_SQL = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis operators (language-ID heuristic, token/word-piece
+    counts, punctuation ratio, quality score) — full per-document parity."""
+    from .textstats import doc_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return doc_profile(docs, "text").drop("text")
+
+
+Q16_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_NORM} AS n FROM documents
+), s AS (
+  SELECT doc_id, lang, n,
+    (length(n) - length(regexp_replace(n, '[一-鿿]', '', 'g'))) / greatest(length(n), 1) AS cjk,
+    (CASE WHEN contains(' '||n||' ', ' the ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(' '||n||' ', ' and ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(' '||n||' ', ' of ') THEN 1 ELSE 0 END) AS s_en,
+    (CASE WHEN contains(' '||n||' ', ' der ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(' '||n||' ', ' und ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(' '||n||' ', ' die ') THEN 1 ELSE 0 END) AS s_de,
+    (CASE WHEN contains(' '||n||' ', ' le ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(' '||n||' ', ' la ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(' '||n||' ', ' et ') THEN 1 ELSE 0 END) AS s_fr,
+    (CASE WHEN contains(' '||n||' ', ' el ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(' '||n||' ', ' la ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(' '||n||' ', ' que ') THEN 1 ELSE 0 END) AS s_es
+  FROM d
+)
+SELECT doc_id, lang,
+  CASE WHEN cjk > 0.3 THEN 'zh'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       WHEN s_es > 0 THEN 'es'
+       ELSE 'unknown' END AS lang_guess,
+  CAST(CASE WHEN length(n) = 0 THEN 0 ELSE len(string_split(n, ' ')) END AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(string_split_regex(n, '[^0-9A-Za-z]+'), x -> x != '')) AS BIGINT) AS n_pieces,
+  ROUND((length(n) - length(regexp_replace(n, '[^\\w\\s]', '', 'g'))) / greatest(length(n), 1), 4) AS punct_ratio,
+  ROUND(least((CASE WHEN length(n) = 0 THEN 0 ELSE len(string_split(n, ' ')) END) / 20.0, 1.0)
+        * (1.0 - least(ROUND((length(n) - length(regexp_replace(n, '[^\\w\\s]', '', 'g'))) / greatest(length(n), 1), 4) * 4, 1.0)), 4) AS quality
+FROM s
+"""
+
+
+# ---------- embedding similarity (oracle-checked) ----------
+
+def q14_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-dup pairs (A3 in embedding space)."""
+    from .embedding import cosine_pairs
+
+    return cosine_pairs(spark, sf_dir, threshold=0.95)
+
+
+Q14_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos
+FROM n l JOIN n r ON l.vec_id < r.vec_id
+WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.95
+"""
+
+
+def q15_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors per vector."""
+    from .embedding import knn_topk
+
+    return knn_topk(spark, sf_dir, k=5)
+
+
+Q15_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT q, n, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, n ASC) AS INTEGER) AS rnk
+FROM (
+  SELECT l.vec_id AS q, r.vec_id AS n,
+         ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos
+  FROM e l JOIN e r ON l.vec_id != r.vec_id
+)
+QUALIFY rnk <= 5
+"""
+
+
 # ---------- dedup-core (rows-only: hashing not ANSI-reproducible) ----------
 
 def _docs_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -437,6 +555,15 @@ def q22_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["verified"].select("a", "b", "source")
 
 
+def q23_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH (SRP) near-neighbor pairs with exact-cosine verify —
+    the ANN scale path (rows-only: signature hashing not ANSI-reproducible)."""
+    from .config import DedupConfig
+    from .embedding import srp_candidate_pairs
+
+    return srp_candidate_pairs(spark, sf_dir, DedupConfig(), threshold=0.95)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -451,9 +578,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_docs_exact_clusters": q11_docs_exact_clusters,
     "q12_docs_token_jaccard_pairs": q12_docs_token_jaccard_pairs,
     "q13_docs_shingle_jaccard_pairs": q13_docs_shingle_jaccard_pairs,
+    "q14_embedding_cosine_pairs": q14_embedding_cosine_pairs,
+    "q15_embedding_knn": q15_embedding_knn,
+    "q16_docs_text_profile": q16_docs_text_profile,
+    "q17_events_windowed": q17_events_windowed,
     "q20_dedup_clusters": q20_dedup_clusters,
     "q21_minhash_lsh_pairs": q21_minhash_lsh_pairs,
     "q22_verified_pairs": q22_verified_pairs,
+    "q23_embedding_lsh_pairs": q23_embedding_lsh_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -470,4 +602,8 @@ ORACLE_SQL: dict[str, str] = {
     "q11_docs_exact_clusters": Q11_SQL,
     "q12_docs_token_jaccard_pairs": Q12_SQL,
     "q13_docs_shingle_jaccard_pairs": Q13_SQL,
+    "q14_embedding_cosine_pairs": Q14_SQL,
+    "q15_embedding_knn": Q15_SQL,
+    "q16_docs_text_profile": Q16_SQL,
+    "q17_events_windowed": Q17_SQL,
 }

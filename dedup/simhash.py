@@ -50,9 +50,11 @@ def simhash64(shingles: pd.Series) -> pd.Series:
     return pd.Series(pd.array(simhash_batch(arrays), dtype="Int64"))
 
 
-def chunk_table(sim_df: DataFrame, config: DedupConfig) -> DataFrame:
+def chunk_table(
+    sim_df: DataFrame, config: DedupConfig, n_chunks: int | None = None
+) -> DataFrame:
     """(conv_id, simhash) -> exploded (chunk_id, chunk_val, conv_id, simhash)."""
-    n_chunks = config.hamming_d + 1
+    n_chunks = n_chunks or (config.hamming_d + 1)
     # chunks must cover all 64 bits (pigeonhole soundness), so widths are
     # ceil/floor-balanced: chunk i covers bits [i*64//n, (i+1)*64//n)
     exprs = []

@@ -93,3 +93,91 @@ def suffix_candidates(fps_df: DataFrame, config: DedupConfig) -> DataFrame:
         "conv_id", F.explode_outer("suffix_fps").alias("fp")
     ).filter(F.col("fp").isNotNull())
     return bucket_pairs(exploded, ["fp"], config)
+
+
+def suffix_candidates_sorted(
+    fps_df: DataFrame, config: DedupConfig, partitions: int | None = None
+) -> DataFrame:
+    """Alternative pair generator in classic suffix-array form (SURVEY.md
+    O1/W3/J7): range-partition the suffix entries by fingerprint, sort within
+    partitions, pair each entry with its predecessor when fingerprints are
+    equal (sorted-neighbor adjacency ≡ suffix-array adjacency for the
+    equal-window decision), then fix up the partition boundaries — a range
+    partitioner may split a run of equal fingerprints across two partitions,
+    so the edge rows of every partition (driver-sized: 2 rows per partition)
+    are re-paired.
+
+    Produces the same connectivity as suffix_candidates (linear chains per
+    fingerprint instead of all-pairs); kept as the demonstration of the
+    sort-based physical strategy — the grouped generator is the default
+    because it shares the skew-aware bucket cap.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    n = partitions or config.shuffle_partitions
+    entries = (
+        fps_df.select("conv_id", F.explode_outer("suffix_fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+        .repartitionByRange(n, "fp", "conv_id")
+        .sortWithinPartitions("fp", "conv_id")
+    )
+
+    def adjacent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyspark
+
+        pid = pyspark.TaskContext.get().partitionId()
+        prev_fp = prev_cid = None
+        first = None
+        rows = []
+        for pdf in batches:
+            fps, cids = pdf["fp"].to_numpy(), pdf["conv_id"].to_numpy()
+            for fp, cid in zip(fps, cids):
+                if first is None:
+                    first = (int(fp), str(cid))
+                if prev_fp is not None and fp == prev_fp:
+                    rows.append((str(prev_cid), str(cid), None, None, None))
+                prev_fp, prev_cid = fp, cid
+        # boundary rows: partition's first and last entry for driver fix-up
+        if first is not None:
+            rows.append((None, None, pid, first[0], first[1]))
+            rows.append((None, None, pid + 1_000_000, int(prev_fp), str(prev_cid)))
+        yield pd.DataFrame(
+            rows, columns=["a", "b", "edge_pos", "edge_fp", "edge_conv"]
+        )
+
+    raw = entries.mapInPandas(
+        adjacent,
+        "a string, b string, edge_pos long, edge_fp long, edge_conv string",
+    )
+    raw = raw.localCheckpoint()
+    pairs = raw.filter(F.col("a").isNotNull()).select("a", "b")
+    # driver-side boundary fix-up: last entry of partition i vs first entry
+    # of partition i+1
+    edges = sorted(
+        (
+            (r["edge_pos"], r["edge_fp"], r["edge_conv"])
+            for r in raw.filter(F.col("edge_pos").isNotNull()).collect()
+        )
+    )
+    firsts = {p: (fp, c) for p, fp, c in edges if p < 1_000_000}
+    lasts = {p - 1_000_000: (fp, c) for p, fp, c in edges if p >= 1_000_000}
+    fixups = []
+    # consecutive non-empty partitions (empty ones are skipped so a run of
+    # equal fingerprints can bridge any gap)
+    occupied = sorted(firsts)
+    for prev_p, next_p in zip(occupied, occupied[1:]):
+        fp, c = lasts[prev_p]
+        nfp, nc = firsts[next_p]
+        if nfp == fp and nc != c:
+            fixups.append((c, nc))
+    if fixups:
+        spark = fps_df.sparkSession
+        pairs = pairs.unionByName(
+            spark.createDataFrame(fixups, "a string, b string")
+        )
+    from .candidates import canonical_pairs
+
+    return canonical_pairs(pairs)
