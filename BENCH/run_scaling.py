@@ -54,6 +54,10 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_HEADLINE_ONLY="1",
+        # scaling evidence needs a compute-dominated run: per-stage fixed
+        # overhead (~20s of job scheduling + materialization) must be small
+        # against parallel work, or N-vs-4N measures overhead, not scaling
+        SPARK_GRAFT_BENCH_CONVS=os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

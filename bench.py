@@ -60,7 +60,9 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # --- headline: transcript dedup pipeline ---
-    n_convs = BENCH_CONVS.get(sf_name, 20_000)
+    n_convs = int(
+        os.environ.get("SPARK_GRAFT_BENCH_CONVS", BENCH_CONVS.get(sf_name, 20_000))
+    )
     corpus_path = ensure_corpus(spark, n_convs)
     turns = read_transcripts(spark, corpus_path)
     n_turns = turns.count()

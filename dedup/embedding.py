@@ -100,6 +100,34 @@ def knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
+def planted_near_dupes(
+    spark: SparkSession, sf_dir: str, noise: float = 0.1, seed: int = 42
+) -> DataFrame:
+    """Driver embeddings ∪ deterministic perturbed clones (vec_id + 10^6):
+    a near-dup fixture for the ANN scale path (the driver's vectors are
+    near-orthogonal — max pairwise cos ≈ 0.48 measured — so true neighbor
+    structure must be planted)."""
+    from typing import Iterator
+
+    def perturb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_vecs = [], []
+            for vid, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(emb, dtype=np.float32)
+                rng = np.random.default_rng([seed, int(vid)])
+                delta = rng.standard_normal(len(v)).astype(np.float32)
+                delta *= noise * np.linalg.norm(v) / max(np.linalg.norm(delta), 1e-9)
+                out_ids.append(int(vid) + 1_000_000)
+                out_vecs.append(v + delta)
+            yield pd.DataFrame({"vec_id": pd.array(out_ids, dtype="int64"), "embedding": out_vecs})
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    clones = base.repartition(8, "vec_id").mapInPandas(
+        perturb, "vec_id long, embedding array<float>"
+    )
+    return base.unionByName(clones).withColumn("nrm", norm_expr("embedding"))
+
+
 # ---------- scale path: signed-random-projection LSH ----------
 
 def srp_params(dim: int, bits: int, seed: int) -> np.ndarray:
@@ -124,15 +152,24 @@ def make_srp_udf(dim: int, bits: int, seed: int):
 def srp_candidate_pairs(
     spark: SparkSession, sf_dir: str, config: DedupConfig, threshold: float = 0.95
 ) -> DataFrame:
+    return srp_pairs_from_df(load_embeddings(spark, sf_dir), config, threshold)
+
+
+def srp_pairs_from_df(
+    e: DataFrame, config: DedupConfig, threshold: float = 0.95
+) -> DataFrame:
     """Hyperplane-LSH bucketed near-neighbor pairs, verified by exact cosine.
 
     sign-agreement probability = 1 - angle/pi, so cosine >= 0.95 (angle
     <= 18°) ⇒ per-bit agreement ≈ 0.9. 8-bit pigeonhole chunks give bucket
     recall 1-(1-0.9^8)^8 ≈ 0.99 per pair; buckets stay bounded via the
     shared skew-aware pair generator, and exact-cosine verification keeps
-    precision at 1 (bucket collisions never merge).
+    precision at 1 (bucket collisions never merge). LSH-bucketing is the
+    scale path for *near-duplicate* vectors; weakly-similar pairs
+    (cos << 0.9) need the brute-force/IVF paths instead.
+
+    e: (vec_id, embedding, nrm).
     """
-    e = load_embeddings(spark, sf_dir)
     dim = len(e.select("embedding").head()["embedding"])
     srp = make_srp_udf(dim, 64, config.seed)
     sigs = e.select(

@@ -478,10 +478,12 @@ FROM s
 # ---------- embedding similarity (oracle-checked) ----------
 
 def q14_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine near-dup pairs (A3 in embedding space)."""
+    """Brute-force cosine similarity pairs (A3 in embedding space). The
+    driver's embeddings are near-orthogonal (max pairwise cos ≈ 0.48
+    measured), so the threshold is 0.30 to exercise real output."""
     from .embedding import cosine_pairs
 
-    return cosine_pairs(spark, sf_dir, threshold=0.95)
+    return cosine_pairs(spark, sf_dir, threshold=0.30)
 
 
 Q14_SQL = """
@@ -493,7 +495,7 @@ WITH n AS (
 SELECT l.vec_id AS a, r.vec_id AS b,
        ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos
 FROM n l JOIN n r ON l.vec_id < r.vec_id
-WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.95
+WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.30
 """
 
 
@@ -557,11 +559,17 @@ def q22_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q23_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH (SRP) near-neighbor pairs with exact-cosine verify —
-    the ANN scale path (rows-only: signature hashing not ANSI-reproducible)."""
-    from .config import DedupConfig
-    from .embedding import srp_candidate_pairs
+    the ANN scale path (rows-only: signature hashing not ANSI-reproducible).
 
-    return srp_candidate_pairs(spark, sf_dir, DedupConfig(), threshold=0.95)
+    The driver embeddings are near-orthogonal, so each vector gets a
+    deterministic slightly-perturbed clone (vec_id + 10^6) planted first;
+    the LSH path must recover original↔clone pairs at cos >= 0.95.
+    """
+    from .config import DedupConfig
+    from .embedding import planted_near_dupes, srp_pairs_from_df
+
+    e = planted_near_dupes(spark, sf_dir, noise=0.1)
+    return srp_pairs_from_df(e, DedupConfig(), threshold=0.95)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
