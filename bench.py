@@ -53,7 +53,16 @@ def main() -> None:
 
     cfg = DedupConfig(shuffle_partitions=max(cpus, 8))
     spark = build_session(
-        app_name="dedup-bench", master=f"local[{cpus}]", config=cfg
+        app_name="dedup-bench",
+        master=f"local[{cpus}]",
+        config=cfg,
+        # make local[N] a faithful N-core executor: without this the JVM
+        # sizes GC/compiler/IO thread pools for the whole machine, so a
+        # "2-core" run quietly consumes ~2x its nominal CPU and scaling
+        # ratios are compressed
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}"
+        },
     )
 
     queries: dict[str, float] = {}

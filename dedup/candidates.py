@@ -38,62 +38,121 @@ def bucket_pairs(
     key_cols: list[str],
     config: DedupConfig,
     payload_cols: list[str] | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(key..., conv_id [, payload...]) -> canonical candidate pairs (a < b)
-    [+ payload_a/payload_b columns], deduplicated across keys."""
-    from pyspark import StorageLevel
+    [+ payload_a/payload_b columns], deduplicated across keys.
+
+    Physical plan — ONE data shuffle: hash-repartition on the bucket key,
+    sort within partitions (JVM radix sort; a hot key's rows land in one
+    partition and spill-sort instead of OOM), then a single vectorized Arrow
+    scan emits pairs per contiguous key group: all-pairs for buckets with
+    2..cap members (numpy triu indices), linear sorted-neighbor chains for
+    hot buckets. Singleton buckets — the overwhelming majority — are
+    eliminated with vectorized boundary masks, never a Python loop. Only the
+    final cross-key pair dedup shuffles again, and that runs on the (tiny)
+    pair set. Set assume_distinct when (key, conv_id) rows are unique by
+    construction to skip the defensive distinct.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
 
     payload_cols = payload_cols or []
-    members = bucket_df.select(*key_cols, "conv_id", *payload_cols).distinct()
-    sizes = salted_sizes(members, key_cols, config)
-    # persisted: both the small-bucket and hot-bucket branches read this —
-    # without it the whole upstream (scan + distinct + sizing) runs twice.
-    # Freed by the pipeline's post-stage cache clear.
-    with_n = members.join(sizes, key_cols).persist(StorageLevel.MEMORY_AND_DISK)
+    members = bucket_df.select(*key_cols, "conv_id", *payload_cols)
+    if not assume_distinct:
+        members = members.distinct()
+    parts = members.repartition(
+        config.shuffle_partitions, *key_cols
+    ).sortWithinPartitions(*key_cols, "conv_id")
 
-    mem = F.struct(F.col("conv_id"), *[F.col(c) for c in payload_cols]).alias("m")
-
-    # --- small buckets: bounded collect + JVM-side pair comprehension ---
-    small = (
-        with_n.filter((F.col("n") >= 2) & (F.col("n") <= config.bucket_cap))
-        .groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list(mem)).alias("ms"))
-    )
-    arr = F.col("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + 2, F.size(arr)), lambda y: F.struct(x.alias("x"), y.alias("y"))
-            ),
-        )
-    )
-    small_pairs = small.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.x.conv_id").alias("a"),
-        F.col("p.y.conv_id").alias("b"),
-        *[F.col(f"p.x.{c}").alias(f"{c}_a") for c in payload_cols],
-        *[F.col(f"p.y.{c}").alias(f"{c}_b") for c in payload_cols],
-    )
-
-    # --- hot buckets: linear sorted-neighbor chain ---
-    w = Window.partitionBy(*key_cols).orderBy("conv_id")
-    hot = with_n.filter(F.col("n") > config.bucket_cap)
-    prev = F.lag(F.struct(F.col("conv_id"), *[F.col(c) for c in payload_cols])).over(w)
-    hot_pairs = (
-        hot.withColumn("_prev", prev)
-        .filter(F.col("_prev").isNotNull())
-        .select(
-            F.col("_prev.conv_id").alias("a"),
-            F.col("conv_id").alias("b"),
-            *[F.col(f"_prev.{c}").alias(f"{c}_a") for c in payload_cols],
-            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
-        )
-    )
-
+    cap = config.bucket_cap
+    n_payload = len(payload_cols)
     out_cols = ["a", "b"] + [f"{c}_a" for c in payload_cols] + [f"{c}_b" for c in payload_cols]
+    out_schema = "a string, b string" + "".join(
+        f", {c}_{s} long" for s in ("a", "b") for c in payload_cols
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = key_cols + ["conv_id"] + payload_cols
+        carry: pd.DataFrame | None = None  # open (last) group at batch edge
+        carry_hot = False  # that group already exceeded cap → chain mode
+
+        def emit(group: pd.DataFrame, chain: bool) -> pd.DataFrame | None:
+            n = len(group)
+            if n < 2:
+                return None
+            cids = group["conv_id"].to_numpy()
+            if chain or n > cap:
+                ii = np.arange(n - 1)
+                jj = ii + 1
+            else:
+                ii, jj = np.triu_indices(n, k=1)
+            rows = {"a": cids[ii], "b": cids[jj]}
+            for c in payload_cols:
+                pay = group[c].to_numpy()
+                rows[f"{c}_a"] = pay[ii]
+                rows[f"{c}_b"] = pay[jj]
+            return pd.DataFrame(rows)
+
+        def flush(pdf: pd.DataFrame, final: bool) -> pd.DataFrame | None:
+            nonlocal carry, carry_hot
+            was_hot = carry_hot
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry, carry_hot = None, False
+            m = len(pdf)
+            if m == 0:
+                return None
+            boundary = np.zeros(m, dtype=bool)
+            boundary[0] = True
+            for c in key_cols:
+                karr = pdf[c].to_numpy()
+                boundary[1:] |= karr[1:] != karr[:-1]
+            starts_idx = np.flatnonzero(boundary)
+            sizes = np.diff(np.concatenate([starts_idx, [m]]))
+            n_groups = len(starts_idx)
+            outs = []
+
+            def handle(g: int, closing: bool) -> None:
+                nonlocal carry, carry_hot
+                grp = pdf.iloc[starts_idx[g] : starts_idx[g] + sizes[g]]
+                hot = (g == 0 and was_hot) or len(grp) > cap
+                if closing:
+                    outs.append(emit(grp, chain=hot))
+                elif hot:
+                    # open hot group: emit its chain so far, keep only the
+                    # last member — bounded memory however large the flood
+                    outs.append(emit(grp, chain=True))
+                    carry, carry_hot = grp.iloc[[-1]], True
+                else:
+                    carry, carry_hot = grp, False
+
+            # vectorized singleton elimination: only groups with >=2 rows
+            # (or the continuing hot group) ever reach Python
+            limit = n_groups if final else n_groups - 1
+            interesting = (sizes[:limit] >= 2).copy()
+            if limit > 0 and was_hot:
+                interesting[0] = True
+            for g in np.flatnonzero(interesting):
+                handle(int(g), closing=True)
+            if not final:
+                handle(n_groups - 1, closing=False)
+            frames = [o for o in outs if o is not None and len(o)]
+            return pd.concat(frames, ignore_index=True) if frames else None
+
+        for pdf in batches:
+            out = flush(pdf[cols], final=False)
+            if out is not None:
+                yield out[out_cols]
+        out = flush(pd.DataFrame(columns=cols), final=True)
+        if out is not None:
+            yield out[out_cols]
+
+    pairs = parts.mapInPandas(scan, out_schema)
     return (
-        small_pairs.unionByName(hot_pairs)
-        .filter(F.col("a") != F.col("b"))
+        pairs.filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
         .select(*out_cols)
     )

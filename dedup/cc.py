@@ -57,11 +57,41 @@ def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_union_find(pairs: DataFrame) -> DataFrame:
+    """Driver-side union-find with path compression: one collect, zero
+    iterative Spark jobs. Correct choice whenever the *edge list* (already a
+    tiny projection of the corpus) fits on the driver — the iterative join
+    loop costs O(rounds x shuffles) of job overhead that dwarfs the compute
+    at this size."""
+    spark = pairs.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs.toLocalIterator():
+        a, b = row[0], row[1]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    assignment = [(x, find(x)) for x in parent]
+    roots = {r for _, r in assignment}
+    rows = assignment + [(r, r) for r in roots]
+    return spark.createDataFrame(rows, "conv_id string, cluster_id string")
+
+
 def connected_components(
     pairs: DataFrame, config: DedupConfig
 ) -> tuple[DataFrame, int]:
     """(a, b) edge list -> ((conv_id, cluster_id) for every node appearing
-    in an edge, cluster_id = min conv_id of the component; rounds used)."""
+    in an edge, cluster_id = min conv_id of the component; rounds used —
+    0 means the driver-side union-find fast path handled it)."""
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).filter(
         F.col("u") != F.col("v")
     ).distinct().localCheckpoint()
@@ -70,6 +100,8 @@ def connected_components(
         spark = pairs.sparkSession
         empty = spark.createDataFrame([], "conv_id string, cluster_id string")
         return empty, 0
+    if sig[0] <= config.cc_local_threshold:
+        return _local_union_find(edges), 0
     rounds = 0
     while True:
         rounds += 1

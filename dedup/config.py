@@ -35,6 +35,10 @@ class DedupConfig:
     # --- verification / clustering ---
     jaccard_threshold: float = 0.80
     max_cc_rounds: int = 25
+    # edge sets at or below this row count are clustered with driver-side
+    # union-find (one collect, no iterative joins); larger graphs run the
+    # distributed large-star/small-star loop. ~60 B/edge → default ≈ 300 MB.
+    cc_local_threshold: int = 5_000_000
     # --- skew / shuffle ---
     bucket_cap: int = 64            # max members per LSH/suffix bucket before capping
     salt_buckets: int = 16          # salting fan-out for skewed two-stage aggs

@@ -203,10 +203,13 @@ def srp_pairs_from_df(
         )
     )
     cos = F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos")
+    # bucket pairs are canonicalized by *string* conv_id order; restore
+    # numeric (a < b) order after casting back to vector ids
+    la, lb = F.col("a").cast("long"), F.col("b").cast("long")
     return (
         joined.select(
-            F.col("a").cast("long").alias("a"),
-            F.col("b").cast("long").alias("b"),
+            F.least(la, lb).alias("a"),
+            F.greatest(la, lb).alias("b"),
             cos,
         )
         .filter(F.col("cos") >= threshold)

@@ -108,13 +108,14 @@ def exact_media_dedup(features: DataFrame) -> DataFrame:
 
 def gen_fake_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table (binary payloads) for tests —
-    every 5th row duplicates payload of row i-5 (planted exact dups)."""
+    every row i ≡ 0 (mod 10), i >= 10, duplicates the payload of row i-5
+    (planted exact dups)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"].tolist():
-                src = i - 5 if (i % 5 == 0 and i >= 5) else i
+                src = i - 5 if (i % 10 == 0 and i >= 10) else i
                 payload = hashlib.sha256(f"{seed}:{src}".encode()).digest() * 4
                 rows.append(
                     (f"m{i:06d}", "image", payload, "image/fake", 8, 8, None)

@@ -89,39 +89,57 @@ def run_pipeline(
     reps = groups.filter(F.col("conv_id") == F.col("exact_rep")).select("conv_id")
     rep_features = features.join(reps, "conv_id", "left_semi")
 
-    cand_minhash = state.materialize(
-        "cand_minhash",
-        lambda: bucket_pairs(
+    # the three candidate sources are independent: run their stage
+    # materializations concurrently so small stages overlap instead of
+    # leaving task slots idle (matters on real clusters as much as locally)
+    from concurrent.futures import ThreadPoolExecutor
+
+    cand_builders = {
+        "cand_minhash": lambda: bucket_pairs(
             band_table(rep_features.select("conv_id", "sig"), config),
             ["band_id", "band_hash"],
             config,
+            assume_distinct=True,
         ),
-    )
-    cand_simhash = state.materialize(
-        "cand_simhash",
-        lambda: hamming_candidates(
+        "cand_simhash": lambda: hamming_candidates(
             rep_features.select("conv_id", "simhash"), config
         ),
-    )
-    cand_suffix = state.materialize(
-        "cand_suffix",
-        lambda: suffix_candidates(
+        "cand_suffix": lambda: suffix_candidates(
             rep_features.select("conv_id", "suffix_fps"), config
         ),
-    )
+    }
+    with ThreadPoolExecutor(3) as pool:
+        futs = {
+            name: pool.submit(state.materialize, name, fn)
+            for name, fn in cand_builders.items()
+        }
+        cand_minhash = futs["cand_minhash"].result()
+        cand_simhash = futs["cand_simhash"].result()
+        cand_suffix = futs["cand_suffix"].result()
     check_fail("candidates")
 
     def build_verified() -> DataFrame:
-        near = (
+        # Jaccard-verify every candidate in one pass; the (expensive) exact
+        # longest-shared-run check only runs for suffix-sourced pairs that
+        # fail Jaccard — near-dup clones sharing long runs are already
+        # accepted by the cheap JVM-side check.
+        suffix_pairs = cand_suffix.select("a", "b")
+        all_cand = (
             cand_minhash.select("a", "b")
             .unionByName(cand_simhash.select("a", "b"))
+            .unionByName(suffix_pairs)
             .dropDuplicates(["a", "b"])
         )
-        vj = verify_jaccard(near, features, config).select(
-            "a", "b", "jaccard", F.lit("jaccard").alias("source")
+        from pyspark import StorageLevel
+
+        vj = (
+            verify_jaccard(all_cand, features, config)
+            .select("a", "b", "jaccard", F.lit("jaccard").alias("source"))
+            .persist(StorageLevel.MEMORY_AND_DISK)  # used twice below
         )
+        sub_rest = suffix_pairs.join(vj.select("a", "b"), ["a", "b"], "left_anti")
         vs = verify_substring(
-            cand_suffix.select("a", "b"),
+            sub_rest,
             docs.select("conv_id", "norm_text"),
             config,
         ).select(

@@ -85,7 +85,8 @@ def hamming_candidates(sim_df: DataFrame, config: DedupConfig) -> DataFrame:
 
     chunks = chunk_table(sim_df, config)
     pairs = bucket_pairs(
-        chunks, ["chunk_id", "chunk_val"], config, payload_cols=["simhash"]
+        chunks, ["chunk_id", "chunk_val"], config, payload_cols=["simhash"],
+        assume_distinct=True,
     )
     return pairs.filter(
         F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))

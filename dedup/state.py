@@ -88,9 +88,6 @@ class RunState:
         df = build().withColumn(_PART_COL, F.spark_partition_id())
         df.write.mode("overwrite").parquet(path)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        # stage-scoped caches (e.g. candidates.bucket_pairs' sized bucket
-        # table) are only needed while the stage computes — free them now
-        self.spark.catalog.clearCache()
 
         written = self.spark.read.parquet(path)
         # per-partition lineage: one parquet footer read per task-written
@@ -171,6 +168,13 @@ class RunState:
         pq.write_table(tbl, f"{d}/lineage-{stage}-{uuid.uuid4().hex[:8]}.parquet")
 
     def flush_metrics(self) -> None:
+        # free run-scoped caches (e.g. candidates.bucket_pairs' sized bucket
+        # tables, verify's pair table); per-stage clearing would clobber
+        # sibling stages running concurrently
+        try:
+            self.spark.catalog.clearCache()
+        except Exception:
+            pass
         if not self._metrics:
             return
         import uuid

@@ -92,7 +92,7 @@ def suffix_candidates(fps_df: DataFrame, config: DedupConfig) -> DataFrame:
     exploded = fps_df.select(
         "conv_id", F.explode_outer("suffix_fps").alias("fp")
     ).filter(F.col("fp").isNotNull())
-    return bucket_pairs(exploded, ["fp"], config)
+    return bucket_pairs(exploded, ["fp"], config, assume_distinct=True)
 
 
 def suffix_candidates_sorted(

@@ -20,9 +20,20 @@ from .config import DedupConfig
 from .shingle import token_hashes, mix64, _POLY_C
 
 
+def _participants(pairs: DataFrame) -> DataFrame:
+    return pairs.select(F.explode(F.array("a", "b")).alias("conv_id")).distinct()
+
+
 def attach_shingles(pairs: DataFrame, shingles_df: DataFrame) -> DataFrame:
-    """Two equi-joins on conv_id: (a, b) + shingles_a + shingles_b."""
-    sh = shingles_df.select("conv_id", "shingles")
+    """Two equi-joins on conv_id: (a, b) + shingles_a + shingles_b.
+
+    The shingle table is semi-join-reduced to pair participants first: at
+    corpus scale the pairs touch a small fraction of documents, so the two
+    attach joins shuffle only that fraction of the (wide) array column.
+    """
+    sh = shingles_df.select("conv_id", "shingles").join(
+        _participants(pairs), "conv_id", "left_semi"
+    )
     return (
         pairs.join(sh.withColumnRenamed("conv_id", "a").withColumnRenamed("shingles", "sh_a"), "a")
         .join(sh.withColumnRenamed("conv_id", "b").withColumnRenamed("shingles", "sh_b"), "b")
@@ -102,7 +113,9 @@ def verify_substring(
 ) -> DataFrame:
     """-> (a, b, run_tokens) for pairs whose true shared token run is
     >= suffix_min_tokens. docs_df: (conv_id, norm_text)."""
-    d = docs_df.select("conv_id", "norm_text")
+    d = docs_df.select("conv_id", "norm_text").join(
+        _participants(pairs), "conv_id", "left_semi"
+    )
     joined = (
         pairs.join(
             d.withColumnRenamed("conv_id", "a").withColumnRenamed("norm_text", "t_a"), "a"

@@ -88,7 +88,10 @@ def test_canonical_pairs(spark):
     assert [(r["a"], r["b"]) for r in got] == [("a", "b")]
 
 
-# --- connected components ---
+# --- connected components (both paths: driver union-find + distributed) ---
+
+import pytest
+
 
 def _cc(spark, edges, cfg):
     df = spark.createDataFrame(edges, "a string, b string")
@@ -96,14 +99,20 @@ def _cc(spark, edges, cfg):
     return {r["conv_id"]: r["cluster_id"] for r in out.collect()}, rounds
 
 
-def test_cc_chain(spark, config):
-    got, _ = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")], config)
+@pytest.fixture(params=["local_uf", "distributed"])
+def cc_config(request, config):
+    # threshold 0 forces the large-star/small-star loop
+    return config if request.param == "local_uf" else config.with_(cc_local_threshold=0)
+
+
+def test_cc_chain(spark, cc_config):
+    got, _ = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")], cc_config)
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
 
-def test_cc_two_components_and_star(spark, config):
+def test_cc_two_components_and_star(spark, cc_config):
     edges = [("a", "b"), ("c", "d"), ("c", "e"), ("c", "f")]
-    got, _ = _cc(spark, edges, config)
+    got, _ = _cc(spark, edges, cc_config)
     assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "c", "f": "c"}
 
 
@@ -116,9 +125,23 @@ def test_cc_empty(spark, config):
 def test_cc_long_chain_logarithmic_rounds(spark, config):
     n = 64
     edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)]
-    got, rounds = _cc(spark, edges, config)
+    got, rounds = _cc(spark, edges, config.with_(cc_local_threshold=0))
     assert set(got.values()) == {"n000"}
-    assert rounds <= 12  # O(log n), not O(n)
+    assert 1 <= rounds <= 12  # O(log n), not O(n)
+
+
+def test_cc_paths_agree_random_graph(spark, config):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    edges = [
+        (f"v{int(rng.integers(0, 80)):03d}", f"v{int(rng.integers(0, 80)):03d}")
+        for _ in range(120)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    a, _ = _cc(spark, edges, config)
+    b, _ = _cc(spark, edges, config.with_(cc_local_threshold=0))
+    assert a == b
 
 
 # --- fixtures ---
