@@ -74,7 +74,9 @@ def _local_union_find(pairs: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in pairs.toLocalIterator():
+    # one collect (single job) — toLocalIterator would schedule one tiny
+    # job per partition, pure serial driver latency
+    for row in pairs.collect():
         a, b = row[0], row[1]
         ra, rb = find(a), find(b)
         if ra != rb:
