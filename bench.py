@@ -21,6 +21,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via module globals
+
 BENCH_CONVS = {"sf0.001": 1_000, "sf0.01": 5_000, "sf0.1": 20_000}
 
 
@@ -113,11 +115,10 @@ def main() -> None:
     # warm the Python UDF workers before timing: worker spawn is one-time
     # session setup (a long-running cluster amortizes it over hours), not
     # pipeline throughput
-    import pandas as _pd
     from pyspark.sql import functions as _F
 
     @_F.pandas_udf("long")
-    def _warm(s: _pd.Series) -> _pd.Series:
+    def _warm(s: pd.Series) -> pd.Series:
         import numpy  # noqa: F401  (pay the import in every worker now)
 
         return s

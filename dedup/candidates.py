@@ -20,7 +20,7 @@ Strategy, one shuffle each:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .config import DedupConfig
 
