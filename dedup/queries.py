@@ -350,7 +350,7 @@ WHERE ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
 
 def q13_docs_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram shingle Jaccard (the pipeline's verification semantics)
-    oracle-checked, same blocking as q12, J >= 0.5."""
+    oracle-checked, same blocking as q12, J >= 0.1."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(normalize_sql(F.col("text")), " ")
     n = F.size(toks)
@@ -386,7 +386,7 @@ def q13_docs_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("r.doc_id").alias("b"),
             F.round(inter / uni, 4).alias("jac"),
         )
-        .filter(F.col("jac") >= 0.5)
+        .filter(F.col("jac") >= 0.1)
     )
 
 
@@ -405,7 +405,7 @@ SELECT l.doc_id AS a, r.doc_id AS b,
 FROM d l JOIN d r
   ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
 WHERE ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-             / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4) >= 0.5
+             / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4) >= 0.1
 """
 
 

@@ -76,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
 
+    if "/" in args.input:
+        import os
+
+        if not os.path.exists(args.input):
+            print(f"error: input path does not exist: {args.input}", file=sys.stderr)
+            return 2
+
     snapshot_id = current_snapshot_id(spark, args.input)
     turns = read_transcripts(spark, args.input, snapshot_id=snapshot_id)
 
