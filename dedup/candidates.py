@@ -43,114 +43,63 @@ def bucket_pairs(
     """(key..., conv_id [, payload...]) -> canonical candidate pairs (a < b)
     [+ payload_a/payload_b columns], deduplicated across keys.
 
-    Physical plan — ONE data shuffle: hash-repartition on the bucket key,
-    sort within partitions (JVM radix sort; a hot key's rows land in one
-    partition and spill-sort instead of OOM), then a single vectorized Arrow
-    scan emits pairs per contiguous key group: all-pairs for buckets with
-    2..cap members (numpy triu indices), linear sorted-neighbor chains for
-    hot buckets. Singleton buckets — the overwhelming majority — are
-    eliminated with vectorized boundary masks, never a Python loop. Only the
-    final cross-key pair dedup shuffles again, and that runs on the (tiny)
-    pair set. Set assume_distinct when (key, conv_id) rows are unique by
-    construction to skip the defensive distinct.
+    Physical plan — ONE exchange + ONE sort, all JVM (no Arrow round-trip of
+    the bucket table): a single window spec hash-partitioned on the bucket
+    key and ordered by conv_id computes the bucket size (unbounded-frame
+    count) and the sorted predecessor (lag) together. Hot buckets
+    (n > cap) emit linear sorted-neighbor chains straight from the lag —
+    never a cross-product, spill-sort instead of OOM. Small buckets
+    (2 <= n <= cap) are group-collected (cap-bounded lists; the groupBy
+    reuses the window's partitioning, so no second exchange) and expanded to
+    all pairs with a higher-order array comprehension. Only the final
+    cross-key pair dedup shuffles again — on the (tiny) pair set. Set
+    assume_distinct when (key, conv_id) rows are unique by construction to
+    skip the defensive distinct.
     """
-    from typing import Iterator
-
-    import numpy as np
-    import pandas as pd
+    from pyspark.sql import Window
 
     payload_cols = payload_cols or []
     members = bucket_df.select(*key_cols, "conv_id", *payload_cols)
     if not assume_distinct:
         members = members.distinct()
-    parts = members.repartition(
-        config.shuffle_partitions, *key_cols
-    ).sortWithinPartitions(*key_cols, "conv_id")
 
     cap = config.bucket_cap
-    n_payload = len(payload_cols)
     out_cols = ["a", "b"] + [f"{c}_a" for c in payload_cols] + [f"{c}_b" for c in payload_cols]
-    out_schema = "a string, b string" + "".join(
-        f", {c}_{s} long" for s in ("a", "b") for c in payload_cols
+
+    w = Window.partitionBy(*key_cols).orderBy("conv_id")
+    mem = F.struct(F.col("conv_id"), *[F.col(c) for c in payload_cols])
+    n = F.count("*").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    prev = F.lag(mem).over(w)
+    # following members, frame bounded to `cap` rows: exactly the pair
+    # targets for small buckets, and a constant-size sliding buffer (never
+    # O(bucket²)) when a hot key streams through
+    foll = F.collect_list(mem).over(w.rowsBetween(1, cap))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = key_cols + ["conv_id"] + payload_cols
-        carry: pd.DataFrame | None = None  # open (last) group at batch edge
-        carry_hot = False  # that group already exceeded cap → chain mode
+    # hot rows: the single (prev, me) chain pair, dropped when prev is null
+    # (first row of the bucket) — F.filter keeps the array type uniform.
+    # small rows (n <= cap): (me, each following member); singletons get an
+    # empty `foll` and thus an empty array.
+    hot_arr = F.filter(
+        F.array(F.struct(prev.alias("x"), mem.alias("y"))),
+        lambda p: p["x"].isNotNull(),
+    )
+    small_arr = F.transform(foll, lambda y: F.struct(mem.alias("x"), y.alias("y")))
+    pair_structs = F.when(n > cap, hot_arr).otherwise(small_arr)
 
-        def emit(group: pd.DataFrame, chain: bool) -> pd.DataFrame | None:
-            n = len(group)
-            if n < 2:
-                return None
-            cids = group["conv_id"].to_numpy()
-            if chain or n > cap:
-                ii = np.arange(n - 1)
-                jj = ii + 1
-            else:
-                ii, jj = np.triu_indices(n, k=1)
-            rows = {"a": cids[ii], "b": cids[jj]}
-            for c in payload_cols:
-                pay = group[c].to_numpy()
-                rows[f"{c}_a"] = pay[ii]
-                rows[f"{c}_b"] = pay[jj]
-            return pd.DataFrame(rows)
-
-        def flush(pdf: pd.DataFrame, final: bool) -> pd.DataFrame | None:
-            nonlocal carry, carry_hot
-            was_hot = carry_hot
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry, carry_hot = None, False
-            m = len(pdf)
-            if m == 0:
-                return None
-            boundary = np.zeros(m, dtype=bool)
-            boundary[0] = True
-            for c in key_cols:
-                karr = pdf[c].to_numpy()
-                boundary[1:] |= karr[1:] != karr[:-1]
-            starts_idx = np.flatnonzero(boundary)
-            sizes = np.diff(np.concatenate([starts_idx, [m]]))
-            n_groups = len(starts_idx)
-            outs = []
-
-            def handle(g: int, closing: bool) -> None:
-                nonlocal carry, carry_hot
-                grp = pdf.iloc[starts_idx[g] : starts_idx[g] + sizes[g]]
-                hot = (g == 0 and was_hot) or len(grp) > cap
-                if closing:
-                    outs.append(emit(grp, chain=hot))
-                elif hot:
-                    # open hot group: emit its chain so far, keep only the
-                    # last member — bounded memory however large the flood
-                    outs.append(emit(grp, chain=True))
-                    carry, carry_hot = grp.iloc[[-1]], True
-                else:
-                    carry, carry_hot = grp, False
-
-            # vectorized singleton elimination: only groups with >=2 rows
-            # (or the continuing hot group) ever reach Python
-            limit = n_groups if final else n_groups - 1
-            interesting = (sizes[:limit] >= 2).copy()
-            if limit > 0 and was_hot:
-                interesting[0] = True
-            for g in np.flatnonzero(interesting):
-                handle(int(g), closing=True)
-            if not final:
-                handle(n_groups - 1, closing=False)
-            frames = [o for o in outs if o is not None and len(o)]
-            return pd.concat(frames, ignore_index=True) if frames else None
-
-        for pdf in batches:
-            out = flush(pdf[cols], final=False)
-            if out is not None:
-                yield out[out_cols]
-        out = flush(pd.DataFrame(columns=cols), final=True)
-        if out is not None:
-            yield out[out_cols]
-
-    pairs = parts.mapInPandas(scan, out_schema)
+    pairs = (
+        # window expressions must materialize in their own projection before
+        # feeding a generator
+        members.select(pair_structs.alias("ps"))
+        .select(F.explode("ps").alias("p"))
+        .select(
+            F.col("p.x.conv_id").alias("a"),
+            F.col("p.y.conv_id").alias("b"),
+            *[F.col(f"p.x.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"p.y.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
+    )
     return (
         pairs.filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
