@@ -9,8 +9,11 @@ from __future__ import annotations
 
 import math
 import sys
+from pathlib import Path
 
 import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from dedup.config import DedupConfig
 from dedup.queries import ORACLE_SQL, QUERIES
@@ -67,6 +70,28 @@ def main() -> int:
         if len(sdf) != len(ddf):
             print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
             ok = False
+        if ok:
+            # the driver's value-hash renders ints and floats differently
+            # (int64 99111 != float64 99111.0 — bit q08 in round 1); %.9g
+            # normalization below masks that, so flag int-vs-float columns.
+            # (Unit-only differences like datetime64[ns] vs [us] are fine.)
+            from pandas.api import types as ptypes
+
+            def kind(s):
+                if ptypes.is_integer_dtype(s):
+                    return "int"
+                if ptypes.is_float_dtype(s):
+                    return "float"
+                return "other"
+
+            bad = {
+                c: (str(sdf[c].dtype), str(ddf[c].dtype))
+                for c in sdf.columns
+                if kind(sdf[c]) != kind(ddf[c])
+            }
+            if bad:
+                print(f"FAIL {name}: numeric dtype mismatch spark-vs-duck {bad}")
+                ok = False
         if ok:
             ks, kd = rows_key(sdf), rows_key(ddf)
             if ks != kd:
