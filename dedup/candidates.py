@@ -12,10 +12,14 @@ Strategy, one shuffle each:
  2. keys with 2 <= n <= cap: groupBy + bounded collect_list (sorted) →
     all pairs generated JVM-side with higher-order array functions — no
     self-join, so no duplicate scan of the bucket table;
- 3. keys with n > cap: sorted-neighbor chain pairs via a window lag —
-    linear in bucket size, spills instead of OOM. Chain adjacency keeps
-    every true duplicate in the bucket connected for clustering while the
-    per-pair verifier still gates each edge.
+ 3. keys with n > cap: sorted-neighbor pairs via window lags (k=2
+    predecessors) plus a star edge to the bucket minimum — linear in bucket
+    size, spills instead of OOM. The per-pair verifier gates each edge, so
+    connectivity must survive edge *loss*: with lag-1+lag-2+min edges, one
+    false-collision member interleaved between true duplicates (or a
+    false-collision minimum) cannot disconnect them; >= 2 consecutive
+    interlopers with a false minimum could, but true duplicates co-occur in
+    many independent bands (recall gates measure the composite).
 """
 
 from __future__ import annotations
@@ -46,9 +50,10 @@ def bucket_pairs(
     Physical plan — ONE exchange + ONE sort, all JVM (no Arrow round-trip of
     the bucket table): a single window spec hash-partitioned on the bucket
     key and ordered by conv_id computes the bucket size (unbounded-frame
-    count) and the sorted predecessor (lag) together. Hot buckets
-    (n > cap) emit linear sorted-neighbor chains straight from the lag —
-    never a cross-product, spill-sort instead of OOM. Small buckets
+    count), the sorted predecessors (lag 1/2), and the bucket minimum
+    (first) together. Hot buckets (n > cap) emit O(1) edges per member
+    straight from those expressions — never a cross-product, spill-sort
+    instead of OOM. Small buckets
     (2 <= n <= cap) are group-collected (cap-bounded lists; the groupBy
     reuses the window's partitioning, so no second exchange) and expanded to
     all pairs with a higher-order array comprehension. Only the final
@@ -72,18 +77,26 @@ def bucket_pairs(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     prev = F.lag(mem).over(w)
+    prev2 = F.lag(mem, 2).over(w)
+    first = F.first(mem).over(w)  # bucket minimum (frame: up to current row)
     # following members, frame bounded to `cap` rows: exactly the pair
     # targets for small buckets, and a constant-size sliding buffer (never
     # O(bucket²)) when a hot key streams through
     foll = F.collect_list(mem).over(w.rowsBetween(1, cap))
 
-    # hot rows: the single (prev, me) chain pair, dropped when prev is null
-    # (first row of the bucket) — F.filter keeps the array type uniform.
-    # small rows (n <= cap): (me, each following member); singletons get an
-    # empty `foll` and thus an empty array.
+    # hot rows: chain to the 2 sorted predecessors AND star to the bucket
+    # minimum — still O(1) edges per member, but a single false bucket
+    # collision sitting between two true duplicates can no longer disconnect
+    # them after per-edge verification (the lag-1-only chain could: both of
+    # the interloper's edges fail the verifier and the true pair is lost).
+    # Null/self entries are filtered out (first row of the bucket).
     hot_arr = F.filter(
-        F.array(F.struct(prev.alias("x"), mem.alias("y"))),
-        lambda p: p["x"].isNotNull(),
+        F.array(
+            F.struct(prev.alias("x"), mem.alias("y")),
+            F.struct(prev2.alias("x"), mem.alias("y")),
+            F.struct(first.alias("x"), mem.alias("y")),
+        ),
+        lambda p: p["x"].isNotNull() & (p["x"]["conv_id"] != p["y"]["conv_id"]),
     )
     small_arr = F.transform(foll, lambda y: F.struct(mem.alias("x"), y.alias("y")))
     pair_structs = F.when(n > cap, hot_arr).otherwise(small_arr)

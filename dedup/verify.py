@@ -76,20 +76,37 @@ def _stride1_fps(t: np.ndarray, window: int) -> np.ndarray:
         return mix64((prefix[window:] - prefix[: m - window + 1]) * inv_powers)
 
 
+def _shared_at(ta: np.ndarray, tb: np.ndarray, length: int) -> bool:
+    """True iff the two token sequences share a verbatim `length`-token run
+    (stride-1 window fingerprint sets intersect at that exact length)."""
+    fa, fb = _stride1_fps(ta, length), _stride1_fps(tb, length)
+    return len(fa) > 0 and len(fb) > 0 and bool(np.isin(fa, fb).any())
+
+
 def longest_shared_run(text_a: str, text_b: str, window: int) -> int:
-    """Longest token run shared verbatim between two normalized texts."""
+    """Longest token run shared verbatim between two normalized texts
+    (0 when shorter than `window`).
+
+    Binary search on the run length L: a shared run of >= L tokens exists
+    iff the stride-1 L-window fingerprint sets intersect. Each probe
+    requires a verbatim L-token window match, so periodic/repetitive text
+    can no longer inflate the run (the previous run-of-matching-positions
+    scan matched each window of `a` anywhere in `b`, overestimating when
+    positions matched non-contiguous targets). O((|a|+|b|) log |a|); exact
+    up to 64-bit fingerprint collisions at the probed length.
+    """
     ta, tb = token_hashes(text_a), token_hashes(text_b)
-    fa, fb = _stride1_fps(ta, window), _stride1_fps(tb, window)
-    if len(fa) == 0 or len(fb) == 0:
+    hi = min(len(ta), len(tb))
+    if hi < window or not _shared_at(ta, tb, window):
         return 0
-    common = np.isin(fa, fb)
-    if not common.any():
-        return 0
-    # longest run of consecutive matching window positions in a
-    padded = np.concatenate([[False], common, [False]]).astype(np.int8)
-    diff = np.diff(padded)
-    run_lens = np.flatnonzero(diff == -1) - np.flatnonzero(diff == 1)
-    return int(run_lens.max()) + window - 1
+    lo = window  # invariant: shared(lo) holds; shared(hi + 1) unknown/false
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _shared_at(ta, tb, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
 
 def make_substring_verify_udf(config: DedupConfig):

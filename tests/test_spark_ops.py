@@ -73,11 +73,45 @@ def test_bucket_pairs_hot_key_linear_chain(spark):
     n = 100
     df = spark.createDataFrame([(1, f"c{i:03d}") for i in range(n)], "fp long, conv_id string")
     out = bucket_pairs(df, ["fp"], cfg).collect()
-    # linear chain: n-1 pairs, not n*(n-1)/2
-    assert len(out) == n - 1
-    # chain connects every member transitively
+    # linear in bucket size: lag-1 (n-1) + lag-2 (n-2) + star-to-min (n-1,
+    # of which 2 duplicate the lags) = 3n - 6 pairs, not n*(n-1)/2
+    assert len(out) == 3 * n - 6
+    # edges connect every member transitively
     nodes = {r["a"] for r in out} | {r["b"] for r in out}
     assert len(nodes) == n
+
+
+def _components(nodes, edges):
+    parent = {x: x for x in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a in parent and b in parent:
+            parent[find(a)] = find(b)
+    return {frozenset(x for x in nodes if find(x) == r) for r in {find(x) for x in nodes}}
+
+
+def test_bucket_pairs_poisoned_hot_bucket_recall(spark):
+    """A hot bucket where false-collision members interleave true duplicates
+    AND the bucket minimum is a false collision: after the verifier drops
+    every edge touching an interloper, the true duplicates must still form
+    one connected component (lag-1-only chaining failed this)."""
+    cfg = DedupConfig(bucket_cap=8, shuffle_partitions=4)
+    n = 12
+    members = [f"a{i:02d}" for i in range(n)]
+    true_dups = {m for i, m in enumerate(members) if i % 2 == 1}  # min is an interloper
+    df = spark.createDataFrame([(1, m) for m in members], "fp long, conv_id string")
+    edges = [(r["a"], r["b"]) for r in bucket_pairs(df, ["fp"], cfg).collect()]
+    surviving = [
+        (a, b) for a, b in edges if a in true_dups and b in true_dups
+    ]  # simulated verification: interloper edges all fail
+    comps = _components(true_dups, surviving)
+    assert comps == {frozenset(true_dups)}
 
 
 def test_canonical_pairs(spark):

@@ -178,3 +178,16 @@ def test_longest_shared_run_exact():
     b = run + " " + " ".join(f"b{i}" for i in range(50))
     assert longest_shared_run(a, b, 32) == 70
     assert longest_shared_run(a, " ".join(f"c{i}" for i in range(100)), 32) == 0
+
+
+def test_longest_shared_run_periodic_text_not_inflated():
+    # 48 tokens of period-2 text vs a 33-token contiguous copy: every
+    # 32-window of the copy matches *somewhere* in the periodic text, which
+    # inflated the old position-run scan to 48; the true shared run is 33.
+    a = "x y " * 24
+    b = " ".join(a.split()[:33])
+    assert longest_shared_run(a, b, 32) == 33
+    # identical periodic texts: run = full length
+    assert longest_shared_run(a, a, 32) == 48
+    # shared run below the window length reports 0
+    assert longest_shared_run("p q " * 8, "p q " * 8, 32) == 0  # 16 tokens < window
