@@ -17,6 +17,12 @@ import json
 from dataclasses import asdict, dataclass, field, replace
 
 
+# Bumped whenever operator semantics change (pair generation, verification,
+# normalization): it salts the config fingerprint so resume can never reuse
+# stages materialized by a different engine version.
+ENGINE_VERSION = 2
+
+
 @dataclass(frozen=True)
 class DedupConfig:
     # --- shingling ---
@@ -59,7 +65,11 @@ class DedupConfig:
         return self.num_perm // self.lsh_bands
 
     def to_json(self) -> str:
-        return json.dumps(asdict(self), sort_keys=True, separators=(",", ":"))
+        return json.dumps(
+            {**asdict(self), "_engine": ENGINE_VERSION},
+            sort_keys=True,
+            separators=(",", ":"),
+        )
 
     @property
     def fingerprint(self) -> str:

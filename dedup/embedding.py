@@ -128,6 +128,34 @@ def planted_near_dupes(
     return base.unionByName(clones).withColumn("nrm", norm_expr("embedding"))
 
 
+def planted_clones_sql(
+    spark: SparkSession, sf_dir: str, amplitude: float = 0.08
+) -> DataFrame:
+    """Deterministic ANSI-reproducible clone planting: clone_i = v_i *
+    (1 + amplitude * ((i % 7) - 3) / 3) — pure rational double arithmetic
+    (multiply/divide/add are IEEE-exact in both Spark and DuckDB, unlike
+    transcendental PRNG noise), so a DuckDB oracle can regenerate the exact
+    same vectors and the LSH path can be value-checked against brute force.
+    Coordinate-wise scaling in [1-amplitude, 1+amplitude] gives
+    cos(v, clone) ≈ 1/sqrt(1 + amplitude²·4/9) ≈ 0.9986 at 0.08.
+    Embeddings are cast to double up front (float→double is exact)."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    factor = lambda i: F.lit(1.0) + F.lit(amplitude) * (
+        (i % 7) - 3
+    ).cast("double") / F.lit(3.0)
+    clones = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: x * factor(i)).alias("embedding"),
+    )
+    return base.unionByName(clones).withColumn("nrm", norm_expr("embedding"))
+
+
 # ---------- scale path: signed-random-projection LSH ----------
 
 def srp_params(dim: int, bits: int, seed: int) -> np.ndarray:

@@ -9,10 +9,13 @@ value-hash parity with DuckDB:
   - timestamps run under UTC sessions;
   - token ops use identical whitespace-collapse + single-space split.
 
-Dedup-core operators whose hashing cannot be reproduced in ANSI SQL
-(MinHash/SimHash/suffix fingerprints, connected components) are exported as
-rows-only entries (driver records a weaker check; pytest holds the recall
-gates instead — tests/test_e2e.py, tests/test_documents.py).
+Dedup-core results ARE oracle-checked even though their internal hashing is
+not ANSI-reproducible: the oracle brute-forces the ground truth the
+probabilistic path must recover (q20 cluster assignment, q22 verified pairs,
+q23 LSH-vs-exact-cosine), so green rows certify end-to-end recall AND
+precision, not just plumbing. Only q21 (raw LSH candidate pairs, a
+false-positive-bearing intermediate by design) stays rows-only; pytest holds
+its recall gates instead (tests/test_e2e.py, tests/test_documents.py).
 """
 
 from __future__ import annotations
@@ -545,7 +548,12 @@ def _docs_pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def q20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full MinHash+SimHash+suffix dedup pipeline over documents
-    treated as 1-turn transcripts; (conv_id, cluster_id)."""
+    treated as 1-turn transcripts; (conv_id, cluster_id). Oracle-checked:
+    DuckDB recomputes the ground-truth cluster assignment (recursive-CTE
+    connected components over brute-force exact + Jaccard>=0.8 +
+    shared-48-token-window edges), so a green row proves the whole engine —
+    candidate generation recall, verification precision, and CC — end to
+    end at this SF."""
     return _docs_pipeline(spark, sf_dir)["clusters"]
 
 
@@ -555,23 +563,117 @@ def q21_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs from the full pipeline, oracle-checked: the
+    DuckDB oracle brute-forces the ground truth — exact 3-gram shingle
+    Jaccard >= 0.8 OR a shared 48-token window, among exact-dup
+    representatives — so a green row proves end-to-end recall AND precision
+    of LSH/SimHash/suffix candidate generation + verification at this SF."""
     out = _docs_pipeline(spark, sf_dir)
-    return out["verified"].select("a", "b", "source")
+    return out["verified"].select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard"), "source"
+    )
 
 
 def q23_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH (SRP) near-neighbor pairs with exact-cosine verify —
-    the ANN scale path (rows-only: signature hashing not ANSI-reproducible).
-
-    The driver embeddings are near-orthogonal, so each vector gets a
-    deterministic slightly-perturbed clone (vec_id + 10^6) planted first;
-    the LSH path must recover original↔clone pairs at cos >= 0.95.
-    """
+    the ANN scale path, oracle-checked: deterministic arithmetic clones
+    (vec_id + 10^6, ANSI-reproducible — embedding.planted_clones_sql) are
+    planted, and the DuckDB oracle brute-forces all pairs at cos >= 0.95;
+    the LSH path must recover exactly that set (the real recall claim)."""
     from .config import DedupConfig
-    from .embedding import planted_near_dupes, srp_pairs_from_df
+    from .embedding import planted_clones_sql, srp_pairs_from_df
 
-    e = planted_near_dupes(spark, sf_dir, noise=0.1)
+    e = planted_clones_sql(spark, sf_dir)
     return srp_pairs_from_df(e, DedupConfig(), threshold=0.95)
+
+
+# Ground truth for the pipeline over `documents`: exact-dup groups by
+# normalized text; near-dup edges among exact representatives = exact 3-gram
+# shingle Jaccard >= 0.8 (the pipeline's verification semantics on hashed
+# shingles — hash-free here, identical counts absent 2^-64 collisions) OR a
+# shared 48-token window (== longest shared run >= suffix_min_tokens, which
+# the suffix pass detects with a winnowing *guarantee*, not probabilistically).
+# All ids are VARCHAR because the pipeline canonicalizes pairs / picks
+# representatives and cluster ids by string order on conv_id.
+_DOCS_TRUTH_CTES = f"""
+d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, {_NORM} AS n FROM documents
+), grp AS (
+  SELECT id, n, MIN(id) OVER (PARTITION BY n) AS rep FROM d
+), t AS (
+  SELECT id, CASE WHEN n = '' THEN [] ELSE string_split(n, ' ') END AS toks
+  FROM grp WHERE id = rep
+), sh AS (
+  SELECT id,
+    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS s3,
+    CASE WHEN len(toks) < 48 THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 47),
+             i -> array_to_string(toks[i:i+47], ' '))) END AS s48
+  FROM t
+), pair AS (
+  SELECT l.id AS a, r.id AS b,
+    len(list_intersect(l.s3, r.s3)) AS i3,
+    len(l.s3) + len(r.s3) - len(list_intersect(l.s3, r.s3)) AS u3,
+    len(list_intersect(l.s48, r.s48)) AS i48
+  FROM sh l JOIN sh r ON l.id < r.id
+), near AS (
+  SELECT a, b,
+    CASE WHEN i3 > 0 AND CAST(i3 AS DOUBLE) / u3 >= 0.8
+         THEN ROUND(CAST(i3 AS DOUBLE) / u3, 4) END AS jaccard,
+    CASE WHEN i3 > 0 AND CAST(i3 AS DOUBLE) / u3 >= 0.8
+         THEN 'jaccard' ELSE 'substring' END AS source
+  FROM pair
+  WHERE (i3 > 0 AND CAST(i3 AS DOUBLE) / u3 >= 0.8) OR i48 > 0
+)
+"""
+
+Q22_SQL = f"""
+WITH {_DOCS_TRUTH_CTES}
+SELECT a, b, jaccard, source FROM near
+"""
+
+# Connected components over (exact-dup edges ∪ verified near-dup edges) via
+# min-label transitive reachability: walk(id, cid) holds every (node,
+# component member) pair, so MIN(cid) per node is the component minimum —
+# the same cluster id the pipeline's large-star/small-star CC assigns.
+Q20_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+exact_e AS (
+  SELECT rep AS a, id AS b FROM grp WHERE id != rep
+), edges AS (
+  SELECT a AS u, b AS v FROM near UNION SELECT b, a FROM near
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+), walk(id, cid) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS conv_id, MIN(cid) AS cluster_id FROM walk GROUP BY id
+"""
+
+# Brute-force ground truth for the SRP-LSH path: deterministic arithmetic
+# clones (mirrors embedding.planted_clones_sql exactly — same IEEE double
+# expression tree), then all pairs at cosine >= 0.95.
+Q23_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), clones AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(generate_series(1, len(v)),
+           i -> v[i] * (1.0 + 0.08 * ((((i - 1) % 7) - 3) / 3.0))) AS v
+  FROM base
+), p AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM clones)
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos
+FROM p l JOIN p r ON l.vec_id < r.vec_id
+WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.95
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -616,4 +718,7 @@ ORACLE_SQL: dict[str, str] = {
     "q15_embedding_knn": Q15_SQL,
     "q16_docs_text_profile": Q16_SQL,
     "q17_events_windowed": Q17_SQL,
+    "q20_dedup_clusters": Q20_SQL,
+    "q22_verified_pairs": Q22_SQL,
+    "q23_embedding_lsh_pairs": Q23_SQL,
 }
