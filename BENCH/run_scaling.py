@@ -103,9 +103,19 @@ def main() -> None:
 
     t_low, t_high = med(args.low, "value"), med(args.high, "value")
     tp_low, tp_high = med(args.low, "turns_per_sec"), med(args.high, "turns_per_sec")
-    speedup = t_low / t_high
     ratio = args.high / args.low
-    eff = speedup / ratio
+    # Headline estimator: median of per-rep paired ratios. The host's grant
+    # drifts minute-to-minute (identical local[4] runs measured 70s and 283s
+    # in one session), so the two runs of a rep — executed back-to-back —
+    # see far more correlated host state than runs from different reps;
+    # the cross-rep median-of-medians both under- and over-shot (paired
+    # ratios 0.18/0.66/1.04 in the same 3-rep session).
+    pair_effs = [
+        (lo["value"] / hi["value"]) / ratio
+        for lo, hi in zip(results[args.low], results[args.high])
+    ]
+    eff = statistics.median(pair_effs)
+    speedup = t_low / t_high
     turns = results[args.high][0]["turns"]
 
     summary = {
@@ -116,7 +126,8 @@ def main() -> None:
         f"median_sec_local[{args.high}]": round(t_high, 2),
         f"turns_per_sec_local[{args.low}]": tp_low,
         f"turns_per_sec_local[{args.high}]": tp_high,
-        "speedup": round(speedup, 3),
+        "speedup_of_medians": round(speedup, 3),
+        "paired_efficiencies": [round(e, 3) for e in pair_effs],
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
@@ -125,16 +136,19 @@ def main() -> None:
         "# BENCH/BASELINE.md — scaling-efficiency evidence\n\n"
         "Adaptation of the N vs 4N executor criterion (BASELINE.json:2,14) per the\n"
         "task brief: identical job + input at two parallelism levels, fresh JVM per\n"
-        f"run, medians of {args.reps} repetitions, warm-up excluded.\n\n"
+        f"run, {args.reps} repetitions, warm-up excluded. Headline = median of\n"
+        "per-rep paired ratios (each rep's two runs execute back-to-back, so they\n"
+        "see correlated host-grant state; the grant drifts 2-4x across minutes —\n"
+        "see the per-rep probe values below and BENCH/NOTES.md).\n\n"
         f"- input: `{args.sf_dir}` synthetic transcript corpus, **{turns} turns**\n"
         f"- `local[{args.low}]`: median {t_low:.2f}s ({tp_low:.0f} turns/s)\n"
         f"- `local[{args.high}]`: median {t_high:.2f}s ({tp_high:.0f} turns/s)\n"
-        f"- speedup {args.low}→{args.high} cores: **{speedup:.2f}×** over a {ratio:.0f}× "
-        f"core ratio → **scaling efficiency {eff:.3f}** "
-        f"({'meets' if eff >= 0.8 else 'BELOW'} the ≥0.8 target)\n\n"
+        f"- per-rep paired efficiencies: {', '.join(f'{e:.3f}' for e in pair_effs)}\n"
+        f"- **scaling efficiency {eff:.3f}** (median of paired ratios over a "
+        f"{ratio:.0f}× core ratio; {'meets' if eff >= 0.8 else 'BELOW'} the ≥0.8 target)\n\n"
         f"Raw per-rep results:\n\n```json\n"
         + "\n".join(
-            json.dumps({"cpus": c, **{k: r[k] for k in ('value', 'turns_per_sec', 'effective_cores_probe')}})
+            json.dumps({"cpus": c, **{k: r[k] for k in ('value', 'turns_per_sec', 'pipeline_cpu_sec', 'effective_cores_probe') if k in r}})
             for c in (args.low, args.high)
             for r in results[c]
         )

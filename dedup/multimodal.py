@@ -2,12 +2,14 @@
 `binary` columns with typed metadata, processed via Arrow-batched
 mapInPandas.
 
-The decode/feature-extraction kernels are STUBS in this environment (no
-image/audio libraries in the container): `decode_image` raises
-NotImplementedError unless a deterministic fake decoder is requested. The
-Spark-side plumbing — schema, partitioning, UDF signatures, batch shapes —
-is real and tested (tests/test_multimodal.py): swapping in a real decoder is
-a one-function change that does not touch the distributed plan.
+`decode_image` really decodes the self-describing uncompressed formats a
+pure-numpy parser can own (PPM P6, 24-bit BMP — public formats, tiny
+headers); compressed formats (JPEG/PNG/...) need an image library that this
+container lacks, so they raise NotImplementedError, and a deterministic
+fake decoder remains available for synthetic fixtures. The Spark-side
+plumbing — schema, partitioning, UDF signatures, batch shapes — is real and
+tested (tests/test_multimodal.py): swapping in a full decoder is a
+one-function change that does not touch the distributed plan.
 """
 
 from __future__ import annotations
@@ -39,20 +41,77 @@ _FEATURES_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an encoded image payload to an HxWx3 array.
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6), maxval <= 255: ASCII header (with # comments), one
+    whitespace byte, then raw RGB rows."""
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(b[start:pos])
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pos += 1  # exactly one whitespace byte separates header and raster
+    return np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
 
-    Real decoding needs an image library (PIL/cv2 — absent here). With
-    ``fake=True`` a deterministic pseudo-decode derives pixels from the
-    payload hash so the downstream plumbing is testable end-to-end.
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up or top-down)."""
+    if len(b) < 54:
+        raise ValueError("truncated BMP")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp}, comp={comp})")
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(b, np.uint8, count=stride * abs(h), offset=off).reshape(
+        abs(h), stride
+    )[:, : w * 3]
+    img = rows.reshape(abs(h), w, 3)[..., ::-1]  # BGR -> RGB
+    return img[::-1] if h > 0 else img  # positive height = bottom-up
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an encoded image payload to an HxWx3 uint8 array.
+
+    Real decode paths: PPM P6 and uncompressed 24-bit BMP (self-describing
+    public formats, parsed in pure numpy). Compressed formats need PIL/cv2
+    (absent in this container) and raise NotImplementedError. ``fake=True``
+    derives deterministic pixels from the payload hash for synthetic
+    fixtures whose payloads are not real images.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/cv2; not available in this container"
-        )
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    if fake:
+        seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    b = payload or b""
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    raise NotImplementedError(
+        "compressed image formats require PIL/cv2 (unavailable in this "
+        "container); supported here: PPM P6, 24-bit BMP"
+    )
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Inverse of _decode_ppm for fixtures/round-trip tests."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
 
 
 def extract_feature(pixels: np.ndarray) -> np.ndarray:

@@ -40,8 +40,9 @@ def run_pipeline(
     run_dir: str,
     run_id: str = "run",
     fail_after: str | None = None,  # test hook: die after this stage (resume test)
+    mode: str = "parquet",  # "persist": bench/CI fast path (no resume)
 ) -> dict[str, DataFrame]:
-    state = RunState(spark, run_dir, run_id, config)
+    state = RunState(spark, run_dir, run_id, config, mode=mode)
 
     def check_fail(stage: str) -> None:
         if fail_after == stage:
@@ -130,12 +131,11 @@ def run_pipeline(
             .unionByName(suffix_pairs)
             .dropDuplicates(["a", "b"])
         )
-        from pyspark import StorageLevel
-
         vj = (
             verify_jaccard(all_cand, features, config)
             .select("a", "b", "jaccard", F.lit("jaccard").alias("source"))
-            .persist(StorageLevel.MEMORY_AND_DISK)  # used twice below
+            .localCheckpoint(eager=False)  # used twice below; cheaper than
+            # persist() (no InMemoryRelation canonicalization overhead)
         )
         sub_rest = suffix_pairs.join(vj.select("a", "b"), ["a", "b"], "left_anti")
         vs = verify_substring(

@@ -30,6 +30,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--run-dir", required=True)
     p.add_argument("--run-id", default=None, help="default: derived from config+input")
     p.add_argument("--resume", action="store_true", help="reuse completed stages")
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="localCheckpoint stages instead of writing them (≈2x faster; "
+        "forfeits resume + lineage — for one-shot/CI runs)",
+    )
     p.add_argument("--k-shingle", type=int, default=3)
     p.add_argument("--num-perm", type=int, default=128)
     p.add_argument("--bands", type=int, default=32)
@@ -62,9 +68,13 @@ def main(argv: list[str] | None = None) -> int:
         kw["shuffle_partitions"] = args.shuffle_partitions
     config = DedupConfig(**kw)
 
+    if args.fast and args.resume:
+        print("error: --fast forfeits stage state; it cannot be combined with --resume", file=sys.stderr)
+        return 2
+
     spark = build_session(app_name="run_dedup", config=config)
     run_id = args.run_id or f"r_{config.fingerprint[:8]}"
-    if not args.resume:
+    if not args.resume and not args.fast:
         # refuse accidental overwrite of a previous run's state
         import os
 
@@ -87,7 +97,14 @@ def main(argv: list[str] | None = None) -> int:
     turns = read_transcripts(spark, args.input, snapshot_id=snapshot_id)
 
     t0 = time.monotonic()
-    out = run_pipeline(spark, turns, config, args.run_dir, run_id)
+    out = run_pipeline(
+        spark,
+        turns,
+        config,
+        args.run_dir,
+        run_id,
+        mode="persist" if args.fast else "parquet",
+    )
     wall = time.monotonic() - t0
     summary = cluster_summary(out["clusters"]).head().asDict()
     print(

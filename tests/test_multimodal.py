@@ -1,5 +1,6 @@
 """Multimodal plumbing tests: binary payload schema, mapInPandas decode
-pipeline (deterministic fake decoder), exact media dedup."""
+pipeline (real PPM/BMP decode + deterministic fake decoder), exact media
+dedup."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ from dedup.multimodal import (
     MEDIA_SCHEMA,
     FEATURE_DIM,
     decode_image,
+    encode_ppm,
     exact_media_dedup,
     extract_feature,
     featurize_media,
@@ -17,9 +19,42 @@ from dedup.multimodal import (
 )
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x01")
+        decode_image(b"\x89PNG\r\n\x1a\n...")  # compressed formats need PIL
+
+
+def test_decode_ppm_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    # header comments are skipped
+    with_comment = b"P6\n# a comment\n9 5\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(with_comment), img)
+
+
+def test_decode_bmp_24bit_bottom_up():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h = 3, 2
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = b""
+    for row in img[::-1]:  # bottom-up
+        raster += row[:, ::-1].tobytes() + b"\x00" * (stride - w * 3)  # BGR
+    header = (
+        b"BM"
+        + (54 + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    assert np.array_equal(decode_image(header + raster), img)
 
 
 def test_fake_decode_deterministic():
@@ -49,3 +84,24 @@ def test_media_pipeline_and_exact_dedup(spark):
     # identical payloads -> identical features (determinism across workers)
     by_id = {r["media_id"]: list(r["feature"]) for r in rows}
     assert by_id["m000010"] == by_id["m000005"]
+
+
+def test_media_pipeline_real_ppm_payloads(spark):
+    """End-to-end with REAL encoded payloads (no fake decoder): distinct
+    images get distinct hashes/features; an exact duplicate payload
+    collapses."""
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (6, 6, 3), dtype=np.uint8) for _ in range(4)]
+    imgs.append(imgs[0])  # planted exact dup
+    rows = [
+        (f"p{i}", "image", encode_ppm(img), "image/x-portable-pixmap", 6, 6, None)
+        for i, img in enumerate(imgs)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = featurize_media(media, partitions=2, fake_decode=False)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 5 and all(len(r["feature"]) == FEATURE_DIM for r in got.values())
+    assert got["p0"]["sha256"] == got["p4"]["sha256"]
+    assert got["p0"]["sha256"] != got["p1"]["sha256"]
+    dedup = {r["media_id"]: r["media_rep"] for r in exact_media_dedup(feats).collect()}
+    assert dedup["p4"] == dedup["p0"] and dedup["p1"] != dedup["p0"]
