@@ -54,6 +54,10 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_HEADLINE_ONLY="1",
+        # identical job at both levels: partitions sized for the high level
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "16"
+        ),
         # scaling evidence needs a compute-dominated run: per-stage fixed
         # overhead (~20s of job scheduling + materialization) must be small
         # against parallel work, or N-vs-4N measures overhead, not scaling

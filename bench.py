@@ -88,7 +88,15 @@ def main() -> None:
     # resumable parquet-checkpoint cadence instead
     mode = "parquet" if os.environ.get("SPARK_GRAFT_MATERIALIZE") else "persist"
 
-    cfg = DedupConfig(shuffle_partitions=max(cpus, 8))
+    # 4 partitions per task slot: with partitions == slots, one skewed
+    # band-key partition stalls a whole wave (measured: candidate gen +
+    # verify scaled only ~2.3x from 1->4 threads at 8 partitions while the
+    # balanced stages hit ~3.7x); smaller tasks let the scheduler re-balance.
+    # Scaling runs pin this via env so both levels run the IDENTICAL job.
+    shuffle_parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(4 * threads, 8))
+    )
+    cfg = DedupConfig(shuffle_partitions=shuffle_parts)
     spark = build_session(
         app_name="dedup-bench",
         master=f"local[{threads}]",

@@ -85,7 +85,13 @@ def _local_union_find(pairs: DataFrame) -> DataFrame:
     assignment = [(x, find(x)) for x in parent]
     roots = {r for _, r in assignment}
     rows = assignment + [(r, r) for r in roots]
-    return spark.createDataFrame(rows, "conv_id string, cluster_id string")
+    # Arrow path: a pandas frame ships to the JVM as one Arrow batch;
+    # createDataFrame over a list of Python tuples serializes row-by-row
+    # (measured slower than the whole CC computation at ~200k assignments)
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["conv_id", "cluster_id"])
+    return spark.createDataFrame(pdf)
 
 
 def connected_components(

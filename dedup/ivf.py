@@ -1,0 +1,192 @@
+"""IVF (inverted-file) coarse quantizer for weak-similarity ANN search.
+
+Completes the similarity-search story next to the SRP-LSH path
+(embedding.srp_pairs_from_df): hyperplane LSH only recalls near-duplicate
+vectors (cos ≳ 0.9 — documented there), while IVF recalls *weakly* similar
+neighbors (cos ≪ 0.9) by restricting brute force to the `nprobe` nearest
+Voronoi cells of each query.
+
+Design for 100 TB:
+  - centroids are trained driver-side on a bounded sample (spherical
+    k-means in numpy — k·dim·iters flops, independent of corpus size) and
+    broadcast to executors inside the assignment UDF closure;
+  - cell assignment is one Arrow-batched matrix multiply per batch
+    (batch × dim @ dim × k), no per-row Python;
+  - search is an equi-join on cell_id: each query meets only the vectors
+    of its nprobe cells — never an all-pairs crossJoin. Cell population
+    is ~n/k, so per-task work is bounded by partitioning on cell_id; a hot
+    cell degrades to the same skew handling as every other bucket join.
+
+Exact cosine (same sequential-double expression as embedding.dot_expr)
+re-ranks candidates, so IVF trades recall only through cell pruning —
+never precision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .embedding import dot_expr
+
+
+def train_centroids(
+    vectors: np.ndarray, k: int, n_iter: int = 10, seed: int = 42, n_init: int = 4
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample -> (k, dim) unit centroids.
+
+    k-means++-style seeding (squared-distance-proportional, the D² rule)
+    then Lloyd iterations with cosine similarity; empty cells are reseeded
+    from the worst-assigned point. `n_init` independent restarts, keeping
+    the solution with the highest mean max-similarity — a single run can
+    merge two true clusters into one basin (observed: 6/8 bundles recovered
+    at cos > 0.99, two sharing a centroid at 0.79).
+    """
+    x = np.asarray(vectors, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(norms, 1e-12)
+    n = len(x)
+    k = min(k, n)
+
+    def one_run(run_seed: int) -> tuple[float, np.ndarray]:
+        rng = np.random.default_rng([seed, 0x1BF, run_seed])
+        centroids = [x[rng.integers(n)]]
+        for _ in range(k - 1):
+            sims = np.max(np.stack([x @ c for c in centroids]), axis=0)
+            w = np.maximum(1.0 - sims, 1e-9) ** 2  # D² seeding
+            centroids.append(x[rng.choice(n, p=w / w.sum())])
+        c = np.stack(centroids)
+        for _ in range(n_iter):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(k):
+                members = x[assign == j]
+                if len(members) == 0:
+                    worst = np.argmin(np.max(x @ c.T, axis=1))
+                    c[j] = x[worst]
+                    continue
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+        objective = float(np.mean(np.max(x @ c.T, axis=1)))
+        return objective, c
+
+    return max((one_run(r) for r in range(n_init)), key=lambda t: t[0])[1]
+
+
+def sample_vectors(e: DataFrame, max_sample: int = 65536, seed: int = 42) -> np.ndarray:
+    """Bounded driver-side training sample (the only collect in IVF),
+    sorted by vec_id so seeding is independent of partition layout."""
+    n = e.count()
+    frac = min(1.0, max_sample / max(n, 1))
+    rows = e.select("vec_id", "embedding").sample(fraction=frac, seed=seed).collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def make_assign_udf(centroids: np.ndarray, nprobe: int):
+    """embedding -> array of the nprobe nearest cell ids (Arrow-batched
+    matrix multiply; centroids ride the closure as a broadcast)."""
+    c = centroids.astype(np.float64).T  # (dim, k)
+    np_probe = min(nprobe, c.shape[1])
+
+    @F.pandas_udf("array<int>")
+    def assign_cells(embs: pd.Series) -> pd.Series:
+        m = np.vstack(embs.to_numpy()).astype(np.float64)  # (batch, dim)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c  # (batch, k)
+        top = np.argpartition(-sims, np_probe - 1, axis=1)[:, :np_probe]
+        # order the probes best-first (argpartition is unordered)
+        order = np.take_along_axis(sims, top, axis=1).argsort(axis=1)[:, ::-1]
+        top = np.take_along_axis(top, order, axis=1).astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign_cells
+
+
+def ivf_knn(
+    e: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 10,
+    seed: int = 42,
+    max_sample: int = 65536,
+) -> DataFrame:
+    """Approximate cosine top-k neighbors per vector via IVF probing.
+
+    e: (vec_id, embedding, nrm). Output: (q, n, cos, rnk) — same shape as
+    the brute-force knn_topk oracle, so recall@k is directly measurable.
+
+    Plan shape: one Arrow pass to assign cells, one explode per side
+    (queries carry nprobe cells, index vectors their home cell), one
+    equi-join on cell_id hash-partitioned by cell, exact-cosine re-rank.
+    """
+    cents = train_centroids(sample_vectors(e, max_sample, seed), n_cells, n_iter, seed)
+    assign = make_assign_udf(cents, nprobe)
+    assigned = e.select(
+        "vec_id", "embedding", "nrm", assign("embedding").alias("cells")
+    ).localCheckpoint(eager=False)  # assign once; reused for both join sides
+
+    # index side: every vector lives in its single best cell
+    index = assigned.select(
+        F.col("vec_id").alias("n"),
+        F.col("embedding").alias("vn"),
+        F.col("nrm").alias("nn"),
+        F.element_at("cells", 1).alias("cell_id"),
+    )
+    # query side: probe the nprobe nearest cells
+    queries = assigned.select(
+        F.col("vec_id").alias("q"),
+        F.col("embedding").alias("vq"),
+        F.col("nrm").alias("nq"),
+        F.explode("cells").alias("cell_id"),
+    )
+    cos = F.round(dot_expr("vq", "vn") / (F.col("nq") * F.col("nn")), 6).alias("cos")
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    return (
+        queries.join(index, "cell_id")
+        .filter(F.col("q") != F.col("n"))
+        .select("q", "n", cos)
+        .dropDuplicates(["q", "n"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_pairs(
+    e: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    n_iter: int = 10,
+    seed: int = 42,
+    max_sample: int = 65536,
+) -> DataFrame:
+    """Similarity pairs (a < b, cos >= threshold) via shared-probe-cell
+    blocking + exact verify — the IVF counterpart of srp_pairs_from_df for
+    thresholds too low for hyperplane LSH."""
+    cents = train_centroids(sample_vectors(e, max_sample, seed), n_cells, n_iter, seed)
+    assign = make_assign_udf(cents, nprobe)
+    assigned = e.select(
+        F.col("vec_id"), "embedding", "nrm", F.explode(assign("embedding")).alias("cell_id")
+    )
+    l = assigned.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    r = assigned.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos")
+    return (
+        l.join(r, "cell_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cos)
+        .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["a", "b"])
+    )

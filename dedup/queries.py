@@ -676,6 +676,42 @@ WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.95
 """
 
 
+def q24_embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the weak-similarity scale path the SRP-LSH
+    q23 cannot serve), oracle-checked: top-1 cosine neighbor per vector of
+    the planted base∪clone table via nprobe=4 cell probing must exactly
+    match DuckDB's brute-force rank-1 answer (cos >= 0.9)."""
+    from .embedding import planted_clones_sql
+    from .ivf import ivf_knn
+
+    e = planted_clones_sql(spark, sf_dir)
+    return ivf_knn(e, k=1, n_cells=16, nprobe=4).filter(F.col("cos") >= 0.9)
+
+
+Q24_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), clones AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(generate_series(1, len(v)),
+           i -> v[i] * (1.0 + 0.08 * ((((i - 1) % 7) - 3) / 3.0))) AS v
+  FROM base
+), p AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM clones)
+), nn AS (
+  SELECT l.vec_id AS q, r.vec_id AS n,
+         ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY l.vec_id
+           ORDER BY ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) DESC,
+                    r.vec_id ASC) AS INTEGER) AS rnk
+  FROM p l JOIN p r ON l.vec_id != r.vec_id
+)
+SELECT q, n, cos, rnk FROM nn WHERE rnk = 1 AND cos >= 0.9
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -698,6 +734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_minhash_lsh_pairs": q21_minhash_lsh_pairs,
     "q22_verified_pairs": q22_verified_pairs,
     "q23_embedding_lsh_pairs": q23_embedding_lsh_pairs,
+    "q24_embedding_ivf_knn": q24_embedding_ivf_knn,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -721,4 +758,5 @@ ORACLE_SQL: dict[str, str] = {
     "q20_dedup_clusters": Q20_SQL,
     "q22_verified_pairs": Q22_SQL,
     "q23_embedding_lsh_pairs": Q23_SQL,
+    "q24_embedding_ivf_knn": Q24_SQL,
 }
