@@ -712,6 +712,66 @@ SELECT q, n, cos, rnk FROM nn WHERE rnk = 1 AND cos >= 0.9
 """
 
 
+_FILLER = [f"zq{i}fill" for i in range(10)]  # tokens absent from the corpus
+
+
+def q25_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix/substring dedup path oracle-checked in isolation: every doc
+    with >= 60 tokens gets a planted partial copy (its first 60 tokens +
+    10 filler tokens, id + 10^4), then winnowed suffix candidate generation
+    + exact shared-run verification must return exactly the pairs DuckDB
+    finds by brute-force 48-token-window intersection. Exercises the
+    winnowing detection guarantee (run 60 >= window+winnow-1 = 47) with a
+    run the 3-gram Jaccard path would NOT flag on long docs."""
+    from .config import DedupConfig
+    from .suffix import make_suffix_udf, suffix_candidates
+    from .verify import verify_substring
+
+    cfg = DedupConfig()
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        normalize_sql(F.col("text")).alias("norm_text"),
+    )
+    toks = F.split("norm_text", " ")
+    planted = docs.filter(F.size(toks) >= 60).select(
+        (F.col("conv_id").cast("long") + 10_000).cast("string").alias("conv_id"),
+        F.concat_ws(
+            " ", F.concat_ws(" ", F.slice(toks, 1, 60)), F.lit(" ".join(_FILLER))
+        ).alias("norm_text"),
+    )
+    all_docs = docs.unionByName(planted)
+    fps = all_docs.select(
+        "conv_id", make_suffix_udf(cfg)("norm_text").alias("suffix_fps")
+    )
+    cands = suffix_candidates(fps, cfg)
+    return verify_substring(cands, all_docs, cfg).select("a", "b")
+
+
+Q25_SQL = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         string_split({_NORM}, ' ') AS toks
+  FROM documents
+), planted AS (
+  SELECT CAST(doc_id + 10000 AS VARCHAR) AS id,
+         list_concat(toks[1:60], {_FILLER!r}) AS toks
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 60
+), all_t AS (
+  SELECT id, toks FROM d UNION ALL SELECT id, toks FROM planted
+), sh AS (
+  SELECT id,
+    CASE WHEN len(toks) < 48 THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 47),
+             i -> array_to_string(toks[i:i+47], ' '))) END AS s48
+  FROM all_t
+)
+SELECT l.id AS a, r.id AS b
+FROM sh l JOIN sh r ON l.id < r.id
+WHERE len(list_intersect(l.s48, r.s48)) > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -735,6 +795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_verified_pairs": q22_verified_pairs,
     "q23_embedding_lsh_pairs": q23_embedding_lsh_pairs,
     "q24_embedding_ivf_knn": q24_embedding_ivf_knn,
+    "q25_substring_pairs": q25_substring_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -759,4 +820,5 @@ ORACLE_SQL: dict[str, str] = {
     "q22_verified_pairs": Q22_SQL,
     "q23_embedding_lsh_pairs": Q23_SQL,
     "q24_embedding_ivf_knn": Q24_SQL,
+    "q25_substring_pairs": Q25_SQL,
 }
