@@ -79,9 +79,18 @@ def main() -> None:
     # typically ~6-20 (BENCH/NOTES.md), and 32 task threads + 32 Python
     # workers on a ~10-core grant measure scheduler thrash, not the engine.
     # Clamp wide configs to the measured grant (never below 8; explicit
-    # small cpu counts — the scaling runs — are untouched).
+    # small cpu counts — the scaling runs — are untouched). Opt out with
+    # SPARK_GRAFT_NO_CLAMP=1; the JSON records threads/effective_cores_probe
+    # either way so runs keyed by SPARK_GRAFT_CPUS stay comparable.
+    no_clamp = bool(os.environ.get("SPARK_GRAFT_NO_CLAMP"))
     probe = _probe_effective_cores() if cpus > 8 else float(cpus)
-    threads = cpus if cpus <= 8 else min(cpus, max(8, int(probe)))
+    threads = cpus if (cpus <= 8 or no_clamp) else min(cpus, max(8, int(probe)))
+    if threads != cpus:
+        print(
+            f"[bench] clamping local[{cpus}] -> local[{threads}] "
+            f"(host grant probe {probe} cores; SPARK_GRAFT_NO_CLAMP=1 to disable)",
+            file=sys.stderr,
+        )
 
     # stage materialization: "persist" = cache+count fast path (the graded
     # throughput number); set SPARK_GRAFT_MATERIALIZE=1 to bench the
@@ -206,6 +215,22 @@ def main() -> None:
         )
         return
 
+    # record the OTHER materialize cadence too (VERDICT r2 #9): the graded
+    # persist-mode number and the production resumable parquet-checkpoint
+    # number both land in one JSON artifact (skipped under HEADLINE_ONLY so
+    # scaling reps stay single-mode)
+    if not os.environ.get("SPARK_GRAFT_SKIP_ALT_MODE"):
+        alt_mode = "persist" if mode == "parquet" else "parquet"
+        run_dir = tempfile.mkdtemp(prefix="dedup_bench_alt_", dir=state_dir)
+        t0 = time.monotonic()
+        alt = run_pipeline(spark, turns, cfg, run_dir, "bench_alt", mode=alt_mode)
+        alt["clusters"].select("cluster_id").distinct().count()
+        alt_wall = time.monotonic() - t0
+        shutil.rmtree(run_dir, ignore_errors=True)
+        alt["state"].release()
+        queries[f"dedup_pipeline_transcripts_{alt_mode}"] = round(alt_wall, 3)
+        extras[f"turns_per_sec_{alt_mode}"] = round(n_turns / alt_wall, 1)
+
     # --- dedup pipeline over the driver documents table ---
     run_dir = tempfile.mkdtemp(prefix="dedup_bench_docs_")
     t0 = time.monotonic()
@@ -218,6 +243,11 @@ def main() -> None:
     out["state"].release()
 
     # --- representative relational/operator queries ---
+    # median of 3 runs each: single runs on this time-shared host swing
+    # 2-3x with the grant (r2 showed phantom 1.3-3x "regressions" from
+    # unrepeated timings — VERDICT r2 what's-wrong #1)
+    import statistics
+
     for name in (
         "q01_pricing_summary",
         "q03_region_revenue",
@@ -226,9 +256,12 @@ def main() -> None:
         "q10_events_user_stream",
         "q12_docs_token_jaccard_pairs",
     ):
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.monotonic() - t0)
+        queries[name] = round(statistics.median(reps), 3)
 
     spark.stop()
     print(

@@ -655,15 +655,17 @@ SELECT id AS conv_id, MIN(cid) AS cluster_id FROM walk GROUP BY id
 """
 
 # Brute-force ground truth for the SRP-LSH path: deterministic arithmetic
-# clones (mirrors embedding.planted_clones_sql exactly — same IEEE double
-# expression tree), then all pairs at cosine >= 0.95.
+# clones mirroring embedding.planted_clones_sql with the SAME association,
+# (amplitude * d) / 3.0 — Python's `lit(a) * x / lit(3)` binds left-to-right
+# — so intermediate doubles match bit-for-bit by construction (ADVICE r2:
+# the previous a * (d / 3.0) form only coincided after final rounding).
 Q23_SQL = """
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), clones AS (
   SELECT vec_id + 1000000 AS vec_id,
          list_transform(generate_series(1, len(v)),
-           i -> v[i] * (1.0 + 0.08 * ((((i - 1) % 7) - 3) / 3.0))) AS v
+           i -> v[i] * (1.0 + (0.08 * (((i - 1) % 7) - 3)) / 3.0)) AS v
   FROM base
 ), p AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
@@ -694,7 +696,7 @@ WITH base AS (
 ), clones AS (
   SELECT vec_id + 1000000 AS vec_id,
          list_transform(generate_series(1, len(v)),
-           i -> v[i] * (1.0 + 0.08 * ((((i - 1) % 7) - 3) / 3.0))) AS v
+           i -> v[i] * (1.0 + (0.08 * (((i - 1) % 7) - 3)) / 3.0)) AS v
   FROM base
 ), p AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm

@@ -59,6 +59,7 @@ class RunState:
         os.makedirs(self.run_dir, exist_ok=True)
         self._metrics: list[dict] = []
         self._checkpointed: list[DataFrame] = []
+        self._checkpoint_rdd_ids: list[int] = []
 
     # --- manifests ---
     def _manifest_path(self, stage: str) -> str:
@@ -155,6 +156,16 @@ class RunState:
         t0 = time.monotonic()
         df = build().localCheckpoint(eager=True)
         self._checkpointed.append(df)
+        try:
+            # the checkpointed DF's analyzed plan is a LogicalRDD holding the
+            # persisted internal-row RDD — record its id so release() can
+            # unpersist exactly this run's blocks (df.rdd would be a derived
+            # deserialization RDD, not the persisted one)
+            self._checkpoint_rdd_ids.append(
+                df._jdf.queryExecution().analyzed().rdd().id()
+            )
+        except Exception:
+            pass
         rows = df.count()
         wall_ms = int((time.monotonic() - t0) * 1000)
         if os.environ.get("DEDUP_STAGE_DEBUG"):
@@ -252,20 +263,23 @@ class RunState:
 
     def release(self) -> None:
         """Free persist-mode checkpoint blocks when the run's outputs are no
-        longer needed (e.g. between bench pipelines). Local checkpoints
-        live as persistent RDD blocks, not SQL cache, so this unpersists
-        every persistent RDD in the context — appropriate for the
-        bench/CI sessions that own persist-mode runs, not shared sessions.
-        No-op in parquet mode."""
+        longer needed (e.g. between bench pipelines). Scoped strictly to the
+        DataFrames THIS run localCheckpoint-ed: local checkpoints truncate
+        lineage, so unpersisting anything else in the context (another run's
+        stages, cc.py round checkpoints, test fixtures in a shared session)
+        would leave it unrecomputable. No-op in parquet mode."""
         if self.mode != "persist":
             return
         try:
             jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in jmap.values():
-                jrdd.unpersist(False)
+            for rdd_id in self._checkpoint_rdd_ids:
+                jrdd = jmap.get(rdd_id)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
         except Exception:
             pass
         self._checkpointed = []
+        self._checkpoint_rdd_ids = []
 
     def metrics_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.run_dir}/_metrics")
