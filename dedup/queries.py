@@ -714,6 +714,83 @@ SELECT q, n, cos, rnk FROM nn WHERE rnk = 1 AND cos >= 0.9
 """
 
 
+def q26_candidate_recall_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked candidate-generation recall invariant (closes the q21
+    rows-only gap, VERDICT r2 #4): Spark brute-forces the ground-truth
+    near-dup pair set — exact 3-gram shingle Jaccard >= 0.8 OR a shared
+    48-token window among exact-dup representatives, the identical truth the
+    q20/q22 oracles use — then LEFT ANTI joins the union of
+    MinHash-LSH/SimHash/suffix candidates. The DuckDB oracle is the empty
+    relation of the same schema: any surviving row is a truth pair the
+    probabilistic candidate stage missed, so a green 0-row hash match is a
+    real recall proof, while q21 itself stays rows-only by design (its FP
+    set is hash-dependent)."""
+    out = _docs_pipeline(spark, sf_dir)
+    cands = (
+        out["cand_minhash"].select("a", "b")
+        .unionByName(out["cand_simhash"].select("a", "b"))
+        .unionByName(out["cand_suffix"].select("a", "b"))
+        .dropDuplicates(["a", "b"])
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        normalize_sql(F.col("text")).alias("n"),
+    )
+    w = Window.partitionBy("n")
+    reps = (
+        docs.withColumn("rep", F.min("id").over(w))
+        .filter(F.col("id") == F.col("rep"))
+        .select(
+            "id",
+            F.when(F.col("n") == "", F.array().cast("array<string>"))
+            .otherwise(F.split("n", " "))
+            .alias("toks"),
+        )
+    )
+    nt = F.size("toks")
+    empty = F.array().cast("array<string>")
+    s3 = (
+        F.when(nt == 0, empty)
+        .when(
+            nt < 3, F.array(F.concat_ws(" ", F.col("toks")))
+        )
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nt - 2),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+                )
+            )
+        )
+    )
+    s48 = F.when(nt < 48, empty).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nt - 47),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 48)),
+            )
+        )
+    )
+    sh = reps.select("id", s3.alias("s3"), s48.alias("s48"))
+    l, r = sh.alias("l"), sh.alias("r")
+    i3 = F.size(F.array_intersect(F.col("l.s3"), F.col("r.s3")))
+    u3 = F.size(F.col("l.s3")) + F.size(F.col("r.s3")) - i3
+    i48 = F.size(F.array_intersect(F.col("l.s48"), F.col("r.s48")))
+    truth = (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .filter(((i3 > 0) & (i3 / u3 >= 0.8)) | (i48 > 0))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    return truth.join(cands, ["a", "b"], "left_anti")
+
+
+# the invariant's oracle IS the empty relation: candidate generation must
+# miss zero ground-truth pairs
+Q26_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b WHERE FALSE
+"""
+
+
 _FILLER = [f"zq{i}fill" for i in range(10)]  # tokens absent from the corpus
 
 
@@ -798,6 +875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_embedding_lsh_pairs": q23_embedding_lsh_pairs,
     "q24_embedding_ivf_knn": q24_embedding_ivf_knn,
     "q25_substring_pairs": q25_substring_pairs,
+    "q26_candidate_recall_misses": q26_candidate_recall_misses,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -823,4 +901,5 @@ ORACLE_SQL: dict[str, str] = {
     "q23_embedding_lsh_pairs": Q23_SQL,
     "q24_embedding_ivf_knn": Q24_SQL,
     "q25_substring_pairs": Q25_SQL,
+    "q26_candidate_recall_misses": Q26_SQL,
 }
