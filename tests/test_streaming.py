@@ -11,7 +11,23 @@ from pyspark.sql import functions as F
 from dedup.config import DedupConfig
 from dedup.fixtures import gen_transcripts
 from dedup.pipeline import run_pipeline
-from dedup.streaming import current_clusters, current_state, stream_dedup
+from dedup.streaming import (
+    compact_reopen,
+    current_clusters,
+    current_quarantine,
+    current_state,
+    stream_dedup,
+)
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def _clusters_canonical(df):
@@ -54,6 +70,114 @@ def test_stream_matches_one_shot_pipeline(spark):
         spark, full, cfg, tempfile.mkdtemp(prefix="stream_ref_"), "oneshot"
     )["clusters"]
     assert _clusters_canonical(streamed) == _clusters_canonical(ref)
+
+
+def test_stream_promotion_is_delta_sized(spark):
+    """Bytes written per micro-batch must scale with the batch, not the
+    corpus (VERDICT r2 #2: the old promotion rewrote docs/features/
+    exact_groups in full per batch)."""
+    cfg = DedupConfig(shuffle_partitions=8)
+    big = gen_transcripts(spark, 200, seed=31, partitions=4, edge_rows=False).localCheckpoint()
+    small = gen_transcripts(spark, 1000, seed=32, partitions=2, edge_rows=False).filter(
+        F.col("conv_id") >= "c00000980"  # 20 convs, ids disjoint from seed-31 text
+    ).localCheckpoint()
+
+    tmp = tempfile.mkdtemp(prefix="stream_in3_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state3_")
+    big.repartition(1, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    m0 = current_state(stream_dir)
+    base_parts = {s: [tuple(p) for p in m0["parts"][s]] for s in m0["parts"]}
+    base_bytes = sum(
+        _dir_bytes(d) for s in base_parts for d, _ in base_parts[s]
+    )
+
+    small.repartition(1, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    m1 = current_state(stream_dir)
+    delta_bytes = sum(
+        _dir_bytes(d)
+        for s in m1["parts"]
+        for d, _ in ((tuple(p) for p in m1["parts"][s]))
+        if (d, _) not in base_parts[s]
+    )
+    # 20 new convs over a 200-conv corpus: the promoted delta must be a
+    # small fraction of the bootstrap state (the old O(corpus) promotion
+    # rewrote >= 100% of it every batch)
+    assert delta_bytes < 0.5 * base_bytes, (delta_bytes, base_bytes)
+    # and the merged state is still complete
+    assert current_clusters(spark, stream_dir).count() == 220
+
+
+def test_stream_ambiguous_conversations_match_batch(spark):
+    """ADVICE r2: ambiguous-turn-order conversations must be quarantined
+    identically whether they arrive in the bootstrap batch or a later one,
+    and the streamed cluster structure must equal the one-shot batch run."""
+    cfg = DedupConfig(shuffle_partitions=8)
+    full = gen_transcripts(spark, 160, seed=13, partitions=4, edge_rows=False).localCheckpoint()
+    # plant duplicate (conv_id, turn_idx) rows in one conv per half
+    amb_a, amb_b = "c00000002", "c00000003"  # crc parity puts them in opposite halves?
+    half_a = full.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+    half_b = full.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+    amb_a = half_a.select("conv_id").distinct().orderBy("conv_id").head()["conv_id"]
+    amb_b = half_b.select("conv_id").distinct().orderBy("conv_id").head()["conv_id"]
+    dup_rows = full.filter(
+        (F.col("conv_id").isin([amb_a, amb_b])) & (F.col("turn_idx") == 0)
+    ).withColumn("text", F.lit("CONFLICTING ORDER"))
+    half_a = half_a.unionByName(dup_rows.filter(F.col("conv_id") == amb_a))
+    half_b = half_b.unionByName(dup_rows.filter(F.col("conv_id") == amb_b))
+
+    tmp = tempfile.mkdtemp(prefix="stream_in4_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state4_")
+    half_a.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    half_b.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+
+    streamed = current_clusters(spark, stream_dir)
+    streamed_ids = {r["conv_id"] for r in streamed.select("conv_id").collect()}
+    assert amb_a not in streamed_ids and amb_b not in streamed_ids
+    q = current_quarantine(spark, stream_dir)
+    q_ids = {r["conv_id"] for r in q.filter(F.col("reason") == "ambiguous_turn_order").collect()}
+    assert {amb_a, amb_b} <= q_ids
+
+    ref = run_pipeline(
+        spark,
+        half_a.unionByName(half_b),
+        cfg,
+        tempfile.mkdtemp(prefix="stream_ref4_"),
+        "oneshot",
+    )["clusters"]
+    assert _clusters_canonical(streamed) == _clusters_canonical(ref)
+
+
+def test_compact_reopen_straddling_conversation(spark):
+    """A conversation whose turns straddle two drains is clustered on its
+    first-seen prefix (the documented skip semantics); compact_reopen must
+    restore exact equivalence with the one-shot batch run over the full
+    input, touching only the affected clusters."""
+    cfg = DedupConfig(shuffle_partitions=8)
+    full = gen_transcripts(spark, 160, seed=17, partitions=4, edge_rows=False).localCheckpoint()
+    straddle = F.crc32(F.col("conv_id")) % 5 == 0
+    file_a = full.filter(~straddle | (F.col("turn_idx") < 2))
+    file_b = full.filter(straddle & (F.col("turn_idx") >= 2))
+    assert file_b.count() > 0
+
+    tmp = tempfile.mkdtemp(prefix="stream_in5_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state5_")
+    file_a.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    file_b.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)  # late turns skipped (seen conv)
+
+    n = compact_reopen(spark, tmp, stream_dir, cfg)
+    assert n > 0
+    ref = run_pipeline(
+        spark, full, cfg, tempfile.mkdtemp(prefix="stream_ref5_"), "oneshot"
+    )["clusters"]
+    assert _clusters_canonical(current_clusters(spark, stream_dir)) == _clusters_canonical(ref)
+    # idempotent: a second pass finds nothing to re-open
+    assert compact_reopen(spark, tmp, stream_dir, cfg) == 0
 
 
 def test_stream_idempotent_redelivery(spark):
