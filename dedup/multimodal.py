@@ -2,10 +2,11 @@
 `binary` columns with typed metadata, processed via Arrow-batched
 mapInPandas.
 
-`decode_image` really decodes the self-describing uncompressed formats a
-pure-numpy parser can own (PPM P6, 24-bit BMP — public formats, tiny
-headers); compressed formats (JPEG/PNG/...) need an image library that this
-container lacks, so they raise NotImplementedError, and a deterministic
+`decode_image` really decodes the formats a pure-numpy/stdlib parser can
+own: PPM P6 and 24-bit BMP (self-describing uncompressed headers) plus
+8-bit RGB/RGBA non-interlaced PNG (stdlib zlib inflate + the five public
+scanline filters). Formats needing an entropy-coded image library (JPEG,
+WebP) raise NotImplementedError in this container, and a deterministic
 fake decoder remains available for synthetic fixtures. The Spark-side
 plumbing — schema, partitioning, UDF signatures, batch shapes — is real and
 tested (tests/test_multimodal.py): swapping in a full decoder is a
@@ -84,6 +85,128 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return img[::-1] if h > 0 else img  # positive height = bottom-up
 
 
+def _png_chunks(b: bytes):
+    pos = 8  # past the 8-byte signature
+    while pos + 8 <= len(b):
+        length = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline filter
+    reconstruction per the public W3C PNG spec / RFC 2083): 8-bit RGB
+    (color type 2) and RGBA (6, alpha dropped), non-interlaced. No image
+    library needed — IDAT is DEFLATE, and the five scanline filters
+    (None/Sub/Up/Average/Paeth) are ~30 lines of integer arithmetic."""
+    import zlib
+
+    ihdr = idat = None
+    parts = []
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            parts.append(data)
+    if ihdr is None or not parts:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={depth}, color_type={color}, "
+            f"interlace={interlace}); supported: 8-bit RGB/RGBA, non-interlaced"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(parts))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intc)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1).astype(np.intc)
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            recon = line.copy()
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                bb = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + bb) >> 1
+                else:  # Paeth predictor
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                recon[x] = (recon[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon.astype(np.intc)
+    img = out.reshape(h, w, ch)
+    return img[..., :3].copy()
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 4) -> bytes:
+    """Minimal PNG encoder (RGB8, one filter type for all rows) for
+    fixtures/round-trip tests — exercises the decoder's filter
+    reconstruction, not just the None path."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.intc)
+    rows = []
+    prev = np.zeros((w, 3), dtype=np.intc)
+    for y in range(h):
+        cur = px[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        elif filter_type == 4:
+            left = np.vstack([np.zeros((1, 3), np.intc), cur[:-1]])
+            up = prev
+            ul = np.vstack([np.zeros((1, 3), np.intc), prev[:-1]])
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError("encoder supports filter types 0, 2, 4")
+        rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    raster = zlib.compress(b"".join(rows))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raster)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an encoded image payload to an HxWx3 uint8 array.
 
@@ -102,9 +225,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_ppm(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(b)
     raise NotImplementedError(
-        "compressed image formats require PIL/cv2 (unavailable in this "
-        "container); supported here: PPM P6, 24-bit BMP"
+        "JPEG/WebP/... require PIL/cv2 (unavailable in this container); "
+        "supported here: PPM P6, 24-bit BMP, 8-bit RGB/RGBA PNG"
     )
 
 
