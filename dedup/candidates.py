@@ -43,6 +43,7 @@ def bucket_pairs(
     config: DedupConfig,
     payload_cols: list[str] | None = None,
     assume_distinct: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(key..., conv_id [, payload...]) -> canonical candidate pairs (a < b)
     [+ payload_a/payload_b columns], deduplicated across keys.
@@ -59,17 +60,25 @@ def bucket_pairs(
     all pairs with a higher-order array comprehension. Only the final
     cross-key pair dedup shuffles again — on the (tiny) pair set. Set
     assume_distinct when (key, conv_id) rows are unique by construction to
-    skip the defensive distinct.
+    skip the defensive distinct. `carry_cols` (a subset of key_cols, e.g. a
+    source tag when several bucket families share one exchange) ride into
+    the output and join the dedup key, so pairs are deduped per family.
     """
     from pyspark.sql import Window
 
     payload_cols = payload_cols or []
+    carry_cols = carry_cols or []
     members = bucket_df.select(*key_cols, "conv_id", *payload_cols)
     if not assume_distinct:
         members = members.distinct()
 
     cap = config.bucket_cap
-    out_cols = ["a", "b"] + [f"{c}_a" for c in payload_cols] + [f"{c}_b" for c in payload_cols]
+    out_cols = (
+        carry_cols
+        + ["a", "b"]
+        + [f"{c}_a" for c in payload_cols]
+        + [f"{c}_b" for c in payload_cols]
+    )
 
     w = Window.partitionBy(*key_cols).orderBy("conv_id")
     mem = F.struct(F.col("conv_id"), *[F.col(c) for c in payload_cols])
@@ -104,9 +113,10 @@ def bucket_pairs(
     pairs = (
         # window expressions must materialize in their own projection before
         # feeding a generator
-        members.select(pair_structs.alias("ps"))
-        .select(F.explode("ps").alias("p"))
+        members.select(*carry_cols, pair_structs.alias("ps"))
+        .select(*carry_cols, F.explode("ps").alias("p"))
         .select(
+            *carry_cols,
             F.col("p.x.conv_id").alias("a"),
             F.col("p.y.conv_id").alias("b"),
             *[F.col(f"p.x.{c}").alias(f"{c}_a") for c in payload_cols],
@@ -115,9 +125,101 @@ def bucket_pairs(
     )
     return (
         pairs.filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
+        .dropDuplicates(carry_cols + ["a", "b"])
         .select(*out_cols)
     )
+
+
+def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFrame:
+    """All three candidate sources through ONE exchange + sort + window.
+
+    The per-source bucket tables (LSH bands, SimHash pigeonhole chunks,
+    suffix-window fingerprints) are narrow (src, k1, k2, conv_id, payload)
+    rows; unioned, they share a single hash partitioning on the bucket key
+    instead of three independent shuffles racing for the same task slots —
+    measured locally, three concurrent exchange+sort stages scaled only
+    ~1.6x from 1→4 cores (slot contention + triple barrier) while one fused
+    stage scales like the rest of the pipeline. `src` is part of the window
+    key, so bucket families never mix; pairs come back tagged per source
+    (mh | sh | sf) with the SimHash Hamming verify applied in the same
+    projection.
+    """
+    # ONE scan of the (wide — it carries the shingle arrays) features table:
+    # each row emits its band hashes, pigeonhole chunks, and suffix
+    # fingerprints as one concatenated struct array through a single
+    # explode. Building three per-source tables instead (band_table ∪
+    # chunk_table ∪ suffix explode) scans and deserializes the checkpointed
+    # feature rows three times — pure memory-bandwidth burn that shows up
+    # directly in N-vs-4N CPU inflation.
+    r = config.lsh_rows
+    nulled = F.lit(None).cast("long")
+
+    def entry(src: str, k1, k2, payload) -> F.Column:
+        return F.struct(
+            F.lit(src).alias("src"),
+            k1.cast("long").alias("k1"),
+            k2.cast("long").alias("k2"),
+            payload.cast("long").alias("payload"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<src:string,k1:bigint,k2:bigint,payload:bigint>>"
+    )
+    bands = F.when(
+        F.col("sig").isNotNull(),
+        F.array(
+            *[
+                entry(
+                    "mh",
+                    F.lit(i),
+                    F.xxhash64(F.lit(i), F.slice("sig", i * r + 1, r)),
+                    nulled,
+                )
+                for i in range(config.lsh_bands)
+            ]
+        ),
+    ).otherwise(empty)
+    # chunk widths mirror simhash.chunk_table: chunk i covers bits
+    # [i*64//n, (i+1)*64//n) — pigeonhole soundness needs full coverage
+    n_chunks = config.hamming_d + 1
+    chunk_exprs = []
+    for i in range(n_chunks):
+        start = i * 64 // n_chunks
+        width = (i + 1) * 64 // n_chunks - start
+        mask = (1 << width) - 1
+        chunk_exprs.append(
+            entry(
+                "sh",
+                F.lit(i),
+                F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask)),
+                F.col("simhash"),
+            )
+        )
+    chunks = F.when(F.col("simhash").isNotNull(), F.array(*chunk_exprs)).otherwise(empty)
+    fps = F.transform(
+        F.filter(
+            F.coalesce(F.col("suffix_fps"), F.array().cast("array<bigint>")),
+            lambda fp: fp.isNotNull(),
+        ),
+        lambda fp: entry("sf", F.lit(0), fp, nulled),
+    )
+    unified = rep_features.select(
+        "conv_id", F.explode(F.concat(bands, chunks, fps)).alias("e")
+    ).select("e.src", "e.k1", "e.k2", "conv_id", "e.payload")
+
+    pairs = bucket_pairs(
+        unified,
+        ["src", "k1", "k2"],
+        config,
+        payload_cols=["payload"],
+        assume_distinct=True,
+        carry_cols=["src"],
+    )
+    hamming_ok = (F.col("src") != "sh") | (
+        F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b")))
+        <= config.hamming_d
+    )
+    return pairs.filter(hamming_ok).select("src", "a", "b")
 
 
 def bucket_stats(bucket_df: DataFrame, key_cols: list[str], config: DedupConfig) -> DataFrame:

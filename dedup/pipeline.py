@@ -4,10 +4,9 @@ Stage graph (each stage materialized via state.RunState → resumable,
 lineage-tracked, plan-tree-bounded):
 
   read → docs (validate + reassemble + normalize, one pass) + quarantine
-       → features (shingles, MinHash sig, SimHash, suffix fingerprints)
-       → exact_groups  (identical-normalized-text collapse — skew fast path)
-       → candidates: minhash-LSH ∥ simhash-Hamming ∥ suffix-windows
-         (near-dup paths run on exact representatives only)
+       → features ∥ exact_groups ∥ quarantine (all depend on docs only)
+       → candidates: minhash-LSH + simhash-Hamming + suffix-windows fused
+         into one exchange (near-dup paths run on exact reps only)
        → verified pairs (exact shingle-Jaccard / true shared-run length)
        → edges (verified ∪ exact) → connected components → clusters
 
@@ -20,16 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import exact
-from .candidates import bucket_pairs
+from .candidates import unified_candidates
 from .cc import connected_components
 from .config import DedupConfig
 from .features import featurize
-from .minhash import band_table
 from .normalize import normalize_text
 from .reassemble import reassemble
-from .simhash import hamming_candidates
 from .state import RunState
-from .suffix import suffix_candidates
 from .verify import verify_jaccard, verify_substring
 
 
@@ -75,48 +71,45 @@ def run_pipeline(
         )
         return null_rows.unionByName(amb)
 
-    quarantine = state.materialize("quarantine", build_quarantine)
-    check_fail("docs")
+    # features / exact_groups / quarantine all depend only on docs: run
+    # their materializations concurrently so the two small stages hide
+    # entirely behind the (much larger) Arrow featurization instead of
+    # serializing ~3 barriers after it (matters on real clusters as much as
+    # locally — these are otherwise idle task slots)
+    from concurrent.futures import ThreadPoolExecutor
 
-    features = state.materialize("features", lambda: featurize(docs, config))
-    check_fail("features")
-
-    groups = state.materialize(
-        "exact_groups",
-        lambda: exact.exact_groups(docs.select("conv_id", F.col("norm_text").alias("doc_text"))),
-    )
+    with ThreadPoolExecutor(3) as pool:
+        f_features = pool.submit(
+            state.materialize, "features", lambda: featurize(docs, config)
+        )
+        f_groups = pool.submit(
+            state.materialize,
+            "exact_groups",
+            lambda: exact.exact_groups(
+                docs.select("conv_id", F.col("norm_text").alias("doc_text"))
+            ),
+        )
+        f_quarantine = pool.submit(state.materialize, "quarantine", build_quarantine)
+        quarantine = f_quarantine.result()
+        check_fail("docs")
+        features = f_features.result()
+        check_fail("features")
+        groups = f_groups.result()
     check_fail("exact_groups")
 
     reps = groups.filter(F.col("conv_id") == F.col("exact_rep")).select("conv_id")
     rep_features = features.join(reps, "conv_id", "left_semi")
 
-    # the three candidate sources are independent: run their stage
-    # materializations concurrently so small stages overlap instead of
-    # leaving task slots idle (matters on real clusters as much as locally)
-    from concurrent.futures import ThreadPoolExecutor
-
-    cand_builders = {
-        "cand_minhash": lambda: bucket_pairs(
-            band_table(rep_features.select("conv_id", "sig"), config),
-            ["band_id", "band_hash"],
-            config,
-            assume_distinct=True,
-        ),
-        "cand_simhash": lambda: hamming_candidates(
-            rep_features.select("conv_id", "simhash"), config
-        ),
-        "cand_suffix": lambda: suffix_candidates(
-            rep_features.select("conv_id", "suffix_fps"), config
-        ),
-    }
-    with ThreadPoolExecutor(3) as pool:
-        futs = {
-            name: pool.submit(state.materialize, name, fn)
-            for name, fn in cand_builders.items()
-        }
-        cand_minhash = futs["cand_minhash"].result()
-        cand_simhash = futs["cand_simhash"].result()
-        cand_suffix = futs["cand_suffix"].result()
+    # all three candidate sources in ONE exchange+sort+window pass (see
+    # candidates.unified_candidates: three concurrent per-source stages
+    # measured ~1.6x 1→4-core scaling from slot contention; one fused stage
+    # restores it), tagged by source for the per-source verify semantics
+    cands = state.materialize(
+        "candidates", lambda: unified_candidates(rep_features, config)
+    )
+    cand_minhash = cands.filter(F.col("src") == "mh").select("a", "b")
+    cand_simhash = cands.filter(F.col("src") == "sh").select("a", "b")
+    cand_suffix = cands.filter(F.col("src") == "sf").select("a", "b")
     check_fail("candidates")
 
     def build_verified() -> DataFrame:
