@@ -418,19 +418,35 @@ def q17_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation via F.window (§2.8 date/ts):
     1-day windows per event_type."""
     ev = _t(spark, sf_dir, "events")
+    # ROUND(AVG(double), 4) is not reproducible across engines: double sums
+    # are order-dependent, and on a 4-decimal halfway point (this corpus
+    # stores 2-decimal values, so group means DO land on X.XXXX5) Spark
+    # rounds the shortest decimal rendering while DuckDB rounds the exact
+    # binary value. Integer-scale rounding sidesteps both: per-row
+    # round(value*1e4) is exact (data is 2-decimal), the bigint sum is
+    # associative, and the final round's halfway points (X.5) are exactly
+    # representable doubles, where every engine agrees.
+    micro = F.round(F.col("value") * 10000).cast("long")
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(micro).alias("_sm"),
+            F.count("value").alias("_nv"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "avg_value")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            (F.round(F.col("_sm") / F.col("_nv")) / F.lit(10000.0)).alias("avg_value"),
+        )
     )
 
 
 Q17_SQL = """
 SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
-       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+       COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(value * 10000) AS BIGINT)) / COUNT(value)) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """
 
