@@ -5,7 +5,10 @@ insert if new / skip if seen", generalized to near-dup clustering).
 Given the prior state (docs/features/exact_groups/clusters DataFrames) and a
 new batch of turns:
 
- 1. left-anti join drops conversations already assigned ("seen" skip);
+ 1. left-anti join drops conversations already promoted — clustered or
+    quarantined ("seen" skip); the skipped ids are materialized as
+    `seen_skipped` so streaming can trigger a scoped compaction for
+    conversations that grew;
  2. the new conversations are featurized with the *same config fingerprint*
     (refused otherwise — cluster assignments are config-bound);
  3. candidates are generated among new convs AND between new convs and the
@@ -96,15 +99,33 @@ def merge_with_prior(
 
     state = RunState(spark, run_dir, run_id, config)
 
-    # 1. seen-skip: conversations already clustered are dropped idempotently
+    # 1. seen-skip: conversations already promoted — clustered OR
+    # quarantined (prior docs carry both) — are dropped idempotently.
+    # Skipping on docs rather than clusters matters for quarantined convs:
+    # reprocessing just their late-arriving turns would reassemble a
+    # suffix-only document and supersede the promoted full-prefix row.
+    prior_seen = prior_docs.select("conv_id")
+
     def build_docs() -> DataFrame:
         fresh = new_turns.filter(
             F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
-        ).join(prior_clusters.select("conv_id"), "conv_id", "left_anti")
+        ).join(prior_seen, "conv_id", "left_anti")
         return reassemble(fresh).withColumn("norm_text", normalize_text("doc_text"))
 
     new_docs_all = state.materialize("incr_docs", build_docs)
     new_docs = new_docs_all.filter(~F.col("ambiguous"))
+
+    # the skipped conv_ids are the compaction trigger: any of them MAY have
+    # grown (redelivery vs growth is settled later by a content-hash diff,
+    # streaming.compact_reopen) — O(batch) rows, appended to the state's
+    # dirty list by the streaming promoter
+    seen_skipped = state.materialize(
+        "incr_seen_skipped",
+        lambda: new_turns.filter(F.col("conv_id").isNotNull())
+        .select("conv_id")
+        .distinct()
+        .join(prior_seen, "conv_id", "left_semi"),
+    )
 
     # quarantine (same policy as pipeline.py: null keys + ambiguous turn
     # order) — batch 0 and batch N handle bad rows identically
@@ -294,6 +315,7 @@ def merge_with_prior(
         "exact_delta": exact_delta,
         "clusters": clusters,
         "clusters_delta": clusters_delta,
+        "seen_skipped": seen_skipped,
         "state": state,  # type: ignore[dict-item]
     }
 

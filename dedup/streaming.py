@@ -19,12 +19,14 @@ idempotently.
 Input contract: each input file holds whole conversations (a conversation's
 turns never straddle files). Spark's file source assigns whole files to
 micro-batches, so reassembly always sees complete conversations. Turns for
-an already-clustered conv_id arriving later are idempotently skipped — the
-reference's "seen" semantics. Conversations that genuinely grow across
-drains are handled by `compact_reopen`: a maintenance pass that re-reads
-the input, finds conversations whose reassembled text changed, and
-re-clusters exactly the clusters they touch (O(changed + touched), not
-O(corpus)).
+an already-promoted conv_id (clustered or quarantined) arriving later are
+idempotently skipped — the reference's "seen" semantics — and the skipped
+ids are appended to the manifest's dirty list. Conversations that genuinely
+grow across drains are handled by `compact_reopen`: a maintenance pass that
+finds conversations whose reassembled text changed and re-clusters exactly
+the clusters they touch (O(changed + touched), not O(corpus)).
+`stream_dedup(auto_compact=True)` runs it after every drain scoped to the
+dirty list, so growth never needs a manual maintenance call.
 
 First micro-batch bootstraps with the full batch pipeline; later batches
 run the one-sided incremental merge (prior corpus never re-paired).
@@ -56,7 +58,11 @@ def current_state(stream_dir: str) -> dict | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)
+        manifest = json.load(f)
+    # "dirty" (conv_ids skipped as already-seen — compaction triggers) was
+    # added after the first manifest format; default it for older states
+    manifest.setdefault("parts", {}).setdefault("dirty", [])
+    return manifest
 
 
 def _set_current(stream_dir: str, manifest: dict) -> None:
@@ -137,7 +143,7 @@ def process_batch(
         manifest = {
             "batch_id": batch_id,
             "seq": 0,
-            "parts": {s: [[f"{base}/{s}", 0]] for s in _STAGES},
+            "parts": {**{s: [[f"{base}/{s}", 0]] for s in _STAGES}, "dirty": []},
         }
         _set_current(stream_dir, manifest)
         return
@@ -160,6 +166,8 @@ def process_batch(
             "exact_groups": "incr_exact_delta",
             "clusters": "incr_clusters_delta",
             "quarantine": "incr_quarantine",
+            # skipped already-seen conv_ids: O(batch) compaction triggers
+            "dirty": "incr_seen_skipped",
         },
     )
     manifest["batch_id"] = batch_id
@@ -173,6 +181,7 @@ def stream_dedup(
     config: DedupConfig,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    auto_compact: bool = False,
 ):
     """Run the streaming dedup over a transcript file directory.
 
@@ -182,6 +191,13 @@ def stream_dedup(
     operation. The streaming checkpoint (offsets/commits) lives under
     stream_dir/_checkpoint; the dedup state under stream_dir/cur_*,
     stream_dir/incr_*, pointed to by stream_dir/_current.json.
+
+    With `auto_compact`, a scoped `compact_reopen` runs after the drain:
+    conversations whose turns were skipped as already-seen during any
+    micro-batch (the manifest's dirty list) are content-hash-diffed against
+    the promoted docs, and the ones that actually grew are re-clustered —
+    no full-input scan when nothing was skipped, no manual maintenance call
+    to reach batch equivalence for conversations that straddle drains.
     """
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger is not None:
@@ -197,8 +213,12 @@ def stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
+    if auto_compact and not await_termination:
+        raise ValueError("auto_compact requires await_termination=True")
     if await_termination:
         q.awaitTermination()
+        if auto_compact:
+            compact_reopen(spark, input_dir, stream_dir, config, scope="dirty")
     return q
 
 
@@ -220,39 +240,76 @@ def current_quarantine(spark: SparkSession, stream_dir: str) -> DataFrame:
     )
 
 
+def dirty_conversations(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """Distinct conv_ids whose turns were skipped as already-seen since the
+    last compaction — the pending compaction triggers."""
+    cur = current_state(stream_dir)
+    if cur is None:
+        raise ValueError(f"no completed streaming state in {stream_dir}")
+    parts = cur["parts"]["dirty"]
+    if not parts:
+        return spark.createDataFrame([], "conv_id string")
+    return _read_parts(spark, parts).distinct()
+
+
 def compact_reopen(
     spark: SparkSession,
     input_dir: str,
     stream_dir: str,
     config: DedupConfig,
+    scope: str = "full",
 ) -> int:
     """Re-open conversations whose turn set changed since promotion.
 
-    The streaming contract skips turns for already-clustered conv_ids; a
+    The streaming contract skips turns for already-promoted conv_ids; a
     conversation whose turns straddled two drains is therefore clustered on
     its first-seen prefix. This maintenance pass re-reads the input
-    directory (batch), reassembles every conversation's FULL turn set,
-    diffs the document hash against the promoted docs, and re-clusters
-    exactly the clusters those changed conversations belong to: all members
-    of a touched cluster are logically removed from the prior view and
-    re-ingested through the same incremental merge, so intra-cluster edges
-    regenerate from the (deterministic) features and any new cross-cluster
-    matches are found against the remaining reps. Work and bytes written
-    scale with O(changed + touched members), not O(corpus).
+    directory (batch), reassembles the FULL turn set, diffs the document
+    hash against the promoted docs, and re-clusters exactly the clusters
+    the changed conversations belong to: all members of a touched cluster
+    are logically removed from the prior view and re-ingested through the
+    same incremental merge, so intra-cluster edges regenerate from the
+    (deterministic) features and any new cross-cluster matches are found
+    against the remaining reps. Work and bytes written scale with
+    O(changed + touched members), not O(corpus).
+
+    scope="full" diffs every conversation in the input (catches drift from
+    any source). scope="dirty" diffs only the manifest's dirty list — the
+    conv_ids some batch actually skipped — so the reassembly+hash probe
+    reads O(dirty) conversations instead of the whole input; with an empty
+    dirty list it returns immediately without touching the input. Both
+    scopes clear the dirty list on completion.
 
     Returns the number of re-opened conversations (0 = state already
-    consistent; nothing written).
+    consistent).
     """
     manifest = current_state(stream_dir)
     if manifest is None:
         raise ValueError(f"no completed streaming state in {stream_dir}")
+    dirty_parts = manifest["parts"]["dirty"]
+    if scope == "dirty" and not dirty_parts:
+        return 0
     prior = _prior_state(spark, manifest)
 
-    turns = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    # The stream is at-least-once: a redelivered file leaves byte-identical
+    # rows in the input dir. Those are delivery duplicates, not the W2
+    # duplicate-turn ambiguity (which requires CONFLICTING rows for one
+    # (conv_id, turn_idx) and survives dropDuplicates because the texts
+    # differ) — collapse them before reassembly or every redelivered
+    # conversation would hash as "changed" and re-open.
+    turns = (
+        spark.read.schema(TRANSCRIPT_SCHEMA).parquet(input_dir).dropDuplicates()
+    )
     nullsafe = turns.filter(
         F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
     )
-    fresh = reassemble(nullsafe).select(
+    # the hash probe reads only the candidate scope; the re-ingest below
+    # must stay unrestricted (a touched cluster member need not be dirty)
+    probe = nullsafe
+    if scope == "dirty":
+        dirty_ids = _read_parts(spark, dirty_parts).distinct()
+        probe = nullsafe.join(dirty_ids, "conv_id", "left_semi")
+    fresh = reassemble(probe).select(
         "conv_id", F.xxhash64("doc_text").alias("_h_new")
     )
     prior_h = prior.docs.select("conv_id", F.xxhash64("doc_text").alias("_h_old"))
@@ -272,6 +329,9 @@ def compact_reopen(
     reopen = changed.unionByName(touched_members).distinct().localCheckpoint()
     n_reopen = reopen.count()
     if n_reopen == 0:
+        if dirty_parts:  # triggers were pure redeliveries — consumed
+            manifest["parts"]["dirty"] = []
+            _set_current(stream_dir, manifest)
         return 0
 
     view = PriorState(
@@ -282,7 +342,7 @@ def compact_reopen(
     )
     out = merge_with_prior(
         spark,
-        turns.join(reopen, "conv_id", "left_semi"),
+        nullsafe.join(reopen, "conv_id", "left_semi"),
         view,
         config,
         stream_dir,
@@ -312,5 +372,6 @@ def compact_reopen(
         },
         extra_cluster_parts=[out["state"].stage_path("compact_tombstones")],
     )
+    manifest["parts"]["dirty"] = []  # triggers consumed by this compaction
     _set_current(stream_dir, manifest)
     return n_reopen

@@ -16,6 +16,7 @@ from dedup.streaming import (
     current_clusters,
     current_quarantine,
     current_state,
+    dirty_conversations,
     stream_dedup,
 )
 
@@ -178,6 +179,104 @@ def test_compact_reopen_straddling_conversation(spark):
     assert _clusters_canonical(current_clusters(spark, stream_dir)) == _clusters_canonical(ref)
     # idempotent: a second pass finds nothing to re-open
     assert compact_reopen(spark, tmp, stream_dir, cfg) == 0
+
+
+def test_auto_compact_growing_conversation(spark):
+    """stream_dedup(auto_compact=True) must reach one-shot batch
+    equivalence for conversations straddling drains without any manual
+    compact_reopen call, and must consume the dirty triggers."""
+    cfg = DedupConfig(shuffle_partitions=8)
+    full = gen_transcripts(spark, 160, seed=23, partitions=4, edge_rows=False).localCheckpoint()
+    straddle = F.crc32(F.col("conv_id")) % 5 == 0
+    file_a = full.filter(~straddle | (F.col("turn_idx") < 2))
+    file_b = full.filter(straddle & (F.col("turn_idx") >= 2))
+    assert file_b.count() > 0
+
+    tmp = tempfile.mkdtemp(prefix="stream_in6_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state6_")
+    file_a.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg, auto_compact=True)
+    file_b.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg, auto_compact=True)
+
+    assert dirty_conversations(spark, stream_dir).count() == 0
+    ref = run_pipeline(
+        spark, full, cfg, tempfile.mkdtemp(prefix="stream_ref6_"), "oneshot"
+    )["clusters"]
+    assert _clusters_canonical(current_clusters(spark, stream_dir)) == _clusters_canonical(ref)
+
+
+def test_auto_compact_grown_quarantined_conversation(spark):
+    """Late turns for a QUARANTINED conversation must not supersede its
+    promoted document with a suffix-only reassembly: the seen-skip covers
+    quarantined convs too, and auto-compact re-ingests the full turn set
+    (still ambiguous here, so it stays quarantined — matching batch)."""
+    cfg = DedupConfig(shuffle_partitions=8)
+    full = gen_transcripts(spark, 160, seed=29, partitions=4, edge_rows=False).localCheckpoint()
+    amb = full.select("conv_id").distinct().orderBy("conv_id").head()["conv_id"]
+    dup_rows = full.filter(
+        (F.col("conv_id") == amb) & (F.col("turn_idx") == 0)
+    ).withColumn("text", F.lit("CONFLICTING ORDER"))
+    # drain 1: everything except amb's tail turns, plus the conflicting row
+    file_a = full.filter(
+        (F.col("conv_id") != amb) | (F.col("turn_idx") < 2)
+    ).unionByName(dup_rows)
+    file_b = full.filter((F.col("conv_id") == amb) & (F.col("turn_idx") >= 2))
+    assert file_b.count() > 0
+
+    tmp = tempfile.mkdtemp(prefix="stream_in7_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state7_")
+    file_a.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg, auto_compact=True)
+    file_b.repartition(1, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg, auto_compact=True)
+
+    # still quarantined (the duplicate turn_idx is unresolvable by growth),
+    # never clustered, and the dirty trigger was consumed
+    streamed_ids = {
+        r["conv_id"]
+        for r in current_clusters(spark, stream_dir).select("conv_id").collect()
+    }
+    assert amb not in streamed_ids
+    q_ids = {
+        r["conv_id"]
+        for r in current_quarantine(spark, stream_dir)
+        .filter(F.col("reason") == "ambiguous_turn_order")
+        .collect()
+    }
+    assert amb in q_ids
+    assert dirty_conversations(spark, stream_dir).count() == 0
+
+    ref = run_pipeline(
+        spark,
+        full.unionByName(dup_rows),
+        cfg,
+        tempfile.mkdtemp(prefix="stream_ref7_"),
+        "oneshot",
+    )["clusters"]
+    assert _clusters_canonical(current_clusters(spark, stream_dir)) == _clusters_canonical(ref)
+
+
+def test_compact_dirty_scope_redelivery_is_cheap(spark):
+    """Pure redelivery marks conversations dirty but the scoped compaction
+    finds no content change: 0 re-opened, dirty list cleared, clusters
+    untouched."""
+    cfg = DedupConfig(shuffle_partitions=8)
+    corpus = gen_transcripts(spark, 120, seed=37, partitions=3, edge_rows=False).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="stream_in8_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state8_")
+
+    corpus.write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    assert compact_reopen(spark, tmp, stream_dir, cfg, scope="dirty") == 0  # no dirty parts at all
+    before = _clusters_canonical(current_clusters(spark, stream_dir))
+
+    corpus.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    assert dirty_conversations(spark, stream_dir).count() == 120
+    assert compact_reopen(spark, tmp, stream_dir, cfg, scope="dirty") == 0
+    assert dirty_conversations(spark, stream_dir).count() == 0
+    assert _clusters_canonical(current_clusters(spark, stream_dir)) == before
 
 
 def test_stream_idempotent_redelivery(spark):
