@@ -313,3 +313,95 @@ def gen_fake_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             )
 
     return spark.range(0, n, 1, 8).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy fancy-indexing (vectorized, no
+    per-pixel Python). Center-aligned sampling (the standard 'pixel is a
+    cell, sample its center' mapping), so upscale/downscale round-trips of
+    integer factors are exact."""
+    h, w = pixels.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return pixels[rows[:, None], cols[None, :]]
+
+
+def resize_media(
+    media: DataFrame,
+    out_h: int,
+    out_w: int,
+    partitions: int = 32,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """decode -> nearest-neighbor resize -> re-encode (PPM) each payload;
+    schema-preserving, so the output feeds the same featurize/dedup ops.
+    Same mapInPandas batch shape as featurize_media: payload bytes cross
+    the Arrow boundary once per batch, resize is one numpy gather."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                px = resize_nearest(decode_image(b, fake=fake_decode), out_h, out_w)
+                payloads.append(encode_ppm(px))
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["mime"] = "image/x-portable-pixmap"
+            out["width"] = pd.array([out_w] * len(pdf), dtype="Int32")
+            out["height"] = pd.array([out_h] * len(pdf), dtype="Int32")
+            yield out
+
+    return media.repartition(partitions, "media_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frames", T.ArrayType(T.BinaryType()), False),
+    ]
+)
+
+
+def sample_frames(videos: DataFrame, every_k: int) -> DataFrame:
+    """(media_id, frames: array<binary>) -> (media_id, frame_idx, payload),
+    keeping every k-th frame (frame 0 always kept).
+
+    The sampling itself is pure JVM — posexplode + a modulo filter inside
+    whole-stage codegen — so unsampled frame bytes are DROPPED before any
+    Python/Arrow boundary; only the kept frames ever cross into decode
+    (multimodal.featurize_media / resize_media on the exploded rows). At
+    100 TB of video this ordering — prune in the JVM, decode after — is the
+    difference between shipping 1/k of the bytes to Python and shipping all
+    of them."""
+    return (
+        videos.select(
+            "media_id", F.posexplode("frames").alias("frame_idx", "payload")
+        )
+        .filter(F.col("frame_idx") % every_k == 0)
+    )
+
+
+def gen_fake_video(
+    spark: SparkSession, n: int, n_frames: int = 12, seed: int = 42
+) -> DataFrame:
+    """Deterministic synthetic 'video' table: each row is an array of
+    encoded PPM frames (4x4 gradients keyed by (id, frame))."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                frames = []
+                for fidx in range(n_frames):
+                    base = (seed * 31 + i * 7 + fidx * 13) % 200
+                    px = (
+                        base
+                        + np.add.outer(np.arange(4), np.arange(4))[..., None]
+                        + np.arange(3)[None, None, :]
+                    ).astype(np.uint8)
+                    frames.append(encode_ppm(px))
+                rows.append((f"v{i:06d}", frames))
+            yield pd.DataFrame(rows, columns=["media_id", "frames"])
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, FRAMES_SCHEMA)

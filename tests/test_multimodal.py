@@ -197,3 +197,94 @@ def test_media_pipeline_real_png_payloads(spark):
     rep = {r["media_id"]: r["media_rep"] for r in dups.collect()}
     assert rep["g9"] == rep["g0"] == "g0"
     assert all(rep[f"g{i}"] == f"g{i}" for i in range(1, 6))
+
+
+def test_resize_nearest_exact_factors():
+    from dedup.multimodal import resize_nearest
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = resize_nearest(px, 8, 8)
+    assert up.shape == (8, 8, 3)
+    # integer-factor upscale then downscale round-trips exactly
+    assert np.array_equal(resize_nearest(up, 4, 4), px)
+    # each source pixel becomes a 2x2 block
+    assert np.array_equal(up[0, 0], up[1, 1]) and np.array_equal(up[0, 0], px[0, 0])
+
+
+def test_resize_media_feeds_featurize(spark):
+    import pandas as pd
+
+    from dedup.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_ppm,
+        featurize_media,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"r{i}", "image", encode_ppm(rng.integers(0, 256, (10, 6, 3), dtype=np.uint8)),
+         "image/x-portable-pixmap", 6, 10, None)
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        MEDIA_SCHEMA,
+    )
+    small = resize_media(media, 5, 3, partitions=2, fake_decode=False)
+    out = {r["media_id"]: r for r in small.collect()}
+    assert len(out) == 4
+    px = decode_image(bytes(out["r0"]["payload"]))
+    assert px.shape == (5, 3, 3)
+    # schema-preserving: the resized table runs through the same featurizer
+    feats = featurize_media(small, partitions=2, fake_decode=False)
+    assert feats.count() == 4
+
+
+def test_sample_frames_prunes_in_jvm(spark):
+    from dedup.multimodal import decode_image, gen_fake_video, sample_frames
+
+    vids = gen_fake_video(spark, 3, n_frames=12, seed=7)
+    sampled = sample_frames(vids, every_k=4)
+    rows = sampled.collect()
+    # 12 frames, keep idx 0,4,8 per video
+    assert len(rows) == 9
+    assert {r["frame_idx"] for r in rows} == {0, 4, 8}
+    px = decode_image(bytes(rows[0]["payload"]))
+    assert px.shape == (4, 4, 3)
+    # the modulo prune must sit JVM-side (generate/filter), before any
+    # Python node — no Arrow/Python eval in this plan at all
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan and "Python" not in plan
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    from dedup.audio import (
+        decode_wav,
+        encode_wav,
+        exact_audio_dedup,
+        featurize_audio,
+        gen_fake_audio,
+    )
+
+    t = np.arange(1600) / 8000.0
+    x = 0.25 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and samples.shape == (1600, 1)
+    assert np.max(np.abs(samples[:, 0] - x)) < 1e-3  # 16-bit quantization
+
+    audio = gen_fake_audio(spark, 20, seed=9)
+    feats = featurize_audio(audio, partitions=2, fake_decode=False)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 20
+    r0 = rows["a000000"]
+    assert r0["sample_rate"] == 8000 and r0["n_samples"] == 800
+    # sine RMS = amplitude/sqrt(2)
+    assert abs(r0["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(r0["duration_s"] - 0.1) < 1e-9
+    # planted exact dups: a000010 duplicates a000005
+    rep = {r["media_id"]: r["media_rep"]
+           for r in exact_audio_dedup(feats).collect()}
+    assert rep["a000010"] == rep["a000005"] == "a000005"
+    assert rep["a000011"] == "a000011"
