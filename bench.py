@@ -180,14 +180,31 @@ def main() -> None:
     ).mode("overwrite").save()
 
     state_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    run_dir = tempfile.mkdtemp(prefix="dedup_bench_run_", dir=state_dir)
-    cpu0 = tree_cpu()
-    t0 = time.monotonic()
-    out = run_pipeline(spark, turns, cfg, run_dir, "bench", mode=mode)
-    n_clusters = out["clusters"].select("cluster_id").distinct().count()
-    headline = time.monotonic() - t0
-    extras["pipeline_cpu_sec"] = round(tree_cpu() - cpu0, 1)
-    shutil.rmtree(run_dir, ignore_errors=True)
+    # median of 3 full pipeline runs (fresh run_id each — same binary state
+    # discipline as a fresh job): identical back-to-back runs measured 14.2s
+    # and 47.9s on this time-shared host, so a single-shot headline mostly
+    # samples the grant, not the engine. HEADLINE_ONLY (the scaling
+    # campaign) keeps one run per process — run_scaling.py owns its reps.
+    headline_reps = 1 if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") else int(
+        os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")
+    )
+    rep_results = []
+    for rep in range(headline_reps):
+        run_dir = tempfile.mkdtemp(prefix="dedup_bench_run_", dir=state_dir)
+        cpu0 = tree_cpu()
+        t0 = time.monotonic()
+        out = run_pipeline(spark, turns, cfg, run_dir, f"bench{rep}", mode=mode)
+        n_clusters = out["clusters"].select("cluster_id").distinct().count()
+        rep_wall = time.monotonic() - t0
+        rep_cpu = tree_cpu() - cpu0
+        shutil.rmtree(run_dir, ignore_errors=True)
+        out["state"].release()  # free persist-mode checkpoint blocks
+        rep_results.append((rep_wall, rep_cpu))
+    rep_results.sort()
+    headline, headline_cpu = rep_results[len(rep_results) // 2]
+    extras["pipeline_cpu_sec"] = round(headline_cpu, 1)
+    if headline_reps > 1:
+        extras["headline_rep_walls"] = [round(w, 3) for w, _ in rep_results]
     queries["dedup_pipeline_transcripts"] = round(headline, 3)
     extras["turns"] = n_turns
     extras["turns_per_sec"] = round(n_turns / headline, 1)
@@ -196,7 +213,6 @@ def main() -> None:
     extras["threads"] = threads
     extras["effective_cores_probe"] = probe
     extras["materialize_mode"] = mode
-    out["state"].release()  # free persist-mode checkpoint blocks
 
     if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
         spark.stop()
