@@ -190,3 +190,26 @@ def test_fixtures_deterministic_and_schema(spark):
     # different seed -> different corpus
     d3 = gen_transcripts(spark, 50, seed=6, partitions=3)
     assert sorted(map(tuple, d3.collect())) != r1
+
+
+# --- corpus diagnostics (§2.4 A8, §2.6 O3) ---
+
+def test_corpus_stats_accuracy(spark):
+    """approx_count_distinct (HLL++) must land within its documented
+    relative error on a known cardinality; exact aggregates exact."""
+    rows = [
+        (f"c{i:04d}", f"text body number {i % 80}", 2 + (i % 3), 40, False)
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(
+        rows, "conv_id string, norm_text string, n_turns int, n_chars long, ambiguous boolean"
+    )
+    from dedup.metrics import corpus_stats
+
+    r = corpus_stats(docs, seed=7).collect()[0]
+    assert r["n_docs"] == 400
+    # default rsd is 5%; allow 3 sigma on 80 distinct texts
+    assert abs(r["approx_distinct_texts"] - 80) <= 0.15 * 80
+    # i%3 over 400 rows: 134 twos, 133 threes, 133 fours
+    assert abs(r["avg_turns"] - (2 * 134 + 3 * 133 + 4 * 133) / 400) < 1e-9
+    assert r["sampled_avg_chars"] == 40.0  # every row has n_chars = 40
