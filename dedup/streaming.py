@@ -231,6 +231,16 @@ def current_clusters(spark: SparkSession, stream_dir: str) -> DataFrame:
     )
 
 
+def current_docs(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """The promoted document table (latest row per conversation, ambiguous
+    flag included) — what a downstream training-data consumer joins the
+    cluster assignment against."""
+    cur = current_state(stream_dir)
+    if cur is None:
+        raise ValueError(f"no completed streaming state in {stream_dir}")
+    return _read_parts(spark, cur["parts"]["docs"], latest_by="conv_id")
+
+
 def current_quarantine(spark: SparkSession, stream_dir: str) -> DataFrame:
     cur = current_state(stream_dir)
     if cur is None:

@@ -14,6 +14,7 @@ from dedup.pipeline import run_pipeline
 from dedup.streaming import (
     compact_reopen,
     current_clusters,
+    current_docs,
     current_quarantine,
     current_state,
     dirty_conversations,
@@ -246,6 +247,12 @@ def test_auto_compact_grown_quarantined_conversation(spark):
     }
     assert amb in q_ids
     assert dirty_conversations(spark, stream_dir).count() == 0
+
+    # the promoted doc row must reflect the FULL turn set (latest-wins over
+    # the drain-1 prefix row), still flagged ambiguous
+    doc = current_docs(spark, stream_dir).filter(F.col("conv_id") == amb).head()
+    n_full = full.filter(F.col("conv_id") == amb).count() + dup_rows.count()
+    assert doc["n_turns"] == n_full and doc["ambiguous"]
 
     ref = run_pipeline(
         spark,
