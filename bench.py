@@ -247,16 +247,26 @@ def main() -> None:
         queries[f"dedup_pipeline_transcripts_{alt_mode}"] = round(alt_wall, 3)
         extras[f"turns_per_sec_{alt_mode}"] = round(n_turns / alt_wall, 1)
 
-    # --- dedup pipeline over the driver documents table ---
-    run_dir = tempfile.mkdtemp(prefix="dedup_bench_docs_")
-    t0 = time.monotonic()
-    out = run_pipeline(
-        spark, documents_as_transcripts(spark, sf_dir), cfg, run_dir, "bench", mode=mode
-    )
-    out["clusters"].count()
-    queries["dedup_pipeline_documents"] = round(time.monotonic() - t0, 3)
-    shutil.rmtree(run_dir, ignore_errors=True)
-    out["state"].release()
+    # --- dedup pipeline over the driver documents table (median of 3,
+    # same host-noise rationale as the headline) ---
+    doc_walls = []
+    for rep in range(3):
+        run_dir = tempfile.mkdtemp(prefix="dedup_bench_docs_")
+        t0 = time.monotonic()
+        out = run_pipeline(
+            spark,
+            documents_as_transcripts(spark, sf_dir),
+            cfg,
+            run_dir,
+            f"bench{rep}",
+            mode=mode,
+        )
+        out["clusters"].count()
+        doc_walls.append(time.monotonic() - t0)
+        shutil.rmtree(run_dir, ignore_errors=True)
+        out["state"].release()
+    doc_walls.sort()
+    queries["dedup_pipeline_documents"] = round(doc_walls[1], 3)
 
     # --- representative relational/operator queries ---
     # median of 3 runs each: single runs on this time-shared host swing
