@@ -62,7 +62,30 @@ def current_state(stream_dir: str) -> dict | None:
     # "dirty" (conv_ids skipped as already-seen — compaction triggers) was
     # added after the first manifest format; default it for older states
     manifest.setdefault("parts", {}).setdefault("dirty", [])
+    missing = [s for s in _STAGES if s not in manifest["parts"]]
+    if missing or "config_fp" not in manifest:
+        # a legacy manifest would otherwise surface as an opaque
+        # KeyError('docs') deep inside _prior_state (ADVICE r3)
+        raise ValueError(
+            f"stream state in {stream_dir} was written by an older engine "
+            f"version (manifest missing {missing + ([] if 'config_fp' in manifest else ['config_fp'])}); "
+            "it cannot be resumed — re-bootstrap into a fresh --stream-dir"
+        )
     return manifest
+
+
+def _check_config(manifest: dict, config: DedupConfig, stream_dir: str) -> None:
+    """Cluster state is config-bound (BASELINE.json:14): refuse to merge a
+    batch under a different shingle/signature config than the state was
+    bootstrapped with. The fingerprint lives in the manifest itself (ADVICE
+    r3: the CLI-side _config_fp file only guarded the CLI path)."""
+    if manifest["config_fp"] != config.fingerprint:
+        raise ValueError(
+            f"stream state in {stream_dir} was bootstrapped with config "
+            f"{manifest['config_fp']}; this merge is {config.fingerprint}. "
+            "Cluster assignments are config-bound — use a new stream_dir or "
+            "rerun with the original parameters."
+        )
 
 
 def _set_current(stream_dir: str, manifest: dict) -> None:
@@ -143,10 +166,12 @@ def process_batch(
         manifest = {
             "batch_id": batch_id,
             "seq": 0,
+            "config_fp": config.fingerprint,
             "parts": {**{s: [[f"{base}/{s}", 0]] for s in _STAGES}, "dirty": []},
         }
         _set_current(stream_dir, manifest)
         return
+    _check_config(manifest, config, stream_dir)
     prior = _prior_state(spark, manifest)
     out = merge_with_prior(
         spark,
@@ -204,6 +229,11 @@ def stream_dedup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(input_dir)
 
+    # validate BEFORE starting the query: raising after q.start() would
+    # leave the drain running while the caller sees a failure (ADVICE r3)
+    if auto_compact and not await_termination:
+        raise ValueError("auto_compact requires await_termination=True")
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         process_batch(spark, batch_df, int(batch_id), stream_dir, config)
 
@@ -213,8 +243,6 @@ def stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    if auto_compact and not await_termination:
-        raise ValueError("auto_compact requires await_termination=True")
     if await_termination:
         q.awaitTermination()
         if auto_compact:
@@ -296,19 +324,33 @@ def compact_reopen(
     manifest = current_state(stream_dir)
     if manifest is None:
         raise ValueError(f"no completed streaming state in {stream_dir}")
+    _check_config(manifest, config, stream_dir)
     dirty_parts = manifest["parts"]["dirty"]
     if scope == "dirty" and not dirty_parts:
         return 0
     prior = _prior_state(spark, manifest)
 
     # The stream is at-least-once: a redelivered file leaves byte-identical
-    # rows in the input dir. Those are delivery duplicates, not the W2
-    # duplicate-turn ambiguity (which requires CONFLICTING rows for one
-    # (conv_id, turn_idx) and survives dropDuplicates because the texts
-    # differ) — collapse them before reassembly or every redelivered
-    # conversation would hash as "changed" and re-open.
+    # rows in the input dir. Those are delivery duplicates and must collapse
+    # — but only ACROSS files: byte-identical duplicate rows WITHIN one file
+    # are the W2 duplicate-turn ambiguity (a micro-batch sees them as two
+    # rows and quarantines the conversation), so compaction must reproduce
+    # each row at its maximum per-file multiplicity, not at 1 (ADVICE r3: a
+    # blanket dropDuplicates() silently re-clustered such conversations,
+    # breaking one-shot equivalence).
+    raw = (
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("_f", F.input_file_name())
+    )
+    cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
     turns = (
-        spark.read.schema(TRANSCRIPT_SCHEMA).parquet(input_dir).dropDuplicates()
+        raw.groupBy(*cols, "_f")
+        .agg(F.count("*").alias("_m_file"))
+        .groupBy(*cols)
+        .agg(F.max("_m_file").alias("_m"))
+        .select(*cols, F.explode(F.expr("sequence(1, _m)")).alias("_i"))
+        .drop("_i")
     )
     nullsafe = turns.filter(
         F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()

@@ -74,23 +74,24 @@ def main(argv: list[str] | None = None) -> int:
         kw["shuffle_partitions"] = args.shuffle_partitions
     config = DedupConfig(**kw)
 
-    # cluster state is config-bound (the incremental merge refuses a
-    # fingerprint mismatch deep in the stage manifests — fail fast here
-    # with a readable message instead)
-    prior = current_state(args.stream_dir)
-    fp_path = f"{args.stream_dir}/_config_fp"
-    if prior is not None and os.path.exists(fp_path):
-        with open(fp_path) as f:
-            prior_fp = f.read().strip()
-        if prior_fp != config.fingerprint:
-            print(
-                f"error: stream state in {args.stream_dir} was built with "
-                f"config {prior_fp}; this invocation is {config.fingerprint}. "
-                "Cluster assignments are config-bound — use a new "
-                "--stream-dir (or rerun with the original parameters).",
-                file=sys.stderr,
-            )
-            return 2
+    # cluster state is config-bound; the manifest records the bootstrap
+    # fingerprint and process_batch refuses a mismatch mid-drain — fail
+    # fast here with a readable message instead of a wrapped
+    # StreamingQueryException
+    try:
+        prior = current_state(args.stream_dir)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if prior is not None and prior["config_fp"] != config.fingerprint:
+        print(
+            f"error: stream state in {args.stream_dir} was built with "
+            f"config {prior['config_fp']}; this invocation is "
+            f"{config.fingerprint}. Cluster assignments are config-bound — "
+            "use a new --stream-dir (or rerun with the original parameters).",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = build_session(app_name="run_stream", config=config)
     t0 = time.monotonic()
@@ -103,10 +104,6 @@ def main(argv: list[str] | None = None) -> int:
         auto_compact=args.auto_compact,
     )
     wall = time.monotonic() - t0
-    os.makedirs(args.stream_dir, exist_ok=True)
-    with open(fp_path, "w") as f:
-        f.write(config.fingerprint)
-
     state = current_state(args.stream_dir)
     if state is None:  # empty input dir: nothing drained, no state yet
         n_convs = n_clusters = 0

@@ -102,3 +102,16 @@ def test_ivf_pairs_finds_clone_pairs(spark):
     assert len(missed) <= 0.01 * n_base, f"missed {len(missed)} clone pairs"
     # precision is exact by construction (cosine verify), never below threshold
     assert all(p in expected for p in pairs)
+
+
+def test_centroid_cache_bounded(spark, clustered_df):
+    """ADVICE r3: the centroid cache is LRU-bounded — a long-lived session
+    training against many (plan, params) keys cannot grow it without
+    limit."""
+    from dedup import ivf
+
+    ivf._CENTROID_CACHE.clear()
+    e = clustered_df.select("vec_id", "embedding")
+    for seed in range(ivf._CENTROID_CACHE_MAX + 3):
+        ivf.trained_centroids(e, n_cells=4, n_iter=2, seed=seed, max_sample=64)
+    assert len(ivf._CENTROID_CACHE) == ivf._CENTROID_CACHE_MAX

@@ -286,6 +286,70 @@ def test_compact_dirty_scope_redelivery_is_cheap(spark):
     assert _clusters_canonical(current_clusters(spark, stream_dir)) == before
 
 
+def test_stream_config_binding_in_manifest(spark):
+    """ADVICE r3 (medium): the manifest itself records the bootstrap config
+    fingerprint; a direct process_batch / compact_reopen under a different
+    config must be refused — not just the CLI path."""
+    import pytest
+
+    from dedup.streaming import process_batch
+
+    cfg_a = DedupConfig(shuffle_partitions=8)
+    cfg_b = DedupConfig(shuffle_partitions=8, num_perm=64, lsh_bands=16)
+    corpus = gen_transcripts(spark, 40, seed=41, partitions=2, edge_rows=False).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="stream_in9_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state9_")
+    corpus.write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg_a)
+
+    with pytest.raises(ValueError, match="config-bound"):
+        process_batch(spark, corpus, 99, stream_dir, cfg_b)
+    with pytest.raises(ValueError, match="config-bound"):
+        compact_reopen(spark, tmp, stream_dir, cfg_b)
+    # original config still works
+    assert current_clusters(spark, stream_dir).count() == 40
+
+
+def test_compact_preserves_intra_file_duplicate_quarantine(spark):
+    """ADVICE r3: a byte-identical duplicate (conv_id, turn_idx) row WITHIN
+    one input file is W2 data ambiguity (batch and micro-batch quarantine
+    it); compaction must not collapse it into a clean conversation and
+    re-cluster — only cross-file redelivery duplicates may collapse."""
+    cfg = DedupConfig(shuffle_partitions=8)
+    corpus = gen_transcripts(spark, 60, seed=43, partitions=2, edge_rows=False).localCheckpoint()
+    amb = corpus.select("conv_id").distinct().orderBy("conv_id").head()["conv_id"]
+    dup_row = corpus.filter((F.col("conv_id") == amb) & (F.col("turn_idx") == 0))
+    with_dup = corpus.unionByName(dup_row)
+
+    tmp = tempfile.mkdtemp(prefix="stream_in10_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state10_")
+    with_dup.coalesce(1).write.mode("append").parquet(tmp)  # one file
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    q_ids = {
+        r["conv_id"]
+        for r in current_quarantine(spark, stream_dir)
+        .filter(F.col("reason") == "ambiguous_turn_order")
+        .collect()
+    }
+    assert amb in q_ids
+
+    # redeliver everything (marks all convs dirty); the duplicate row is
+    # present twice in EACH file, so max-per-file multiplicity keeps it —
+    # nothing actually changed, so the scoped compaction re-opens nothing
+    with_dup.coalesce(1).write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    assert compact_reopen(spark, tmp, stream_dir, cfg, scope="dirty") == 0
+    clustered = {
+        r["conv_id"]
+        for r in current_clusters(spark, stream_dir).select("conv_id").collect()
+    }
+    assert amb not in clustered
+    assert clustered == {
+        r["conv_id"]
+        for r in corpus.select("conv_id").distinct().collect()
+    } - {amb}
+
+
 def test_stream_idempotent_redelivery(spark):
     """Re-delivering already-seen conversations (duplicate files) must not
     change the clustering — the reference's per-event 'seen' semantics."""
