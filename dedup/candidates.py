@@ -130,27 +130,22 @@ def bucket_pairs(
     )
 
 
-def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFrame:
-    """All three candidate sources through ONE exchange + sort + window.
+def unified_key_table(features: DataFrame, config: DedupConfig) -> DataFrame:
+    """ONE scan of the (wide — it carries the shingle arrays) features table
+    -> the narrow unified bucket-key table (src, k1, k2, conv_id, payload):
+    each row emits its LSH band hashes (src=mh), SimHash pigeonhole chunks
+    (src=sh, payload=simhash for the Hamming verify), and suffix-window
+    fingerprints (src=sf) as one concatenated struct array through a single
+    explode. Building three per-source tables instead (band_table ∪
+    chunk_table ∪ suffix explode) scans and deserializes the checkpointed
+    feature rows three times — pure memory-bandwidth burn that shows up
+    directly in N-vs-4N CPU inflation.
 
-    The per-source bucket tables (LSH bands, SimHash pigeonhole chunks,
-    suffix-window fingerprints) are narrow (src, k1, k2, conv_id, payload)
-    rows; unioned, they share a single hash partitioning on the bucket key
-    instead of three independent shuffles racing for the same task slots —
-    measured locally, three concurrent exchange+sort stages scaled only
-    ~1.6x from 1→4 cores (slot contention + triple barrier) while one fused
-    stage scales like the rest of the pipeline. `src` is part of the window
-    key, so bucket families never mix; pairs come back tagged per source
-    (mh | sh | sf) with the SimHash Hamming verify applied in the same
-    projection.
+    This table is also the streaming candidate *index* row format: persisted
+    append-only per batch, it lets an incremental merge equi-join only the
+    new batch's keys against prior keys instead of rebuilding bucket tables
+    over the whole corpus (VERDICT r3 #1).
     """
-    # ONE scan of the (wide — it carries the shingle arrays) features table:
-    # each row emits its band hashes, pigeonhole chunks, and suffix
-    # fingerprints as one concatenated struct array through a single
-    # explode. Building three per-source tables instead (band_table ∪
-    # chunk_table ∪ suffix explode) scans and deserializes the checkpointed
-    # feature rows three times — pure memory-bandwidth burn that shows up
-    # directly in N-vs-4N CPU inflation.
     r = config.lsh_rows
     nulled = F.lit(None).cast("long")
 
@@ -203,10 +198,33 @@ def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFram
         ),
         lambda fp: entry("sf", F.lit(0), fp, nulled),
     )
-    unified = rep_features.select(
+    return features.select(
         "conv_id", F.explode(F.concat(bands, chunks, fps)).alias("e")
     ).select("e.src", "e.k1", "e.k2", "conv_id", "e.payload")
 
+
+def _hamming_ok(config: DedupConfig) -> F.Column:
+    return (F.col("src") != "sh") | (
+        F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b")))
+        <= config.hamming_d
+    )
+
+
+def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFrame:
+    """All three candidate sources through ONE exchange + sort + window.
+
+    The per-source bucket tables (LSH bands, SimHash pigeonhole chunks,
+    suffix-window fingerprints) are narrow (src, k1, k2, conv_id, payload)
+    rows; unioned (unified_key_table), they share a single hash partitioning
+    on the bucket key instead of three independent shuffles racing for the
+    same task slots — measured locally, three concurrent exchange+sort
+    stages scaled only ~1.6x from 1→4 cores (slot contention + triple
+    barrier) while one fused stage scales like the rest of the pipeline.
+    `src` is part of the window key, so bucket families never mix; pairs
+    come back tagged per source (mh | sh | sf) with the SimHash Hamming
+    verify applied in the same projection.
+    """
+    unified = unified_key_table(rep_features, config)
     pairs = bucket_pairs(
         unified,
         ["src", "k1", "k2"],
@@ -215,11 +233,52 @@ def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFram
         assume_distinct=True,
         carry_cols=["src"],
     )
-    hamming_ok = (F.col("src") != "sh") | (
-        F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b")))
-        <= config.hamming_d
+    return pairs.filter(_hamming_ok(config)).select("src", "a", "b")
+
+
+def index_join_pairs(
+    new_keys: DataFrame, index: DataFrame, config: DedupConfig
+) -> DataFrame:
+    """New-batch keys × persisted key index -> candidate pairs (src, a, b)
+    with a = new conv, b = indexed conv — the O(delta) replacement for
+    rebuilding bucket tables over the whole prior corpus every merge.
+
+    Shape at scale: the new batch's key table is micro-batch-sized, so it
+    broadcasts; the index side is a columnar scan with NO shuffle and no
+    sort — Spark's broadcast hash join streams index rows past the
+    new-key hash table, and on a real deployment the index parts are
+    additionally prunable by bucket-key min/max. Per (bucket key, new
+    conv), only the `bucket_cap` smallest indexed members are kept (the
+    bucket minimum is always among them), mirroring the batch path's
+    star-to-min hot-bucket bound — a pathological hot key degrades to a
+    spill-safe window sort over its matches, never an unbounded explosion.
+    """
+    nk = new_keys.select(
+        "src", "k1", "k2",
+        F.col("conv_id").alias("a"),
+        F.col("payload").alias("payload_a"),
     )
-    return pairs.filter(hamming_ok).select("src", "a", "b")
+    idx = index.select(
+        "src", "k1", "k2",
+        F.col("conv_id").alias("b"),
+        F.col("payload").alias("payload_b"),
+    )
+    joined = idx.join(F.broadcast(nk), ["src", "k1", "k2"]).filter(
+        F.col("a") != F.col("b")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src", "k1", "k2", "a").orderBy("b")
+    capped = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= config.bucket_cap)
+        .drop("_rn")
+    )
+    return (
+        capped.filter(_hamming_ok(config))
+        .select("src", "a", "b")
+        .dropDuplicates(["src", "a", "b"])
+    )
 
 
 def bucket_stats(bucket_df: DataFrame, key_cols: list[str], config: DedupConfig) -> DataFrame:

@@ -20,7 +20,7 @@ from dataclasses import asdict, dataclass, field, replace
 # Bumped whenever operator semantics change (pair generation, verification,
 # normalization): it salts the config fingerprint so resume can never reuse
 # stages materialized by a different engine version.
-ENGINE_VERSION = 3  # r3: fused single-exchange candidate stage (stage-name change)
+ENGINE_VERSION = 4  # r4: O(delta) incremental candidate/exact lookup indexes
 
 
 @dataclass(frozen=True)

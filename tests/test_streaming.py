@@ -286,6 +286,92 @@ def test_compact_dirty_scope_redelivery_is_cheap(spark):
     assert _clusters_canonical(current_clusters(spark, stream_dir)) == before
 
 
+def test_fold_bounds_parts_and_preserves_views(spark):
+    """VERDICT r3 #2: the manifest's per-stage part lists must stay bounded
+    across many drains (fold past the threshold), and folding must leave
+    every reader view byte-identical."""
+    from dedup.streaming import current_state as cs, fold_parts, process_batch
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    pool = (
+        gen_transcripts(spark, 1000, seed=47, partitions=2, edge_rows=False)
+        .filter(F.col("conv_id") >= "c00000900")
+        .localCheckpoint()
+    )
+    stream_dir = tempfile.mkdtemp(prefix="fold_state_")
+    process_batch(
+        spark,
+        pool.filter(F.col("conv_id") < "c00000920"),
+        0,
+        stream_dir,
+        cfg,
+        fold_threshold=3,
+    )
+    for i, lo in enumerate(range(920, 960, 5), start=1):
+        b = pool.filter(
+            (F.col("conv_id") >= f"c{lo:08d}") & (F.col("conv_id") < f"c{lo + 5:08d}")
+        )
+        process_batch(spark, b, i, stream_dir, cfg, fold_threshold=3)
+        m = cs(stream_dir)
+        over = {s: len(p) for s, p in m["parts"].items() if len(p) > 3}
+        assert not over, over
+
+    def snap():
+        cl = sorted(map(tuple, current_clusters(spark, stream_dir).collect()))
+        dc = sorted(
+            map(
+                tuple,
+                current_docs(spark, stream_dir)
+                .select("conv_id", "doc_text", "n_turns", "ambiguous")
+                .collect(),
+            )
+        )
+        qr = sorted(map(tuple, current_quarantine(spark, stream_dir).collect()))
+        return cl, dc, qr
+
+    before = snap()
+    folded = fold_parts(spark, stream_dir, threshold=1)
+    assert folded, "nothing folded at threshold 1"
+    m = cs(stream_dir)
+    assert all(len(p) == 1 for p in m["parts"].values() if p), m["parts"]
+    assert snap() == before
+    assert current_clusters(spark, stream_dir).count() == 60
+
+
+def test_fold_preserves_tombstones_after_reopen(spark):
+    """Folding applies cluster and exact-index tombstones terminally: a
+    conversation whose compaction re-opened it must not resurrect, and a
+    superseded content hash must not keep a second index row."""
+    from dedup.streaming import _prior_state, current_state as cs, fold_parts
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    full = gen_transcripts(spark, 160, seed=17, partitions=4, edge_rows=False).localCheckpoint()
+    straddle = F.crc32(F.col("conv_id")) % 5 == 0
+    file_a = full.filter(~straddle | (F.col("turn_idx") < 2))
+    file_b = full.filter(straddle & (F.col("turn_idx") >= 2))
+
+    tmp = tempfile.mkdtemp(prefix="fold_in2_")
+    stream_dir = tempfile.mkdtemp(prefix="fold_state2_")
+    file_a.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    file_b.repartition(2, "conv_id").write.mode("append").parquet(tmp)
+    stream_dedup(spark, tmp, stream_dir, cfg)
+    assert compact_reopen(spark, tmp, stream_dir, cfg) > 0
+
+    grown = sorted(
+        r["conv_id"]
+        for r in file_b.select("conv_id").distinct().collect()
+    )
+    x = grown[0]
+    before = _clusters_canonical(current_clusters(spark, stream_dir))
+    fold_parts(spark, stream_dir, threshold=1)
+    assert _clusters_canonical(current_clusters(spark, stream_dir)) == before
+    # exactly one live exact-index row points at the re-opened conv: its
+    # pre-growth hash was tombstoned, its post-growth hash re-asserted
+    ei = _prior_state(spark, cs(stream_dir)).exact_index
+    assert ei.filter(F.col("exact_rep") == x).count() == 1
+
+
 def test_stream_config_binding_in_manifest(spark):
     """ADVICE r3 (medium): the manifest itself records the bootstrap config
     fingerprint; a direct process_batch / compact_reopen under a different
