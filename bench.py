@@ -268,6 +268,46 @@ def main() -> None:
     doc_walls.sort()
     queries["dedup_pipeline_documents"] = round(doc_walls[1], 3)
 
+    # --- streaming drain cadence (VERDICT r3 #6): bootstrap + one
+    # incremental drain through the real readStream/foreachBatch path, so
+    # the streaming mode's cost sits on record next to the batch cadences
+    # and the O(delta) merge's improvement is measurable round-over-round.
+    # Median of 3 reps (same host-noise rationale as the headline). ---
+    if not os.environ.get("SPARK_GRAFT_SKIP_STREAM"):
+        from dedup.streaming import current_clusters, stream_dedup
+
+        boot_walls: list[float] = []
+        incr_walls: list[float] = []
+        incr_turns = 0
+        n_stream_clusters = 0
+        bucket = _F.pmod(_F.crc32(_F.col("conv_id")), _F.lit(20))
+        boot = turns.filter(bucket != 0)
+        inc = turns.filter(bucket == 0)
+        incr_turns = inc.count()
+        for rep in range(3):
+            sdir = tempfile.mkdtemp(prefix="dedup_bench_stream_", dir=state_dir)
+            in_dir = tempfile.mkdtemp(prefix="dedup_bench_sin_", dir=state_dir)
+            boot.repartition(8, "conv_id").write.mode("append").parquet(in_dir)
+            t0 = time.monotonic()
+            stream_dedup(spark, in_dir, sdir, cfg)
+            boot_walls.append(time.monotonic() - t0)
+            inc.repartition(2, "conv_id").write.mode("append").parquet(in_dir)
+            t0 = time.monotonic()
+            stream_dedup(spark, in_dir, sdir, cfg)
+            incr_walls.append(time.monotonic() - t0)
+            n_stream_clusters = (
+                current_clusters(spark, sdir).select("cluster_id").distinct().count()
+            )
+            shutil.rmtree(sdir, ignore_errors=True)
+            shutil.rmtree(in_dir, ignore_errors=True)
+        boot_walls.sort()
+        incr_walls.sort()
+        queries["stream_bootstrap"] = round(boot_walls[1], 3)
+        queries["stream_incr_drain"] = round(incr_walls[1], 3)
+        extras["stream_incr_turns"] = incr_turns
+        extras["stream_incr_turns_per_sec"] = round(incr_turns / incr_walls[1], 1)
+        extras["stream_n_clusters"] = n_stream_clusters
+
     # --- representative relational/operator queries ---
     # median of 3 runs each: single runs on this time-shared host swing
     # 2-3x with the grant (r2 showed phantom 1.3-3x "regressions" from
