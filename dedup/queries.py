@@ -451,6 +451,71 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q27_events_stream_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time streaming dedup (§2.9): the events table is replayed
+    through a real Structured Streaming query — watermark on ts +
+    dropDuplicatesWithinWatermark on (day window, event_type, user_id) —
+    and the surviving keys are rolled up to unique users per day/type.
+
+    The watermark delay exceeds the corpus's event-time span, so
+    within-watermark dedup is exactly distinct-key semantics and the result
+    is deterministic regardless of file/partition arrival order (only the
+    key columns are kept, so which physical duplicate wins is
+    unobservable). Value-checked against DuckDB COUNT(DISTINCT user_id).
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    src_path = f"{sf_dir}/events.parquet"
+    # the file streaming source lists a DIRECTORY; the testdata table is a
+    # single parquet file — stage it once per sf_dir into a cached dir
+    if not _os.path.isdir(src_path):
+        staged = (
+            f"{_tempfile.gettempdir()}/q27_events_"
+            f"{_hashlib.md5(src_path.encode()).hexdigest()[:10]}"
+        )
+        if not _os.path.exists(f"{staged}/events.parquet"):
+            _os.makedirs(staged, exist_ok=True)
+            _shutil.copy(src_path, f"{staged}/events.parquet")
+        src_path = staged
+    schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    keys = (
+        # the parquet stores TIMESTAMP_NTZ; watermarks require TIMESTAMP.
+        # The session TZ is pinned UTC (session.py), so the cast is
+        # wall-clock-identical and window starts match DuckDB time_bucket.
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "365 days")
+        .withColumn("window_start", F.window("ts", "1 day")["start"])
+        .dropDuplicatesWithinWatermark(["window_start", "event_type", "user_id"])
+        .select("window_start", "event_type", "user_id")
+    )
+    sink = f"q27_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        keys.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").cast("long").alias("uniq_users"))
+    )
+
+
+Q27_SQL = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users
+FROM events GROUP BY 1, 2
+"""
+
+
 def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators (language-ID heuristic, token/word-piece
     counts, punctuation ratio, quality score) — full per-document parity."""
@@ -892,6 +957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_embedding_ivf_knn": q24_embedding_ivf_knn,
     "q25_substring_pairs": q25_substring_pairs,
     "q26_candidate_recall_misses": q26_candidate_recall_misses,
+    "q27_events_stream_dedup_windowed": q27_events_stream_dedup_windowed,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -918,4 +984,5 @@ ORACLE_SQL: dict[str, str] = {
     "q24_embedding_ivf_knn": Q24_SQL,
     "q25_substring_pairs": Q25_SQL,
     "q26_candidate_recall_misses": Q26_SQL,
+    "q27_events_stream_dedup_windowed": Q27_SQL,
 }
