@@ -227,9 +227,17 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_bmp(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_baseline_jpeg
+
+        # pure-numpy baseline decoder (jpeg.py): agrees with the JVM
+        # ImageIO reference to <1 mean abs level on real photos;
+        # progressive/arithmetic variants raise inside
+        return decode_baseline_jpeg(b)
     raise NotImplementedError(
-        "JPEG/WebP/... require PIL/cv2 (unavailable in this container); "
-        "supported here: PPM P6, 24-bit BMP, 8-bit RGB/RGBA PNG"
+        "WebP/... require PIL/cv2 (unavailable in this container); "
+        "supported here: PPM P6, 24-bit BMP, 8-bit RGB/RGBA PNG, "
+        "baseline JPEG"
     )
 
 

@@ -4,6 +4,8 @@ dedup."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -21,7 +23,9 @@ from dedup.multimodal import (
 
 def test_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF...")  # JPEG needs PIL/cv2
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP needs a codec lib
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF...")  # JPEG header without SOF/SOS
 
 
 def test_decode_ppm_roundtrip():
@@ -288,3 +292,69 @@ def test_wav_roundtrip_and_audio_features(spark):
            for r in exact_audio_dedup(feats).collect()}
     assert rep["a000010"] == rep["a000005"] == "a000005"
     assert rep["a000011"] == "a000011"
+
+
+SPARK_IMG_DIR = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SPARK_IMG_DIR), reason="pyspark sample images absent"
+)
+def test_jpeg_decode_matches_jvm_imageio_reference(spark):
+    """The pure-numpy baseline JPEG decoder (dedup/jpeg.py) must agree with
+    an independent reference decoder — Spark's image source (JVM ImageIO) —
+    on real photographic 4:2:0 files: identical dimensions, mean absolute
+    pixel difference < 2 levels (decoders legitimately differ in IDCT
+    rounding and chroma upsampling)."""
+    import glob
+
+    from dedup.jpeg import decode_baseline_jpeg
+
+    paths = sorted(glob.glob(f"{SPARK_IMG_DIR}/kittens/*.jpg")) + [
+        f"{SPARK_IMG_DIR}/multi-channel/chr30.4.184.jpg"
+    ]
+    assert len(paths) >= 3
+    for p in paths:
+        row = spark.read.format("image").load(p).select("image.*").head()
+        ref = (
+            np.frombuffer(bytes(row.data), dtype=np.uint8)
+            .reshape(row.height, row.width, row.nChannels)[..., ::-1]
+            .astype(int)
+        )
+        mine = decode_baseline_jpeg(open(p, "rb").read()).astype(int)
+        assert mine.shape == ref.shape, p
+        mad = np.abs(ref - mine).mean()
+        assert mad < 2.0, (p, mad)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SPARK_IMG_DIR), reason="pyspark sample images absent"
+)
+def test_jpeg_through_media_pipeline_real_decode(spark):
+    """Real JPEG payloads flow through featurize_media(fake_decode=False):
+    distinct photos -> distinct hashes/features; progressive JPEG raises at
+    the guarded branch."""
+    import glob
+
+    from dedup.jpeg import decode_baseline_jpeg
+    from dedup.multimodal import decode_image
+
+    paths = sorted(glob.glob(f"{SPARK_IMG_DIR}/kittens/*.jpg"))[:3]
+    rows = [
+        (f"j{i}", "image", open(p, "rb").read(), "image/jpeg", None, None, None)
+        for i, p in enumerate(paths)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = featurize_media(media, partitions=2, fake_decode=False)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 3
+    assert len({r["sha256"] for r in got.values()}) == 3
+    assert all(len(r["feature"]) == FEATURE_DIM for r in got.values())
+
+    # decode_image dispatches JPEG by magic bytes
+    img = decode_image(open(paths[0], "rb").read())
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+
+    prog = f"{SPARK_IMG_DIR}/multi-channel/grayscale.jpg"  # SOF2 progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_baseline_jpeg(open(prog, "rb").read())
