@@ -149,23 +149,28 @@ def unified_key_table(features: DataFrame, config: DedupConfig) -> DataFrame:
     r = config.lsh_rows
     nulled = F.lit(None).cast("long")
 
-    def entry(src: str, k1, k2, payload) -> F.Column:
+    def entry(src: int, k1, k2, payload) -> F.Column:
+        # src is a TINYINT code (_SRC_MH/_SRC_SH/_SRC_SF), not a string:
+        # every exchanged key row saves the variable-length string section
+        # (~8-16 B/row on a ~64 B row) and the window's partition compare
+        # is a byte compare — measurable DRAM-bandwidth relief on the one
+        # big exchange (the host's binding resource, BENCH/NOTES.md)
         return F.struct(
-            F.lit(src).alias("src"),
+            F.lit(src).cast("tinyint").alias("src"),
             k1.cast("long").alias("k1"),
             k2.cast("long").alias("k2"),
             payload.cast("long").alias("payload"),
         )
 
     empty = F.array().cast(
-        "array<struct<src:string,k1:bigint,k2:bigint,payload:bigint>>"
+        "array<struct<src:tinyint,k1:bigint,k2:bigint,payload:bigint>>"
     )
     bands = F.when(
         F.col("sig").isNotNull(),
         F.array(
             *[
                 entry(
-                    "mh",
+                    _SRC_MH,
                     F.lit(i),
                     F.xxhash64(F.lit(i), F.slice("sig", i * r + 1, r)),
                     nulled,
@@ -184,7 +189,7 @@ def unified_key_table(features: DataFrame, config: DedupConfig) -> DataFrame:
         mask = (1 << width) - 1
         chunk_exprs.append(
             entry(
-                "sh",
+                _SRC_SH,
                 F.lit(i),
                 F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask)),
                 F.col("simhash"),
@@ -196,15 +201,28 @@ def unified_key_table(features: DataFrame, config: DedupConfig) -> DataFrame:
             F.coalesce(F.col("suffix_fps"), F.array().cast("array<bigint>")),
             lambda fp: fp.isNotNull(),
         ),
-        lambda fp: entry("sf", F.lit(0), fp, nulled),
+        lambda fp: entry(_SRC_SF, F.lit(0), fp, nulled),
     )
     return features.select(
         "conv_id", F.explode(F.concat(bands, chunks, fps)).alias("e")
     ).select("e.src", "e.k1", "e.k2", "conv_id", "e.payload")
 
 
+# tinyint source codes for the unified key/index tables; mapped back to
+# the stable external tags (mh | sh | sf) at the pair boundary
+_SRC_MH, _SRC_SH, _SRC_SF = 0, 1, 2
+
+
+def _src_name() -> F.Column:
+    return (
+        F.when(F.col("src") == _SRC_MH, "mh")
+        .when(F.col("src") == _SRC_SH, "sh")
+        .otherwise("sf")
+    )
+
+
 def _hamming_ok(config: DedupConfig) -> F.Column:
-    return (F.col("src") != "sh") | (
+    return (F.col("src") != _SRC_SH) | (
         F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b")))
         <= config.hamming_d
     )
@@ -233,7 +251,9 @@ def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFram
         assume_distinct=True,
         carry_cols=["src"],
     )
-    return pairs.filter(_hamming_ok(config)).select("src", "a", "b")
+    return pairs.filter(_hamming_ok(config)).select(
+        _src_name().alias("src"), "a", "b"
+    )
 
 
 def index_join_pairs(
@@ -278,6 +298,7 @@ def index_join_pairs(
         capped.filter(_hamming_ok(config))
         .select("src", "a", "b")
         .dropDuplicates(["src", "a", "b"])
+        .select(_src_name().alias("src"), "a", "b")
     )
 
 

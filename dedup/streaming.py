@@ -229,6 +229,75 @@ def fold_parts(
     return folded
 
 
+def gc_parts(stream_dir: str) -> int:
+    """Delete state directories no longer referenced by the current
+    manifest; returns bytes freed.
+
+    Folding and promotion never delete superseded parts (a concurrent
+    reader of the old pointer must keep its files), so a long-lived stream
+    leaks disk linearly with drain count. This maintenance pass removes:
+    fold_* directories not in the manifest, and stage directories inside
+    run directories (cur_*/incr_*/compact_*) that are neither referenced as
+    parts nor run bookkeeping (_metrics/_lineage/stage manifests stay, so a
+    redelivered crashed batch still refuses config mismatches cleanly —
+    its unpromoted intermediates just recompute). Call it between drains
+    (quiescent state): a batch that crashed after materializing stages but
+    before promotion loses only resume work, never promoted data.
+    """
+    import shutil
+
+    manifest = current_state(stream_dir)
+    if manifest is None:
+        raise ValueError(f"no completed streaming state in {stream_dir}")
+    referenced = {
+        os.path.realpath(d)
+        for parts in manifest["parts"].values()
+        for d, _ in parts
+    }
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    freed = 0
+    for name in sorted(os.listdir(stream_dir)):
+        full = os.path.join(stream_dir, name)
+        if not os.path.isdir(full):
+            continue
+        if name.startswith("fold_"):
+            if os.path.realpath(full) not in referenced:
+                freed += _dir_bytes(full)
+                shutil.rmtree(full, ignore_errors=True)
+            continue
+        if not (
+            name.startswith("cur_")
+            or name.startswith("incr_")
+            or name.startswith("compact_")
+        ):
+            continue  # _checkpoint and anything unrecognized stay untouched
+        for stage_name in sorted(os.listdir(full)):
+            stage_dir = os.path.join(full, stage_name)
+            if not os.path.isdir(stage_dir) or stage_name.startswith("_"):
+                continue  # keep _metrics/_lineage
+            if os.path.realpath(stage_dir) not in referenced:
+                freed += _dir_bytes(stage_dir)
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                # drop the stage's done-manifest too: a redelivered crashed
+                # batch must recompute the stage, not "resume" from a
+                # deleted parquet directory
+                try:
+                    os.remove(os.path.join(full, f"{stage_name}.manifest.json"))
+                except OSError:
+                    pass
+    return freed
+
+
 def _promote_deltas(
     stream_dir: str,
     manifest: dict,

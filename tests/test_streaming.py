@@ -372,6 +372,39 @@ def test_fold_preserves_tombstones_after_reopen(spark):
     assert ei.filter(F.col("exact_rep") == x).count() == 1
 
 
+def test_gc_parts_frees_unreferenced_dirs(spark):
+    """gc_parts removes fold-superseded parts and unpromoted merge
+    intermediates, leaves every referenced part intact (views identical),
+    and the stream keeps working afterwards."""
+    from dedup.streaming import fold_parts, gc_parts, process_batch
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    pool = (
+        gen_transcripts(spark, 1000, seed=53, partitions=2, edge_rows=False)
+        .filter(F.col("conv_id") >= "c00000950")
+        .localCheckpoint()
+    )
+    stream_dir = tempfile.mkdtemp(prefix="gc_state_")
+    process_batch(spark, pool.filter(F.col("conv_id") < "c00000970"), 0, stream_dir, cfg)
+    for i, lo in enumerate(range(970, 990, 5), start=1):
+        b = pool.filter(
+            (F.col("conv_id") >= f"c{lo:08d}") & (F.col("conv_id") < f"c{lo + 5:08d}")
+        )
+        process_batch(spark, b, i, stream_dir, cfg)
+    fold_parts(spark, stream_dir, threshold=1)  # supersede all delta parts
+
+    before = _clusters_canonical(current_clusters(spark, stream_dir))
+    freed = gc_parts(stream_dir)
+    assert freed > 0
+    assert _clusters_canonical(current_clusters(spark, stream_dir)) == before
+    assert current_docs(spark, stream_dir).count() == 40
+    # idempotent, and the stream still accepts new batches afterwards
+    assert gc_parts(stream_dir) == 0
+    b = pool.filter(F.col("conv_id") >= "c00000990")
+    process_batch(spark, b, 99, stream_dir, cfg)
+    assert current_clusters(spark, stream_dir).count() == 50
+
+
 def test_stream_config_binding_in_manifest(spark):
     """ADVICE r3 (medium): the manifest itself records the bootstrap config
     fingerprint; a direct process_batch / compact_reopen under a different
