@@ -516,6 +516,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q28_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (§2.8/2.9 `F.session_window`): per-user
+    sessions with a 30-minute inactivity gap — the event-time operator a
+    transcript/telemetry pipeline uses to segment activity bursts.
+
+    Spark's session semantics are half-open (an event exactly gap after the
+    previous one starts a NEW session; session_end = last ts + gap); the
+    DuckDB oracle reproduces them with a gaps-and-islands window (break on
+    diff >= gap). Sums use the integer-scale recipe (q17) for cross-engine
+    bit parity.
+    """
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(cents).alias("_s"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            (F.col("_s") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+Q28_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators (language-ID heuristic, token/word-piece
     counts, punctuation ratio, quality score) — full per-document parity."""
@@ -958,6 +1013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_substring_pairs": q25_substring_pairs,
     "q26_candidate_recall_misses": q26_candidate_recall_misses,
     "q27_events_stream_dedup_windowed": q27_events_stream_dedup_windowed,
+    "q28_events_session_windows": q28_events_session_windows,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -985,4 +1041,5 @@ ORACLE_SQL: dict[str, str] = {
     "q25_substring_pairs": Q25_SQL,
     "q26_candidate_recall_misses": Q26_SQL,
     "q27_events_stream_dedup_windowed": Q27_SQL,
+    "q28_events_session_windows": Q28_SQL,
 }
