@@ -571,6 +571,97 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q29_events_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (§2.9/2.10
+    `applyInPandasWithState`): per-user running stats — event count,
+    integer-cent value sum, last event time — held in explicit group state
+    across micro-batches (the events table is staged as three files and
+    drained one file per trigger, so most users' state really is updated
+    in several batches).
+
+    Deterministic by construction: every accumulator is order-independent
+    (count, integer sum, max), and the final emission per user is selected
+    as the update with the highest n_events (strictly monotone per state
+    update). Value-checked against a plain DuckDB GROUP BY.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src_file = f"{sf_dir}/events.parquet"
+    staged = (
+        f"{_tempfile.gettempdir()}/q29_events_"
+        f"{_hashlib.md5(src_file.encode()).hexdigest()[:10]}"
+    )
+    if not _os.path.exists(f"{staged}/_SUCCESS"):
+        spark.read.parquet(src_file).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    out_schema = (
+        "user_id long, n_events long, sum_cents long, last_ts timestamp"
+    )
+    state_schema = "n_events long, sum_cents long, last_ts timestamp"
+
+    def update_fn(key, pdfs, state):
+        if state.exists:
+            n, cents, last = state.get
+        else:
+            n, cents, last = 0, 0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            m = pdf["ts"].max()
+            last = m if last is None else max(last, m)
+        state.update((n, cents, last))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "sum_cents": cents, "last_ts": last}]
+        )
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    sink = f"q29_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            "last_ts",
+            (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+Q29_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(ts) AS last_ts,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators (language-ID heuristic, token/word-piece
     counts, punctuation ratio, quality score) — full per-document parity."""
@@ -1014,6 +1105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_candidate_recall_misses": q26_candidate_recall_misses,
     "q27_events_stream_dedup_windowed": q27_events_stream_dedup_windowed,
     "q28_events_session_windows": q28_events_session_windows,
+    "q29_events_stateful_user_stats": q29_events_stateful_user_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1042,4 +1134,5 @@ ORACLE_SQL: dict[str, str] = {
     "q26_candidate_recall_misses": Q26_SQL,
     "q27_events_stream_dedup_windowed": Q27_SQL,
     "q28_events_session_windows": Q28_SQL,
+    "q29_events_stateful_user_stats": Q29_SQL,
 }
