@@ -414,6 +414,75 @@ WHERE ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
 """
 
 
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (aggregate IN-subquery -> semi-join on an aggregated key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
+        .filter(F.col("_q") > 180)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+       CAST(q AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem GROUP BY l_orderkey HAVING q > 180) big
+  ON o_orderkey = big.l_orderkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of brand/size/quantity
+    predicate branches — exercises OR-predicate pushdown and join
+    reordering (part side broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 15)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 20)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") <= 30)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 40)
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        j.filter(branch1 | branch2)
+        .groupBy("p_brand")
+        .agg(rev.alias("revenue"), F.count("*").cast("long").alias("n_items"))
+    )
+
+
+Q19_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 40)
+GROUP BY p_brand
+"""
+
+
 def q17_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation via F.window (§2.8 date/ts):
     1-day windows per event_type."""
@@ -1096,6 +1165,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_embedding_knn": q15_embedding_knn,
     "q16_docs_text_profile": q16_docs_text_profile,
     "q17_events_windowed": q17_events_windowed,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q20_dedup_clusters": q20_dedup_clusters,
     "q21_minhash_lsh_pairs": q21_minhash_lsh_pairs,
     "q22_verified_pairs": q22_verified_pairs,
@@ -1126,6 +1197,8 @@ ORACLE_SQL: dict[str, str] = {
     "q15_embedding_knn": Q15_SQL,
     "q16_docs_text_profile": Q16_SQL,
     "q17_events_windowed": Q17_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
     "q20_dedup_clusters": Q20_SQL,
     "q22_verified_pairs": Q22_SQL,
     "q23_embedding_lsh_pairs": Q23_SQL,
