@@ -41,6 +41,82 @@ _A = np.array(
 )
 
 
+# Annex K.1/K.2 example quantization tables (natural order), used by the
+# encoder at quality=50; scaled by the standard IJG quality formula
+_K1_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_K2_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+# Annex K.3 example Huffman tables: (BITS counts, HUFFVAL symbols)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    bytes(
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+            0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+            0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+            0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+            0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+            0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+            0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+            0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+            0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ]
+    ),
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    bytes(
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+            0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+            0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+            0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+            0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+            0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+            0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+            0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+            0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+            0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+            0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ]
+    ),
+)
+
+
 class _BitReader:
     """MSB-first bit reader over a destuffed entropy segment; reads past
     the end return 1-bits (the spec's pad value), which terminates any
@@ -286,3 +362,170 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (ITU-T.81 B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1-bits
+
+
+def _huff_encode_table(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    """Canonical codes: symbol -> (code, length)."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling; quality=100 -> all-ones (near-lossless)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_baseline_jpeg(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """HxWx3 RGB (or HxW grayscale) uint8 -> baseline JFIF JPEG bytes.
+
+    4:4:4 (no subsampling), Annex K quantization/Huffman tables, optional
+    restart markers every `restart_interval` MCUs. At quality=100 the
+    quantization tables are all ones, so decode(encode(x)) differs from x
+    only by DCT float rounding — the basis of the round-trip tests.
+    """
+    gray = pixels.ndim == 2 or pixels.shape[2] == 1
+    if gray:
+        planes = [pixels.reshape(pixels.shape[0], pixels.shape[1]).astype(np.float64)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    H, W = planes[0].shape
+    ph, pw = -(-H // 8) * 8, -(-W // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - H), (0, pw - W)), mode="edge") for p in planes
+    ]
+
+    qs = [_scaled_quant(_K1_LUMA, quality).reshape(8, 8)]
+    if not gray:
+        qs.append(_scaled_quant(_K2_CHROMA, quality).reshape(8, 8))
+    dc_tabs = [_huff_encode_table(*_DC_LUMA)]
+    ac_tabs = [_huff_encode_table(*_AC_LUMA)]
+    if not gray:
+        dc_tabs.append(_huff_encode_table(*_DC_CHROMA))
+        ac_tabs.append(_huff_encode_table(*_AC_CHROMA))
+    comp_tab = [0] if gray else [0, 1, 1]  # quant/huff table id per component
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for tq, q in enumerate(qs):
+        zz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+        seg(0xDB, bytes([tq]) + zz.tobytes())
+    nc = len(planes)
+    sof = bytes([8]) + H.to_bytes(2, "big") + W.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, comp_tab[c]])
+    seg(0xC0, sof)
+    for cls, tabs, spec in (
+        (0, dc_tabs, (_DC_LUMA, _DC_CHROMA)),
+        (1, ac_tabs, (_AC_LUMA, _AC_CHROMA)),
+    ):
+        for tid in range(len(tabs)):
+            counts, vals = spec[tid]
+            seg(0xC4, bytes([cls << 4 | tid]) + bytes(counts) + vals)
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, comp_tab[c] << 4 | comp_tab[c]])
+    seg(0xDA, sos + bytes([0, 63, 0]))
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    mcux, mcuy = pw // 8, ph // 8
+    rst = 0
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.align()
+                bw.out.extend(b"\xff" + bytes([0xD0 + rst]))
+                rst = (rst + 1) % 8
+                preds = [0] * nc
+            for c, plane in enumerate(planes):
+                block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                coef = _A @ (block - 128.0) @ _A.T
+                q = qs[comp_tab[c]]
+                zz = np.round(coef / q).astype(np.int64).reshape(64)[_ZIGZAG]
+                dct, act = dc_tabs[comp_tab[c]], ac_tabs[comp_tab[c]]
+                diff = int(zz[0]) - preds[c]
+                preds[c] = int(zz[0])
+                s = _category(diff)
+                code, ln = dct[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if k > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = act[run << 4 | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = act[0x00]
+                    bw.write(code, ln)
+            mcu += 1
+    bw.align()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -358,3 +358,72 @@ def test_jpeg_through_media_pipeline_real_decode(spark):
     prog = f"{SPARK_IMG_DIR}/multi-channel/grayscale.jpg"  # SOF2 progressive
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_baseline_jpeg(open(prog, "rb").read())
+
+
+def test_jpeg_encode_decode_roundtrip():
+    """Encoder/decoder round trip: at quality=100 the quantization tables
+    are all ones, so decode(encode(x)) differs from x only by DCT float
+    rounding; the restart-marker and grayscale paths must agree exactly
+    with the unrestarted / replicated baselines."""
+    from dedup.jpeg import decode_baseline_jpeg, encode_baseline_jpeg
+
+    rng = np.random.default_rng(5)
+    h, w = 45, 61
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))]
+    ).astype(np.uint8)
+    img = np.clip(
+        img.astype(int) + rng.integers(-12, 12, img.shape), 0, 255
+    ).astype(np.uint8)
+
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=100))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    # restart markers exercise the decoder's RST/DC-reset path
+    dec_r = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, quality=100, restart_interval=3)
+    )
+    assert np.array_equal(dec_r, dec)
+
+    g = img[..., 0]
+    dec_g = decode_baseline_jpeg(encode_baseline_jpeg(g, quality=100))
+    assert np.abs(dec_g[..., 0].astype(int) - g.astype(int)).max() <= 2
+    assert np.array_equal(dec_g[..., 0], dec_g[..., 1])
+
+    # lossy quality actually compresses and stays recognizable
+    enc50 = encode_baseline_jpeg(img, quality=50)
+    assert len(enc50) < len(encode_baseline_jpeg(img, quality=100)) / 3
+    d50 = np.abs(
+        decode_baseline_jpeg(enc50).astype(int) - img.astype(int)
+    ).mean()
+    assert d50 < 12
+
+
+def test_jpeg_encoder_accepted_by_jvm_imageio(spark, tmp_path):
+    """Our encoder's output must be decodable by an independent reference
+    (Spark's image source / JVM ImageIO) with pixels close to the source —
+    proving the emitted bitstream is spec-conformant, not merely
+    self-consistent with our own decoder."""
+    from dedup.jpeg import encode_baseline_jpeg
+
+    rng = np.random.default_rng(7)
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [(255 - xx * 255 / w), (yy * 255 / h), (xx * yy * 255 / (h * w))]
+    ).astype(np.uint8)
+    img = np.clip(
+        img.astype(int) + rng.integers(-8, 8, img.shape), 0, 255
+    ).astype(np.uint8)
+    p = tmp_path / "enc.jpg"
+    p.write_bytes(encode_baseline_jpeg(img, quality=100))
+    row = spark.read.format("image").load(str(p)).select("image.*").head()
+    assert (row.height, row.width) == (h, w), (row.height, row.width)
+    ref = (
+        np.frombuffer(bytes(row.data), dtype=np.uint8)
+        .reshape(h, w, row.nChannels)[..., ::-1]
+        .astype(int)
+    )
+    assert np.abs(ref - img.astype(int)).mean() < 2.0
