@@ -259,7 +259,7 @@ def merge_with_prior(
     def build_new_keys() -> DataFrame:
         return unified_key_table(new_features, config)
 
-    new_keys = state.materialize("incr_new_keys", build_new_keys)
+    new_keys = state.materialize_ephemeral("incr_new_keys", build_new_keys)
 
     def build_cands() -> DataFrame:
         from .candidates import unified_candidates
@@ -285,7 +285,7 @@ def merge_with_prior(
             sub.withColumn("src", F.lit("substring"))
         )
 
-    cands = state.materialize("incr_cands", build_cands)
+    cands = state.materialize_ephemeral("incr_cands", build_cands)
 
     # the candidate-index delta: key rows for the batch's representatives
     # only (an exact duplicate's keys are identical to its rep's — indexing
@@ -332,7 +332,7 @@ def merge_with_prior(
         ).select("a", "b")
         return vj.unionByName(vs).dropDuplicates(["a", "b"])
 
-    verified = state.materialize("incr_verified", build_verified)
+    verified = state.materialize_ephemeral("incr_verified", build_verified)
 
     # 4. merge: CC over new edges + assignment edges of TOUCHED clusters
     # only. Every new edge endpoint is a new conv or a prior rep, so any
@@ -377,7 +377,7 @@ def merge_with_prior(
             "conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id")
         )
 
-    reassigned = state.materialize("incr_reassigned", build_reassigned)
+    reassigned = state.materialize_ephemeral("incr_reassigned", build_reassigned)
 
     # delta: rows added or renamed by this batch (what an append-only state
     # needs to write); full clusters = prior rows not superseded ∪ reassigned

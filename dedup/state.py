@@ -146,6 +146,21 @@ class RunState:
         )
         return written.drop(_PART_COL)
 
+    def materialize_ephemeral(
+        self, stage: str, build: Callable[[], DataFrame]
+    ) -> DataFrame:
+        """Materialize an INTERMEDIATE stage via eager localCheckpoint even
+        when the run is in parquet mode.
+
+        For stages whose output is consumed only within the same run and
+        never promoted/read back (e.g. the incremental merge's candidate
+        and verification intermediates), the parquet encode+commit+re-read
+        barrier buys nothing: a crashed run recomputes them
+        deterministically from the durable stages on redelivery. Skipping
+        it removes one job barrier + one round trip through storage per
+        stage — a measurable share of a micro-batch drain's fixed cost."""
+        return self._persist_stage(stage, build)
+
     def _persist_stage(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Bench/CI fast path: eager localCheckpoint — lineage truncated
         into block-store RDD blocks, so a stage runs exactly once even when
