@@ -6,10 +6,12 @@ multimodal payloads ride the same plumbing as documents).
 Design mirrors `multimodal.featurize_media`: payloads stay opaque `binary`
 in the DataFrame, decode runs JVM→Arrow→numpy inside `mapInPandas` (one
 batch of payloads per Arrow chunk, no row-at-a-time Python), and the exact
-dedup on content hash reuses the hash-groupBy shape. Compressed codecs
-(mp3/ogg/flac) need external libs this container doesn't ship — they raise
+dedup on content hash reuses the hash-groupBy shape. Real decode paths:
+WAV (integer/float PCM, G.711, IMA ADPCM — this module) and FLAC
+(`dedup.flac`, pure stdlib/numpy). Perceptual codecs (mp3/ogg-vorbis)
+need external libs this container doesn't ship — they raise
 NotImplementedError at the same guarded branch a real deployment would
-plug a decoder into; PCM WAV decode is real and round-trip-tested.
+plug a decoder into.
 """
 
 from __future__ import annotations
@@ -163,7 +165,8 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     IEEE float (format 3), G.711 mu-law (7) and A-law (6), and IMA/DVI
     ADPCM (0x11) including multi-channel block interleave — i.e. the
     compressed WAV variants actually seen in telephony/telemetry dumps.
-    Perceptual codecs (mp3/ogg/flac) still need an external library."""
+    FLAC payloads take the `dedup.flac` path via `decode_audio`;
+    perceptual codecs (mp3/ogg-vorbis) still need an external library."""
     chunks = _riff_chunks(b)
     fmt = chunks.get(b"fmt ")
     data = chunks.get(b"data")
@@ -341,8 +344,12 @@ def decode_audio(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int]:
         return rng.standard_normal((256, 1)) * 0.1, 16000
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        "compressed audio (mp3/ogg/flac) needs an external codec; "
+        "perceptual audio (mp3/ogg-vorbis) needs an external codec; "
         "plug one in here or use fake=True for plumbing tests"
     )
 

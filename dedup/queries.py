@@ -731,6 +731,66 @@ FROM events GROUP BY user_id
 """
 
 
+def q30_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-style, Abbas et al. 2023 — public): cluster
+    assignment + keep-one representative election over embedding-space
+    near-duplicates. The scale path end to end: SRP hyperplane-LSH bucketed
+    candidates → exact-cosine verify at >= 0.95 (the green q23 pair set) →
+    large-star/small-star connected components → min-vec_id representative.
+    Every vector gets a row; `is_rep` marks the one copy a training-data
+    pipeline would keep. Oracle-checked: DuckDB regenerates the planted
+    clones, brute-forces the cos >= 0.95 edge set, and reproduces the
+    clustering with a recursive-CTE walk — a green row proves ANN recall,
+    verification precision, AND the CC/representative logic together."""
+    from .cc import connected_components
+    from .config import DedupConfig
+    from .embedding import planted_clones_sql, srp_pairs_from_df
+
+    e = planted_clones_sql(spark, sf_dir)
+    pairs = srp_pairs_from_df(e, DedupConfig(), threshold=0.95)
+    assign, _ = connected_components(pairs.select("a", "b"), DedupConfig())
+    assign = assign.select(
+        F.col("conv_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    return (
+        e.select("vec_id")
+        .join(assign, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("is_rep"),
+        )
+    )
+
+
+Q30_SQL = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), clones AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(generate_series(1, len(v)),
+           i -> v[i] * (1.0 + (0.08 * (((i - 1) % 7) - 3)) / 3.0)) AS v
+  FROM base
+), p AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM clones)
+), pair AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM p l JOIN p r ON l.vec_id < r.vec_id
+  WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.95
+), edges AS (
+  SELECT a AS u, b AS v FROM pair UNION SELECT b, a FROM pair
+), walk(id, cid) AS (
+  SELECT vec_id, vec_id FROM p
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS vec_id, MIN(cid) AS cluster_id, MIN(cid) = id AS is_rep
+FROM walk GROUP BY id
+"""
+
+
 def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators (language-ID heuristic, token/word-piece
     counts, punctuation ratio, quality score) — full per-document parity."""
@@ -1177,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_events_stream_dedup_windowed": q27_events_stream_dedup_windowed,
     "q28_events_session_windows": q28_events_session_windows,
     "q29_events_stateful_user_stats": q29_events_stateful_user_stats,
+    "q30_embedding_dedup_clusters": q30_embedding_dedup_clusters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1208,4 +1269,5 @@ ORACLE_SQL: dict[str, str] = {
     "q27_events_stream_dedup_windowed": Q27_SQL,
     "q28_events_session_windows": Q28_SQL,
     "q29_events_stateful_user_stats": Q29_SQL,
+    "q30_embedding_dedup_clusters": Q30_SQL,
 }

@@ -517,3 +517,114 @@ def test_compressed_wav_through_audio_pipeline(spark):
         assert 0.2 < r["rms"] < 0.5 and 0.3 < r["peak"] <= 1.0
     rep = {r["media_id"]: r["media_rep"] for r in exact_audio_dedup(feats).collect()}
     assert rep["u2"] == rep["u0"] and rep["u1"] != rep["u0"]
+
+
+def test_flac_roundtrip_all_subframe_types():
+    """FLAC codec (dedup.flac, RFC 9639): encode→decode is bit-lossless
+    for CONSTANT, VERBATIM, and FIXED-2+Rice subframes, across block
+    sizes, with the decoder checking frame CRC-16 and STREAMINFO MD5 —
+    spec-defined integrity checksums computed over independent
+    representations (raw samples vs bitstream), so a green round-trip
+    validates framing AND reconstruction, not just inverse code paths."""
+    from dedup.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(11)
+    t = np.arange(5000) / 8000.0
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.01 * rng.standard_normal(5000)
+    expect = np.clip(np.round(mono * 32767), -32768, 32767) / 32768.0
+    for kwargs in (dict(), dict(force_verbatim=True), dict(block_size=192)):
+        x, rate = decode_flac(encode_flac(mono, 8000, **kwargs))
+        assert rate == 8000 and x.shape == (5000, 1)
+        np.testing.assert_allclose(x[:, 0], expect, atol=1e-12)
+    x, _ = decode_flac(encode_flac(np.full(1000, 0.25), 16000))
+    assert x.shape == (1000, 1) and abs(float(x[0, 0]) - 0.25) < 1e-3
+
+
+def test_flac_stereo_decorrelation_modes():
+    """Independent and mid/side channel assignments both reconstruct the
+    exact samples (mid/side exercises the +1-bit side channel and the
+    (mid<<1 | side&1) inverse)."""
+    from dedup.flac import decode_flac, encode_flac
+
+    t = np.arange(3000) / 8000.0
+    stereo = np.stack(
+        [0.5 * np.sin(2 * np.pi * 440 * t), 0.3 * np.cos(2 * np.pi * 220 * t)],
+        axis=1,
+    )
+    expect = np.clip(np.round(stereo * 32767), -32768, 32767) / 32768.0
+    for ms in (False, True):
+        x, rate = decode_flac(encode_flac(stereo, 44100, mid_side=ms))
+        assert rate == 44100 and x.shape == (3000, 2)
+        np.testing.assert_allclose(x, expect, atol=1e-12)
+
+
+def test_flac_integrity_checks_reject_corruption():
+    """A flipped bit in a frame body fails the CRC-16 (or, if it lands in
+    a way that preserves framing, the STREAMINFO MD5) — the decoder never
+    silently returns wrong samples."""
+    from dedup.flac import decode_flac, encode_flac
+
+    b = bytearray(encode_flac(np.linspace(-0.5, 0.5, 2000), 8000))
+    b[-40] ^= 0x10  # inside the last frame's residual
+    with pytest.raises(ValueError):
+        decode_flac(bytes(b))
+
+
+def test_flac_through_audio_pipeline(spark):
+    """FLAC payloads flow through featurize_audio(fake_decode=False) next
+    to WAV rows: same features for the same signal regardless of
+    container, exact dedup keys on payload bytes."""
+    import pandas as pd
+
+    from dedup.audio import (
+        AUDIO_SCHEMA,
+        encode_wav,
+        exact_audio_dedup,
+        featurize_audio,
+    )
+    from dedup.flac import encode_flac
+
+    t = np.arange(1600) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 330 * t)
+    rows = [
+        ("f0", "audio", encode_flac(x, 8000), "audio/flac", 8000, 200),
+        ("f1", "audio", encode_flac(x, 8000, mid_side=False, block_size=512),
+         "audio/flac", 8000, 200),
+        ("w0", "audio", encode_wav(x, 8000), "audio/wav", 8000, 200),
+        ("f2", "audio", encode_flac(x, 8000), "audio/flac", 8000, 200),  # dup of f0
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "media_id", "kind", "payload", "mime", "sample_rate", "duration_ms",
+        ]),
+        AUDIO_SCHEMA,
+    )
+    feats = featurize_audio(media, partitions=2, fake_decode=False)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got["f0"]["sample_rate"] == 8000 and got["f0"]["n_samples"] == 1600
+    # FLAC is lossless 16-bit: same rms/peak as the 16-bit PCM WAV row
+    assert abs(got["f0"]["rms"] - got["w0"]["rms"]) < 1e-9
+    assert abs(got["f0"]["peak"] - got["w0"]["peak"]) < 1e-9
+    rep = {r["media_id"]: r["media_rep"] for r in exact_audio_dedup(feats).collect()}
+    assert rep["f2"] == rep["f0"] and rep["f1"] != rep["f0"]
+
+
+def test_flac_lpc_and_wasted_bits_paths():
+    """The decoder's explicit-LPC subframe path (precision/shift/coef
+    header) and wasted-bits path are exercised via encoder options: LPC
+    round-trips bit-exact, and wasted-bits streams are strictly smaller
+    while decoding to identical samples (proof the field engaged)."""
+    from dedup.flac import decode_flac, encode_flac
+
+    t = np.arange(4000) / 8000.0
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    expect = np.clip(np.round(mono * 32767), -32768, 32767) / 32768.0
+    x, _ = decode_flac(encode_flac(mono, 8000, as_lpc=True))
+    np.testing.assert_allclose(x[:, 0], expect, atol=1e-12)
+
+    coarse = (np.round(0.4 * np.sin(2 * np.pi * 440 * t) * 127) * 256) / 32768.0
+    small = encode_flac(coarse, 8000, use_wasted=True)
+    plain = encode_flac(coarse, 8000, use_wasted=False)
+    xs, _ = decode_flac(small)
+    xp, _ = decode_flac(plain)
+    assert np.array_equal(xs, xp) and len(small) < len(plain)
