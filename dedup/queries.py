@@ -791,6 +791,76 @@ FROM walk GROUP BY id
 """
 
 
+def q31_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set decontamination — the n-gram-collision rule used for
+    LLM training corpora (public method: Brown et al. NeurIPS'20 §C /
+    Chowdhery et al. '22): a document is contaminated iff it shares any
+    13-token window with the held-out benchmark set (here the
+    deterministic doc_id % 5 == 0 subset standing in for an eval set).
+
+    Spark-first scale shape: the benchmark side is tiny by construction
+    (eval sets are ~MBs at 100 TB corpus scale), so its distinct window
+    hashes BROADCAST and the corpus side is a map-only semi-join — window
+    generation, hashing, and the membership probe all happen in one
+    codegen'd scan stage with no corpus-sized shuffle; the only exchange
+    is the distinct over the (already-filtered) contaminated doc ids.
+    Oracle-checked: DuckDB reproduces the flag per doc via string 13-gram
+    intersection (hash vs string equality identical absent 2^-64
+    xxhash64 collisions, the same accepted tolerance as q11/q20)."""
+    n = 13
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - n + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", grams.alias("grams")
+    )
+    bench_grams = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        d.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return d.select("doc_id").join(contaminated, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
+Q31_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS nrm FROM documents
+), t AS (
+  SELECT doc_id,
+         CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS toks
+  FROM d
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 13
+         THEN list_distinct(list_transform(generate_series(1, len(toks) - 12),
+              i -> array_to_string(toks[i:i+12], ' ')))
+         ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM t
+), bg AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 5 = 0
+)
+SELECT g.doc_id,
+       EXISTS (SELECT 1 FROM unnest(g.gs) AS u(gram)
+               JOIN bg ON bg.gram = u.gram) AS contaminated
+FROM g
+"""
+
+
 def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators (language-ID heuristic, token/word-piece
     counts, punctuation ratio, quality score) — full per-document parity."""
@@ -1238,6 +1308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_events_session_windows": q28_events_session_windows,
     "q29_events_stateful_user_stats": q29_events_stateful_user_stats,
     "q30_embedding_dedup_clusters": q30_embedding_dedup_clusters,
+    "q31_benchmark_decontamination": q31_benchmark_decontamination,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1270,4 +1341,5 @@ ORACLE_SQL: dict[str, str] = {
     "q28_events_session_windows": Q28_SQL,
     "q29_events_stateful_user_stats": Q29_SQL,
     "q30_embedding_dedup_clusters": Q30_SQL,
+    "q31_benchmark_decontamination": Q31_SQL,
 }
