@@ -861,6 +861,114 @@ FROM g
 """
 
 
+def q32_docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher/MassiveText quality
+    rules (public method: Rae et al. '21 §A1.1) adapted to token n-grams
+    (this corpus has no line structure): per doc, the duplicate-token
+    fraction, the most frequent bigram (lexicographic min on count ties)
+    with its share of all bigram occurrences, and the share of 5-gram
+    occurrences whose gram repeats within the doc. All ratios are
+    integer-count divisions — bit-identical across engines.
+
+    Scale shape: wordcount — explode n-grams, partial-aggregated
+    groupBy(doc_id, gram), then one per-doc window/rollup; everything
+    JVM-side, no Python in the path."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    d = docs.select("doc_id", toks.alias("toks"))
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (
+            1.0
+            - F.size(F.array_distinct("toks")) / F.size("toks")
+        ).alias("dup_token_frac"),
+    )
+
+    def grams(n: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size("toks") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+        )
+
+    big = (
+        d.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(grams(2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top_big = (
+        big.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("cnt").over(Window.partitionBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_bigram"),
+            (F.col("cnt") / F.col("tot")).alias("top_bigram_frac"),
+        )
+    )
+    five = (
+        d.filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(grams(5)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+                / F.sum("cnt")
+            ).alias("dup_5gram_frac")
+        )
+    )
+    return (
+        base.join(top_big, "doc_id", "left")
+        .join(five, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "dup_token_frac", "top_bigram",
+            "top_bigram_frac", "dup_5gram_frac",
+        )
+    )
+
+
+Q32_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac
+  FROM d
+), b AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM d WHERE len(toks) >= 2
+), bc AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY doc_id, gram
+), top_big AS (
+  SELECT doc_id, gram AS top_bigram,
+         CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id) AS top_bigram_frac,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM bc
+), f AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+                        i -> array_to_string(toks[i:i+4], ' '))) AS gram
+  FROM d WHERE len(toks) >= 5
+), fc AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM f GROUP BY doc_id, gram
+), five AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt)
+           AS dup_5gram_frac
+  FROM fc GROUP BY doc_id
+)
+SELECT base.doc_id, base.n_tokens, base.dup_token_frac,
+       top_big.top_bigram, top_big.top_bigram_frac, five.dup_5gram_frac
+FROM base
+LEFT JOIN (SELECT * FROM top_big WHERE rn = 1) top_big ON base.doc_id = top_big.doc_id
+LEFT JOIN five ON base.doc_id = five.doc_id
+"""
+
+
 def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators (language-ID heuristic, token/word-piece
     counts, punctuation ratio, quality score) — full per-document parity."""
@@ -1309,6 +1417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_events_stateful_user_stats": q29_events_stateful_user_stats,
     "q30_embedding_dedup_clusters": q30_embedding_dedup_clusters,
     "q31_benchmark_decontamination": q31_benchmark_decontamination,
+    "q32_docs_repetition_signals": q32_docs_repetition_signals,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1342,4 +1451,5 @@ ORACLE_SQL: dict[str, str] = {
     "q29_events_stateful_user_stats": Q29_SQL,
     "q30_embedding_dedup_clusters": Q30_SQL,
     "q31_benchmark_decontamination": Q31_SQL,
+    "q32_docs_repetition_signals": Q32_SQL,
 }
