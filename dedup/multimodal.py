@@ -234,10 +234,16 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         # ImageIO reference to <1 mean abs level on real photos;
         # progressive/arithmetic variants raise inside
         return decode_baseline_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        # pure-stdlib/numpy LZW decoder (gif.py): verified both ways
+        # against the JVM ImageIO reference; stills composite frame 1
+        return decode_gif(b)
     raise NotImplementedError(
         "WebP/... require PIL/cv2 (unavailable in this container); "
         "supported here: PPM P6, 24-bit BMP, 8-bit RGB/RGBA PNG, "
-        "baseline JPEG"
+        "baseline JPEG, GIF"
     )
 
 

@@ -969,6 +969,150 @@ LEFT JOIN five ON base.doc_id = five.doc_id
 """
 
 
+def q33_docs_duplicated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-content fraction — the corpus-level
+    repeated-span rule used by web-scale curation pipelines (public
+    method: Penedo et al. '23 RefinedWeb §G / Raffel et al. '20 C4's
+    repeated-line rule, adapted to fixed 20-token segments because this
+    corpus has no line structure): per document, the share of its
+    non-overlapping 20-token segments whose exact text also occurs in at
+    least one OTHER document.
+
+    Scale shape: wordcount over segment hashes — explode segments, one
+    partial-aggregated groupBy(doc_id, seg_hash), one groupBy(seg_hash)
+    whose min(doc_id) != max(doc_id) decides cross-document-ness without
+    a count-distinct, then an equi-join back on the 8-byte hash (never
+    the segment string) and a per-doc rollup. Everything JVM-side; the
+    only exchanged payloads are (hash, doc_id, count) rows. The oracle
+    reproduces the flag via string equality — identical absent 2^-64
+    xxhash64 collisions, the same accepted tolerance as q11/q20/q31."""
+    s = 20
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    d = docs.select("doc_id", toks.alias("toks"))
+    segs = F.transform(
+        F.sequence(F.lit(1), (F.size("toks") / s).cast("int")),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), (i - 1) * s + 1, s))),
+    )
+    occ = (
+        d.filter(F.size("toks") >= s)
+        .select("doc_id", F.explode(segs).alias("seg_h"))
+        .groupBy("doc_id", "seg_h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    flags = occ.groupBy("seg_h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("cross_doc")
+    )
+    per = (
+        occ.join(flags, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_segments"),
+            F.sum(F.when(F.col("cross_doc"), F.col("cnt")).otherwise(0)).alias(
+                "dup_segments"
+            ),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce("dup_segments", F.lit(0)).cast("long").alias("dup_segments"),
+        F.when(
+            F.col("n_segments") > 0,
+            F.col("dup_segments") / F.col("n_segments"),
+        ).alias("dup_segment_frac"),
+    )
+
+
+Q33_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), seg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) // 20),
+                        i -> array_to_string(toks[(i-1)*20+1 : i*20], ' '))) AS seg
+  FROM d WHERE len(toks) >= 20
+), occ AS (
+  SELECT doc_id, seg, COUNT(*) AS cnt FROM seg GROUP BY doc_id, seg
+), flags AS (
+  SELECT seg, MIN(doc_id) <> MAX(doc_id) AS cross_doc FROM occ GROUP BY seg
+), per AS (
+  SELECT occ.doc_id,
+         SUM(cnt) AS n_segments,
+         SUM(CASE WHEN cross_doc THEN cnt ELSE 0 END) AS dup_segments
+  FROM occ JOIN flags USING (seg) GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(per.dup_segments, 0) AS BIGINT) AS dup_segments,
+       CASE WHEN per.n_segments > 0
+            THEN CAST(per.dup_segments AS DOUBLE) / per.n_segments
+       END AS dup_segment_frac
+FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+def q34_docs_blocked_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking + pairwise edit-distance verification — the classic
+    record-linkage shape (public method: standard blocking from the
+    dedup/entity-resolution literature, e.g. Christen '12): documents
+    sharing a blocking key (their first 5 normalized tokens) are
+    compared pairwise and kept when Levenshtein distance is at most 20%
+    of the longer text. A distinct verification operator family from the
+    Jaccard/Hamming/shared-run verifiers (q12/q13/q22/q25): edit distance
+    respects token ORDER and catches small in-place rewrites.
+
+    Scale shape: the block key is an equi-join key, so pair generation is
+    one shuffle on xxhash64(block) — no cross join; blocks are tiny by
+    construction (a 5-token prefix is highly selective on real corpora,
+    and the production path caps hot blocks via candidates.py's salted
+    sizing — here the rule stays uncapped so DuckDB can reproduce it
+    exactly). Levenshtein runs JVM-side (codegen'd, no Python)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    d = docs.select(
+        "doc_id",
+        normalize_sql(F.col("text")).alias("nrm"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("block"),
+    ).withColumn("block_h", F.xxhash64("block"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.block_h") == F.col("b.block_h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(F.col("a.block") == F.col("b.block"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.nrm"), F.col("b.nrm")).alias("edit_dist"),
+            F.greatest(
+                F.length("a.nrm"), F.length("b.nrm")
+            ).cast("long").alias("max_len"),
+        )
+        .filter(F.col("edit_dist") * 5 <= F.col("max_len"))
+    )
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+        "max_len",
+        (F.col("edit_dist") / F.col("max_len")).alias("rel_dist"),
+    )
+
+
+Q34_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS nrm,
+         array_to_string((string_split({_NORM}, ' '))[1:5], ' ') AS block
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.nrm, b.nrm) AS BIGINT) AS edit_dist,
+       CAST(greatest(length(a.nrm), length(b.nrm)) AS BIGINT) AS max_len,
+       CAST(levenshtein(a.nrm, b.nrm) AS DOUBLE)
+         / greatest(length(a.nrm), length(b.nrm)) AS rel_dist
+FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.nrm, b.nrm) * 5 <= greatest(length(a.nrm), length(b.nrm))
+"""
+
+
 def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators (language-ID heuristic, token/word-piece
     counts, punctuation ratio, quality score) — full per-document parity."""
@@ -1418,6 +1562,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_embedding_dedup_clusters": q30_embedding_dedup_clusters,
     "q31_benchmark_decontamination": q31_benchmark_decontamination,
     "q32_docs_repetition_signals": q32_docs_repetition_signals,
+    "q33_docs_duplicated_segments": q33_docs_duplicated_segments,
+    "q34_docs_blocked_editdist_pairs": q34_docs_blocked_editdist_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1452,4 +1598,6 @@ ORACLE_SQL: dict[str, str] = {
     "q30_embedding_dedup_clusters": Q30_SQL,
     "q31_benchmark_decontamination": Q31_SQL,
     "q32_docs_repetition_signals": Q32_SQL,
+    "q33_docs_duplicated_segments": Q33_SQL,
+    "q34_docs_blocked_editdist_pairs": Q34_SQL,
 }

@@ -628,3 +628,158 @@ def test_flac_lpc_and_wasted_bits_paths():
     xs, _ = decode_flac(small)
     xp, _ = decode_flac(plain)
     assert np.array_equal(xs, xp) and len(small) < len(plain)
+
+
+def test_gif_roundtrip_still_interlaced_and_lzw_growth():
+    """Encoder/decoder round trip (GIF is lossless for palette images):
+    a 16-color still, the same image interlaced, a 2-color image (minimum
+    LZW code size floor), and a 256-color noise image large enough to push
+    codes to 12 bits and force a mid-stream table reset."""
+    from dedup.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (37, 53))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+
+    two = np.where(
+        rng.integers(0, 2, (9, 9, 1)).astype(bool), np.uint8(255), np.uint8(0)
+    ) * np.ones(3, np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(two.astype(np.uint8))), two)
+
+    pal256 = np.array(
+        [[i, 255 - i, (i * 7) % 256] for i in range(256)], dtype=np.uint8
+    )
+    noise = pal256[rng.integers(0, 256, (128, 128))]
+    assert np.array_equal(decode_gif(encode_gif(noise)), noise)
+
+    with pytest.raises(ValueError, match="palette overflow"):
+        encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+
+def test_gif_animation_frames_and_compositing():
+    """Multi-frame GIFs decode to the composited frame stack; a hand-built
+    animation exercises transparency, sub-canvas frame placement, and
+    disposal method 2 (restore to background) — the parts the encoder
+    round trip can't reach."""
+    import struct
+
+    from dedup.gif import _lzw_encode, decode_gif_frames, encode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 8, (20, 30))] for _ in range(4)]
+    got = decode_gif_frames(encode_gif(frames, delay_cs=5))
+    assert len(got) == 4
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+
+    # hand-assembled: 4x4 canvas, palette [red, green, blue, white],
+    # background index 3 (white); frame 1 all-red with disposal 2, frame 2
+    # a 2x2 patch at (1,1) = [[green, transparent], [transparent, blue]]
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]], np.uint8
+    )
+    def img_block(left, top, w, h, idx):
+        body = _lzw_encode(np.asarray(idx, np.uint8), 2)
+        out = b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0) + b"\x02"
+        for off in range(0, len(body), 255):
+            c = body[off : off + 255]
+            out += bytes([len(c)]) + c
+        return out + b"\x00"
+
+    b = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 3, 0)
+        + palette.tobytes()
+        # GCE: disposal 2, no transparency
+        + b"\x21\xf9\x04" + struct.pack("<BHB", 2 << 2, 0, 0) + b"\x00"
+        + img_block(0, 0, 4, 4, np.zeros((4, 4), np.uint8))
+        # GCE: disposal 0, transparent index 3
+        + b"\x21\xf9\x04" + struct.pack("<BHB", 0x01, 0, 3) + b"\x00"
+        + img_block(1, 1, 2, 2, np.array([[1, 3], [3, 2]], np.uint8))
+        + b"\x3b"
+    )
+    f1, f2 = decode_gif_frames(b)
+    assert np.array_equal(f1, np.broadcast_to(palette[0], (4, 4, 3)))
+    expect = np.broadcast_to(palette[3], (4, 4, 3)).copy()
+    expect[1, 1] = palette[1]
+    expect[2, 2] = palette[2]
+    assert np.array_equal(f2, expect)
+
+
+def test_gif_encoder_accepted_by_jvm_imageio(spark, tmp_path):
+    """Cross-decoder conformance, direction 1: our encoder's bitstream
+    (plain and interlaced) must decode EXACTLY in the independent JVM
+    ImageIO reference (Spark's image source) — GIF is lossless, so unlike
+    JPEG the comparison is bit-for-bit pixel equality."""
+    from dedup.gif import encode_gif
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, (33, 47))]
+    for interlace in (False, True):
+        p = tmp_path / f"enc_{interlace}.gif"
+        p.write_bytes(encode_gif(img, interlace=interlace))
+        row = spark.read.format("image").load(str(p)).select("image.*").head()
+        assert (row.height, row.width) == (33, 47)
+        ref = (
+            np.frombuffer(bytes(row.data), dtype=np.uint8)
+            .reshape(33, 47, row.nChannels)[..., :3][..., ::-1]
+        )
+        assert np.array_equal(ref, img), f"interlace={interlace}"
+
+
+def test_gif_decoder_reads_jvm_imageio_bitstream(spark, tmp_path):
+    """Cross-decoder conformance, direction 2: a GIF bitstream PRODUCED by
+    the JVM ImageIO writer (its own LZW encoder and framing) must decode
+    exactly in our decoder — proving the decoder handles streams we did
+    not author."""
+    from dedup.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 32, (25, 41))]
+    p_in, p_out = tmp_path / "in.gif", tmp_path / "out.gif"
+    p_in.write_bytes(encode_gif(img))
+    jvm = spark._jvm
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(str(p_in)))
+    assert jvm.javax.imageio.ImageIO.write(bi, "gif", jvm.java.io.File(str(p_out)))
+    assert np.array_equal(decode_gif(p_out.read_bytes()), img)
+
+
+def test_gif_through_media_pipeline_and_frame_sampling(spark):
+    """GIF payloads dispatch by magic bytes through
+    featurize_media(fake_decode=False), and an animated GIF's composited
+    frame stack feeds the JVM-side video frame-sampling path."""
+    from dedup.gif import decode_gif_frames, encode_gif
+    from dedup.multimodal import FRAMES_SCHEMA, sample_frames
+
+    rng = np.random.default_rng(29)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    stills = [pal[rng.integers(0, 16, (12, 12))] for _ in range(3)]
+    rows = [
+        (f"g{i}", "image", encode_gif(s), "image/gif", None, None, None)
+        for i, s in enumerate(stills)
+    ] + [("g1dup", "image", encode_gif(stills[1]), "image/gif", None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = featurize_media(media, partitions=2, fake_decode=False)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 4
+    assert got["g1"]["sha256"] == got["g1dup"]["sha256"]
+    assert len({r["sha256"] for r in got.values()}) == 3
+    dups = {r["media_id"]: r["media_rep"] for r in exact_media_dedup(feats).collect()}
+    assert dups["g1dup"] == dups["g1"]
+
+    anim = encode_gif([pal[rng.integers(0, 16, (6, 8))] for _ in range(8)])
+    frames = decode_gif_frames(anim)
+    video = spark.createDataFrame(
+        [("v0", [encode_ppm(f) for f in frames])], FRAMES_SCHEMA
+    )
+    kept = sample_frames(video, every_k=3).collect()
+    assert sorted(r["frame_idx"] for r in kept) == [0, 3, 6]
+    for r in kept:
+        assert np.array_equal(
+            decode_image(bytes(r["payload"])), frames[r["frame_idx"]]
+        )
