@@ -1113,6 +1113,367 @@ WHERE levenshtein(a.nrm, b.nrm) * 5 <= greatest(length(a.nrm), length(b.nrm))
 """
 
 
+def q35_docs_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup verdict per document — this graft's namesake shape: one
+    pass assigns every document its strongest duplication tier, exact >
+    near > segment > unique, so downstream curation can apply per-tier
+    policy (drop exacts, keep one near-dup representative, down-weight
+    segment overlaps — the tiered treatment used by large-scale corpus
+    builders, e.g. Lee'22 §5 / Penedo'23 §5 combine exact and fuzzy
+    stages exactly this way).
+
+    Tier 3 "exact": normalized text byte-identical to another document
+    (q11's relation). Tier 2 "near": token-set Jaccard >= 0.5 with
+    another doc in the same (lang, source) block (q12's relation).
+    Tier 1 "segment": shares a 20-token segment with another document
+    (q33's relation). Tier 0 "unique".
+
+    Scale shape: the exact tier is a groupBy on the normalized-text hash;
+    the segment tier is the q33 wordcount equi-join; the near tier here
+    reuses the blocked-join oracle baseline so DuckDB can replay it —
+    the production tier assignment takes the same flags from
+    exact.exact_groups and the pipeline's verified LSH pairs instead
+    (identical relations, bucketed generation)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_sql(F.col("text"))
+    keyed = docs.select("doc_id", "lang", "source", norm.alias("norm"))
+
+    exact_docs = (
+        keyed.groupBy("norm")
+        .agg(F.count("*").alias("n"), F.collect_list("doc_id").alias("ids"))
+        .filter(F.col("n") > 1)
+        .select(F.explode("ids").alias("doc_id"), F.lit(True).alias("is_exact"))
+    )
+
+    toks_d = keyed.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split(F.col("norm"), " ")).alias("toks"),
+    ).repartition(32, "lang", "source")
+    l, r = toks_d.alias("l"), toks_d.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
+    uni = F.size(F.col("l.toks")) + F.size(F.col("r.toks")) - inter
+    near_pairs = l.join(
+        r,
+        (F.col("l.lang") == F.col("r.lang"))
+        & (F.col("l.source") == F.col("r.source"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).filter(inter * 2 >= uni)
+    near_docs = (
+        near_pairs.select(F.col("l.doc_id").alias("doc_id"))
+        .unionByName(near_pairs.select(F.col("r.doc_id").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+
+    s = 20
+    toks = F.split(F.col("norm"), " ")
+    segs = F.transform(
+        F.sequence(F.lit(1), (F.size(toks) / s).cast("int")),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, (i - 1) * s + 1, s))),
+    )
+    occ = (
+        keyed.filter(F.size(toks) >= s)
+        .select("doc_id", F.explode(segs).alias("seg_h"))
+        .distinct()
+    )
+    seg_docs = (
+        occ.join(
+            occ.groupBy("seg_h")
+            .agg((F.min("doc_id") != F.max("doc_id")).alias("cross_doc"))
+            .filter("cross_doc"),
+            "seg_h",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_seg", F.lit(True))
+    )
+
+    rank = (
+        F.when(F.col("is_exact"), 3)
+        .when(F.col("is_near"), 2)
+        .when(F.col("is_seg"), 1)
+        .otherwise(0)
+    )
+    return (
+        keyed.select("doc_id")
+        .join(exact_docs, "doc_id", "left")
+        .join(near_docs, "doc_id", "left")
+        .join(seg_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            rank.cast("int").alias("tier_rank"),
+            F.element_at(
+                F.array(F.lit("unique"), F.lit("segment"), F.lit("near"), F.lit("exact")),
+                rank + 1,
+            ).alias("tier"),
+        )
+    )
+
+
+Q35_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source, {_NORM} AS norm FROM documents
+), exact_docs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, COUNT(*) OVER (PARTITION BY norm) AS n FROM keyed
+  ) WHERE n > 1
+), toks_d AS (
+  SELECT doc_id, lang, source, list_distinct(string_split(norm, ' ')) AS toks
+  FROM keyed
+), near_pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM toks_d l JOIN toks_d r
+    ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+  WHERE 2 * len(list_intersect(l.toks, r.toks))
+        >= len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))
+), near_docs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a AS doc_id FROM near_pairs UNION ALL SELECT b FROM near_pairs
+  )
+), seg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(string_split(norm,' ')) // 20),
+                i -> array_to_string((string_split(norm,' '))[(i-1)*20+1 : i*20], ' '))) AS seg
+  FROM keyed WHERE len(string_split(norm, ' ')) >= 20
+), seg_docs AS (
+  SELECT DISTINCT s.doc_id FROM seg s JOIN (
+    SELECT seg FROM seg GROUP BY seg HAVING MIN(doc_id) <> MAX(doc_id)
+  ) x USING (seg)
+)
+SELECT k.doc_id,
+       CAST(CASE WHEN e.doc_id IS NOT NULL THEN 3
+                 WHEN n.doc_id IS NOT NULL THEN 2
+                 WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS tier_rank,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            WHEN g.doc_id IS NOT NULL THEN 'segment' ELSE 'unique' END AS tier
+FROM keyed k
+LEFT JOIN exact_docs e ON k.doc_id = e.doc_id
+LEFT JOIN near_docs  n ON k.doc_id = n.doc_id
+LEFT JOIN seg_docs   g ON k.doc_id = g.doc_id
+"""
+
+
+_CONTACT_SPARK = (
+    "concat('user', user_id, '@example.com via 10.', event_id % 200, '.', "
+    "user_id % 250, '.', (event_id*7) % 250, ' tel +1-555-', "
+    "lpad(CAST(event_id % 10000 AS STRING), 4, '0'))"
+)
+_CONTACT_DUCK = (
+    "concat('user', user_id, '@example.com via 10.', event_id % 200, '.', "
+    "user_id % 250, '.', (event_id*7) % 250, ' tel +1-555-', "
+    "lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+
+def q36_events_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (dedup/pii.py) — the pre-training scrub pass
+    (public method: C4's regex scrub, Raffel'20; The Pile/ROOTS email-IP
+    passes, Laurencon'22 §4). The synthetic corpus carries no organic
+    PII, so the query derives a deterministic contact string from events
+    columns and runs the real operator over it: JVM regexp_count +
+    ordered regexp_replace, zero Python, no shuffle. The oracle replays
+    the identical patterns under RE2 — green means the pattern subset is
+    engine-portable, exactly what a production scrub wants."""
+    from .pii import pii_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.expr(_CONTACT_SPARK).alias("contact")
+    )
+    return pii_profile(ev, "contact").select(
+        "event_id", "n_email", "n_ipv4", "n_phone", "redacted"
+    )
+
+
+Q36_SQL = rf"""
+WITH ev AS (
+  SELECT event_id, {_CONTACT_DUCK} AS contact FROM events
+)
+SELECT event_id,
+  CAST(len(regexp_extract_all(contact,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(contact,
+       '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(contact,
+       '\+\d{{1,3}}-\d{{3}}-\d{{4}}')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(contact,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+    '\+\d{{1,3}}-\d{{3}}-\d{{4}}', '<PHONE>', 'g') AS redacted
+FROM ev
+"""
+
+
+def q37_docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (dedup/sampling.py): bucket
+    = first 3 hex digits of md5(doc_id || '|' || salt), thresholds
+    round(4096·f). Pure function of the key — stable across re-runs,
+    repartitioning, engines; the property a 100-TB pipeline needs so
+    incremental drains and the batch path agree on what 'the val set'
+    is. Narrow stateless projection, no shuffle."""
+    from .sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_split(docs, "doc_id").select(
+        "doc_id", "lang", F.col("bucket").cast("int").alias("bucket"), "split"
+    )
+
+
+def _q37_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("CAST(doc_id AS VARCHAR)", "split-v1")
+    return f"""
+SELECT doc_id, lang, CAST({b} AS INT) AS bucket,
+       CASE WHEN {b} < 3277 THEN 'train'
+            WHEN {b} < 3686 THEN 'val' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q38_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — catches a document embedded inside a
+    larger one, which symmetric Jaccard dilutes below threshold (public
+    method: set-containment joins from the similarity-join literature,
+    e.g. PPJoin/Vernica'10, with the standard document-frequency prune).
+    C(a,b) = |Sa ∩ Sb| / min(|Sa|,|Sb|) over distinct 3-token shingle
+    sets, kept at >= 0.9 with both sets >= 5 shingles after pruning
+    shingles appearing in more than 10 documents.
+
+    Scale shape: candidate generation IS the intersection count — one
+    equi-join on the 8-byte shingle hash plus a pair wordcount; the df
+    cap bounds any hash bucket's contribution to df^2 pairs (the
+    PPJoin-style prune), and the production path would salt residual hot
+    shingles like candidates.salted_sizes. No cross join anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, 3))),
+                )
+            ).alias("sh_h"),
+        )
+        .distinct()
+    )
+    rare = (
+        sh.groupBy("sh_h")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 10))
+        .select("sh_h")
+    )
+    kept = sh.join(rare, "sh_h")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment", F.col("n_shared") / F.least("size_a", "size_b")
+        )
+        .filter(
+            (F.least("size_a", "size_b") >= 5) & (F.col("containment") >= 0.9)
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            "containment",
+        )
+    )
+
+
+Q38_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> array_to_string(toks[i : i+2], ' '))) AS sh
+  FROM d
+), rare AS (
+  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 10
+), kept AS (
+  SELECT doc_id, sh FROM sh JOIN rare USING (sh)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.sz AS BIGINT) AS size_a,
+       CAST(sb.sz AS BIGINT) AS size_b,
+       CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE least(sa.sz, sb.sz) >= 5
+  AND CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+"""
+
+
+def q39_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP (region → nation → grand total)
+    — the grouping-sets surface of the relational inventory. Spark
+    `.rollup()` compiles to a single Expand + partial-aggregated
+    hashAggregate (one shuffle for all three levels); rolled-up slots
+    surface as NULL and are labelled 'ALL' identically in both engines
+    (r_name / n_name are never NULL in data, so the coalesce is
+    unambiguous)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+Q39_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def q16_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators (language-ID heuristic, token/word-piece
     counts, punctuation ratio, quality score) — full per-document parity."""
@@ -1564,6 +1925,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_docs_repetition_signals": q32_docs_repetition_signals,
     "q33_docs_duplicated_segments": q33_docs_duplicated_segments,
     "q34_docs_blocked_editdist_pairs": q34_docs_blocked_editdist_pairs,
+    "q35_docs_dedup_tiers": q35_docs_dedup_tiers,
+    "q36_events_pii_redaction": q36_events_pii_redaction,
+    "q37_docs_split_assignment": q37_docs_split_assignment,
+    "q38_docs_containment_pairs": q38_docs_containment_pairs,
+    "q39_revenue_rollup": q39_revenue_rollup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1600,4 +1966,9 @@ ORACLE_SQL: dict[str, str] = {
     "q32_docs_repetition_signals": Q32_SQL,
     "q33_docs_duplicated_segments": Q33_SQL,
     "q34_docs_blocked_editdist_pairs": Q34_SQL,
+    "q35_docs_dedup_tiers": Q35_SQL,
+    "q36_events_pii_redaction": Q36_SQL,
+    "q37_docs_split_assignment": _q37_sql(),
+    "q38_docs_containment_pairs": Q38_SQL,
+    "q39_revenue_rollup": Q39_SQL,
 }
