@@ -101,3 +101,43 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table sink — the co-located-join layout for hot keys.
+
+    At 100 TB the per-conversation relations this engine keeps re-joining
+    on conv_id (features, exact_groups, clusters, tier verdicts) should be
+    laid out bucketed on that key: two tables bucketed on the same column
+    into the same bucket count join with ZERO Exchange on either side —
+    the shuffle is paid once at write time and amortized over every
+    later join/groupBy on the key (verified by plan assertion in
+    tests/test_storage_layout.py). On Iceberg the same declaration is the
+    `bucket(N, col)` partition transform; the parquet/metastore form here
+    is Spark's native bucketBy.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout partitioned sink (one directory per partition value).
+
+    The ingest axis of a transcript corpus is time: partitioning the raw
+    table by ingest date means (a) incremental/streaming drains list only
+    new partitions, and (b) any date predicate becomes partition PRUNING —
+    directories outside the range are never opened (PartitionFilters in
+    the scan node, asserted in tests/test_storage_layout.py), which is the
+    difference between scanning 100 TB and scanning one day's slice.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

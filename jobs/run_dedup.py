@@ -36,6 +36,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="localCheckpoint stages instead of writing them (≈2x faster; "
         "forfeits resume + lineage — for one-shot/CI runs)",
     )
+    p.add_argument(
+        "--tiers",
+        action="store_true",
+        help="also emit per-conversation dedup-tier verdicts "
+        "(exact > near > substring > unique) to <run-dir>/<run-id>/tiers "
+        "and a per-tier rollup in the summary JSON",
+    )
     p.add_argument("--k-shingle", type=int, default=3)
     p.add_argument("--num-perm", type=int, default=128)
     p.add_argument("--bands", type=int, default=32)
@@ -107,6 +114,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     wall = time.monotonic() - t0
     summary = cluster_summary(out["clusters"]).head().asDict()
+    extra: dict = {}
+    if args.tiers:
+        from dedup.tiers import tier_assignments, tier_summary
+
+        tiers = tier_assignments(out["docs"], out["exact_groups"], out["verified"])
+        tiers.write.mode("overwrite").parquet(f"{args.run_dir}/{run_id}/tiers")
+        extra["tiers"] = {
+            r["tier"]: int(r["n_convs"])
+            for r in tier_summary(
+                spark.read.parquet(f"{args.run_dir}/{run_id}/tiers")
+            ).collect()
+        }
     print(
         json.dumps(
             {
@@ -115,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
                 "snapshot_id": snapshot_id,
                 "wall_sec": round(wall, 2),
                 **{k: int(v) for k, v in summary.items()},
+                **extra,
             }
         )
     )

@@ -54,10 +54,16 @@ def test_run_dedup_cli_fresh_resume_and_refusal(spark):
         "--run-dir", run_dir,
         "--run-id", "e2e",
         "--shuffle-partitions", "8",
+        "--tiers",
     )
     assert code == 0, err[-2000:]
     assert out is not None and out["run_id"] == "e2e"
     assert out["n_convs"] == 50 and out["n_clusters"] >= 1
+    # --tiers: per-tier rollup in the summary + a tiers parquet on disk
+    assert sum(out["tiers"].values()) == out["n_convs"]
+    assert set(out["tiers"]) <= {"exact", "near", "substring", "unique"}
+    tiers_df = spark.read.parquet(f"{run_dir}/e2e/tiers")
+    assert tiers_df.count() == out["n_convs"]
 
     # parity with the library path under the identical config
     from dedup.pipeline import run_pipeline

@@ -172,3 +172,53 @@ def test_skew_flood_no_blowup(spark, tmp_path):
     assert sizes["h0000"] == 1000
     # candidate volume stayed linear-ish: exact reps collapse the flood
     assert out["cand_minhash"].count() < 5000
+
+
+def test_tier_assignments_match_planted_families(e2e):
+    """Production tier verdicts (dedup/tiers.py) from pipeline outputs:
+    planted exact/flood convs land in tier 'exact'; near_hi in >= 'near'
+    (they are Jaccard-verified); substring pairs in >= 'substring';
+    uniques that no truth pair touches stay 'unique'."""
+    from dedup.tiers import tier_assignments, tier_summary
+
+    cfg, out, texts, truth_pairs, truth_clusters = e2e
+    tiers = {
+        r["conv_id"]: (r["tier_rank"], r["tier"])
+        for r in tier_assignments(
+            out["docs"], out["exact_groups"], out["verified"]
+        ).collect()
+    }
+    assert len(tiers) == out["docs"].count()
+    paired = {c for p in truth_pairs for c in p}
+    n = N_CONVS
+    for idx in range(n):
+        cid = f"c{idx:08d}"
+        if cid not in tiers:
+            continue  # quarantined
+        fam = family_of(idx, n)
+        rank, label = tiers[cid]
+        if fam in ("exact", "flood"):
+            assert label == "exact", (cid, fam, label)
+        elif fam == "near_hi":
+            assert rank >= 2, (cid, fam, label)
+        elif fam == "substring":
+            assert rank >= 1, (cid, fam, label)
+        elif fam == "unique" and cid not in paired:
+            assert label == "unique", (cid, fam, label)
+    # exact tier == exactly the >1-size exact groups, and the summary adds up
+    from pyspark.sql import functions as F
+
+    group_sizes = out["exact_groups"].groupBy("exact_rep").count()
+    n_exact_docs = (
+        out["exact_groups"]
+        .join(group_sizes.filter(F.col("count") > 1), "exact_rep")
+        .count()
+    )
+    assert sum(1 for r, _ in tiers.values() if r == 3) == n_exact_docs
+    summary = {
+        r["tier"]: r["n_convs"]
+        for r in tier_summary(
+            tier_assignments(out["docs"], out["exact_groups"], out["verified"])
+        ).collect()
+    }
+    assert sum(summary.values()) == len(tiers)
