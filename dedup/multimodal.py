@@ -240,10 +240,17 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         # pure-stdlib/numpy LZW decoder (gif.py): verified both ways
         # against the JVM ImageIO reference; stills composite frame 1
         return decode_gif(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        # pure-stdlib/numpy VP8L decoder (webp.py, RFC 9649): full
+        # lossless stream (transforms/cache/meta-Huffman/2D-LZ77);
+        # lossy VP8 raises inside (a full video codec is out of scope)
+        return decode_webp(b)[:, :, :3]
     raise NotImplementedError(
-        "WebP/... require PIL/cv2 (unavailable in this container); "
-        "supported here: PPM P6, 24-bit BMP, 8-bit RGB/RGBA PNG, "
-        "baseline JPEG, GIF"
+        "remaining formats require PIL/cv2 (unavailable in this "
+        "container); supported here: PPM P6, 24-bit BMP, 8-bit RGB/RGBA "
+        "PNG, baseline JPEG, GIF, lossless WebP (VP8L)"
     )
 
 
