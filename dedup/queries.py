@@ -1890,6 +1890,511 @@ WHERE len(list_intersect(l.s48, r.s48)) > 0
 """
 
 
+def q40_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — for every purchase event, the most
+    recent view event by the same user at or before the purchase instant
+    (public operator family: time-series as-of joins, cf. kdb+ aj /
+    pandas merge_asof / Flink temporal joins). Spark has no native ASOF
+    join; the scalable formulation is the union-and-carry trick: tag
+    both sides, sort once per user, and carry the last-seen view forward
+    with last_value(ignorenulls) — never a range join, whose candidate
+    set is O(n·m) per user before pruning.
+
+    Scale shape: ONE shuffle on user_id + one sort of (ts, side) per
+    partition; the window is running (unbounded preceding → current
+    row), so it streams in a single pass with O(1) state per user. At
+    100 TB this is the textbook replacement for an interval/range join.
+    The oracle is DuckDB's *native* ASOF LEFT JOIN — an independent
+    implementation of the same semantics."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").cast("long").alias("p_id"),
+        F.lit(None).cast("long").alias("v_id"),
+        F.lit(0).alias("is_view"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("p_id"),
+        F.col("event_id").cast("long").alias("v_id"),
+        F.lit(1).alias("is_view"),
+    )
+    # views sort BEFORE purchases at equal ts so a same-instant view is
+    # visible to the carry (matches ASOF's v.ts <= p.ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_view").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        purch.unionByName(views)
+        .withColumn("v_ts", F.when(F.col("is_view") == 1, F.col("ts")))
+        .withColumn("view_event_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("view_ts", F.last("v_ts", ignorenulls=True).over(w))
+    )
+    return carried.filter(F.col("p_id").isNotNull()).select(
+        F.col("p_id").alias("event_id"),
+        "user_id",
+        "ts",
+        "view_event_id",
+        "view_ts",
+        # parquet ts is TIMESTAMP_NTZ; sessions run UTC so the cast is a
+        # no-op reinterpretation for unix_micros
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("us_since_view"),
+    )
+
+
+Q40_SQL = """
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       p.user_id,
+       p.ts,
+       CAST(v.event_id AS BIGINT) AS view_event_id,
+       v.ts AS view_ts,
+       CASE WHEN v.ts IS NOT NULL
+            THEN epoch_us(p.ts) - epoch_us(v.ts) END AS us_since_view
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def q41_events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab — per-user event-type profile as one wide row
+    (count + exact-decimal value sum per type), via Spark's native
+    groupBy().pivot() with the value list pinned. Pinning the pivot
+    values matters at scale: without it Spark runs an extra distinct
+    pass over the full input just to discover the column set.
+
+    Scale shape: a single partial-aggregated groupBy(user_id) — the
+    pivot becomes a struct of conditional aggregates inside one
+    exchange, identical cost to a plain 6-column agg. The oracle is
+    conditional aggregation (COUNT/SUM ... FILTER), the relational
+    equivalent."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            # count(*) is rejected inside a Pivot aggregate; count(lit(1))
+            # is the same aggregate
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("val"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in types:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
+        cols.append(F.col(f"{t}_val").alias(f"val_{t}"))
+    return piv.select(*cols)
+
+
+Q41_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')  AS n_click,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE)  AS val_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')  AS n_error,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error') AS DOUBLE)  AS val_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS val_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS val_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')   AS n_view,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE)   AS val_view
+FROM events GROUP BY user_id
+"""
+
+
+def q42_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential bigram (Markov transition) profile over per-user event
+    streams: counts and conditional probabilities of consecutive
+    (prev_type → curr_type) steps under stable per-user time ordering —
+    the stream analogue of the turn-order-sensitive operators (A1/W1):
+    it detects template-generated traffic whose transition matrix is
+    degenerate.
+
+    Scale shape: one shuffle on user_id for the lag window (single
+    running pass, O(1) state), then a partial-aggregated groupBy on the
+    25-cell (prev, curr) key and a broadcast-sized window for row
+    normalization. Nothing leaves the JVM."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    trans = (
+        ev.select(
+            "user_id", "ts",
+            F.col("event_type").alias("curr_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "curr_type")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.withColumn(
+        "p_trans", F.col("n_trans") / F.sum("n_trans").over(wp)
+    )
+
+
+Q42_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         event_type AS curr_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, curr_type, COUNT(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, curr_type
+)
+SELECT prev_type, curr_type, CAST(n_trans AS BIGINT) AS n_trans,
+       CAST(n_trans AS DOUBLE)
+         / SUM(n_trans) OVER (PARTITION BY prev_type) AS p_trans
+FROM trans
+"""
+
+
+def q43_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — how many users progressed through
+    signup → view → click → purchase in strict first-occurrence time
+    order (each stage's first event must come after the previous
+    stage's first event). The standard product-analytics sequential
+    conversion operator.
+
+    Scale shape: ONE partial-aggregated groupBy(user_id) computing four
+    conditional min-timestamps, stage predicates as pure column logic,
+    a 1-row global agg, and stack() to emit the 4-row funnel — no
+    self-joins, no window, no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t{i}")
+            for i, t in enumerate(
+                ["signup", "view", "click", "purchase"], start=1
+            )
+        ]
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
+    s4 = s3 & F.col("t4").isNotNull() & (F.col("t4") > F.col("t3"))
+    totals = firsts.agg(
+        *[
+            F.sum(s.cast("long")).alias(f"n{i}")
+            for i, s in enumerate([s1, s2, s3, s4], start=1)
+        ]
+    )
+    return totals.select(
+        F.expr(
+            "stack(4, 1, 'signup', n1, 2, 'view', n2,"
+            " 3, 'click', n3, 4, 'purchase', n4)"
+        ).alias("stage", "stage_name", "n_users")
+    ).select(F.col("stage").cast("int").alias("stage"), "stage_name", "n_users")
+
+
+Q43_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = 'signup')   AS t1,
+         MIN(ts) FILTER (WHERE event_type = 'view')     AS t2,
+         MIN(ts) FILTER (WHERE event_type = 'click')    AS t3,
+         MIN(ts) FILTER (WHERE event_type = 'purchase') AS t4
+  FROM events GROUP BY user_id
+), flags AS (
+  SELECT t1 IS NOT NULL AS s1,
+         t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1 AS s2,
+         t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+           AND t3 IS NOT NULL AND t3 > t2 AS s3,
+         t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+           AND t3 IS NOT NULL AND t3 > t2
+           AND t4 IS NOT NULL AND t4 > t3 AS s4
+  FROM firsts
+)
+SELECT CAST(1 AS INTEGER) AS stage, 'signup' AS stage_name,
+       CAST(SUM(CAST(s1 AS BIGINT)) AS BIGINT) AS n_users FROM flags
+UNION ALL SELECT 2, 'view',
+       CAST(SUM(CAST(s2 AS BIGINT)) AS BIGINT) FROM flags
+UNION ALL SELECT 3, 'click',
+       CAST(SUM(CAST(s3 AS BIGINT)) AS BIGINT) FROM flags
+UNION ALL SELECT 4, 'purchase',
+       CAST(SUM(CAST(s4 AS BIGINT)) AS BIGINT) FROM flags
+"""
+
+
+def q44_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive-term extraction (the TF-IDF family,
+    Sparck Jones '72): top-3 terms per doc ranked by term frequency with
+    document frequency as the tie-breaking penalty (tf desc, df asc,
+    token asc). The ranking keys are kept integer-exact instead of a
+    float tf·ln(N/df) score because libm's ln is not guaranteed
+    correctly-rounded across engines — the ORDER is the tf-idf order on
+    ties-broken data, and (tf, df) lets any consumer compute the float
+    score; cross-engine bit-stability is preserved.
+
+    Scale shape: wordcount — explode tokens once, partial-aggregated
+    groupBy(doc_id, token) for tf; df comes from a count window over the
+    token partition of that SAME aggregate (the (doc_id, token) grain is
+    already distinct-doc grain), so tf is scanned once — no second agg
+    branch, no self-join; then one per-doc window for top-k. All JVM,
+    three exchanges total."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("rn").cast("int").alias("rn"), "token", "tf", "df")
+    )
+
+
+Q44_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORMALIZE_DUCKDB_SQL.format(col='text')}, ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE length(token) >= 3
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, CAST(rn AS INTEGER) AS rn, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn <= 3
+"""
+
+
+def q45_events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — 1-day windows every 12
+    hours per event_type, the overlapping-window §2.9 shape q17's
+    tumbling windows don't exercise. Spark's F.window(slide < size)
+    assigns each row to size/slide windows via a single generator
+    (Expand), no self-join. Sums use the q17 integer-scale trick for
+    engine-portable averages.
+
+    Scale shape: one Expand (×2 rows) + one partial-aggregated shuffle
+    on (window, event_type) — the same cost class as the tumbling
+    version, NOT a range join. The oracle enumerates both containing
+    windows per event explicitly (bucket, bucket − 12h) and unions."""
+    ev = _t(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 10000).cast("long")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(micro).alias("_sm"),
+            F.count("value").alias("_nv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            (F.round(F.col("_sm") / F.col("_nv")) / F.lit(10000.0)).alias("avg_value"),
+        )
+    )
+
+
+Q45_SQL = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '12 hours', ts) AS window_start, * FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours', * FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(value * 10000) AS BIGINT)) / COUNT(value)) / 10000.0 AS avg_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def q46_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantiles (percentile_cont semantics)
+    of event value per event_type — p25/median/p75/p99. Values are
+    2-decimal, so interpolation runs on exact integer micro-units
+    (value·10⁴ as bigint): lo + (hi−lo)·frac on integers with dyadic
+    fracs is bit-identical across engines, unlike quantiles of raw
+    doubles whose interpolation formulas differ in the last ulp.
+
+    Scale shape: Spark's exact `percentile` is a single-pass typed
+    aggregate (per-partition digests merged on the driver-side final
+    agg) — one partial-aggregated shuffle on the 5-value key, no sort
+    of the full data. At 100 TB you'd swap approx_percentile in with
+    one line; the exact version is the oracle-checkable contract."""
+    ev = _t(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 10000).cast("long")
+    qs = "array(0.25D, 0.5D, 0.75D, 0.99D)"
+    return (
+        ev.select("event_type", micro.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("v").cast("long").alias("n_values"),
+            F.expr(f"percentile(v, {qs})").alias("_p"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            (F.col("_p")[0] / 10000.0).alias("p25"),
+            (F.col("_p")[1] / 10000.0).alias("p50"),
+            (F.col("_p")[2] / 10000.0).alias("p75"),
+            (F.col("_p")[3] / 10000.0).alias("p99"),
+        )
+    )
+
+
+Q46_SQL = """
+SELECT event_type,
+       COUNT(value) AS n_values,
+       quantile_cont(CAST(ROUND(value * 10000) AS BIGINT), 0.25) / 10000.0 AS p25,
+       quantile_cont(CAST(ROUND(value * 10000) AS BIGINT), 0.5)  / 10000.0 AS p50,
+       quantile_cont(CAST(ROUND(value * 10000) AS BIGINT), 0.75) / 10000.0 AS p75,
+       quantile_cont(CAST(ROUND(value * 10000) AS BIGINT), 0.99) / 10000.0 AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q47_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization of the embedding
+    column — the storage/bandwidth op that makes a 100-TB vector corpus
+    shippable (4× smaller + SIMD int8 dot products; public method:
+    scalar quantization as in FAISS SQ8 / Jegou'11 §A). Emits the scale
+    and integer-exact audit stats; reconstruction error uses only
+    IEEE-exact elementwise ops (mul/sub/abs/max), never an
+    order-dependent float sum, and rounding is floor(x+0.5) spelled
+    identically in both engines (round() half-way rules differ across
+    engines; floor is exact everywhere).
+
+    Scale shape: stateless narrow projection over higher-order array
+    functions — zero shuffle, zero Python; at 100 TB this is a map-only
+    column rewrite pushed into the parquet scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", lambda v: F.abs(v))) / F.lit(
+        127.0
+    )
+    withs = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(scale == 0, F.lit(1.0)).otherwise(scale).alias("scale"),
+    )
+    q = F.transform(
+        "embedding",
+        lambda v: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(v / F.col("scale") + F.lit(0.5))),
+        ),
+    )
+    return withs.select(
+        "vec_id",
+        F.col("scale").cast("double").alias("scale"),
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                q,
+                lambda v, qi: F.abs(v - qi * F.col("scale")),
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ).alias("max_abs_err"),
+        F.aggregate(
+            q,
+            F.lit(0).cast("long"),
+            lambda acc, qi: acc
+            + F.when(F.abs(qi) == 127.0, F.lit(1)).otherwise(F.lit(0)),
+        ).alias("n_saturated"),
+    )
+
+
+Q47_SQL = """
+WITH dbl AS (
+  -- everything in DOUBLE: DuckDB parses 127.0 as DECIMAL and FLOAT op
+  -- DECIMAL stays float32, while Spark promotes float to double
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, v -> abs(v))) = 0
+              THEN CAST(1.0 AS DOUBLE)
+              ELSE list_max(list_transform(e, v -> abs(v)))
+                   / CAST(127.0 AS DOUBLE)
+         END AS scale
+  FROM dbl
+), quant AS (
+  SELECT vec_id, e, scale,
+         list_transform(e,
+           v -> greatest(CAST(-127.0 AS DOUBLE),
+                         least(CAST(127.0 AS DOUBLE),
+                               floor(v / scale + 0.5)))) AS q
+  FROM scaled
+)
+SELECT vec_id,
+       scale,
+       CAST(len(e) AS INTEGER) AS n_dims,
+       list_max(list_transform(range(1, len(e) + 1),
+         i -> abs(e[i] - q[i] * scale))) AS max_abs_err,
+       CAST(list_sum(list_transform(q,
+         qi -> CASE WHEN abs(qi) = CAST(127.0 AS DOUBLE) THEN 1 ELSE 0 END))
+         AS BIGINT) AS n_saturated
+FROM quant
+"""
+
+
+def q48_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — k docs per language stratum,
+    ranked by the same md5 hash-bucket order the split assignment uses
+    (`sampling.bucket_of`): a pure function of the key, so the sample is
+    identical across re-runs, repartitionings, and engines — the eval-set
+    convention for 100-TB corpora where `rand()`-sampled subsets are
+    unreproducible.
+
+    Scale shape: one shuffle on the stratum key + a top-k window; the
+    hash ranking itself is a stateless narrow projection (md5 in
+    codegen, no Python)."""
+    from .sampling import bucket_of
+
+    docs = _t(spark, sf_dir, "documents")
+    b = bucket_of(F.col("doc_id"), "sample-v1")
+    w = Window.partitionBy("lang").orderBy(F.asc("bucket"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", b.alias("bucket"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", F.col("rn").cast("int").alias("rn"), "doc_id", "bucket")
+    )
+
+
+def _q48_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("CAST(doc_id AS VARCHAR)", "sample-v1")
+    return f"""
+WITH ranked AS (
+  SELECT lang, doc_id, {b} AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {b} ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, CAST(bucket AS INTEGER) AS bucket
+FROM ranked WHERE rn <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -1930,6 +2435,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_docs_split_assignment": q37_docs_split_assignment,
     "q38_docs_containment_pairs": q38_docs_containment_pairs,
     "q39_revenue_rollup": q39_revenue_rollup,
+    "q40_events_asof_join": q40_events_asof_join,
+    "q41_events_user_pivot": q41_events_user_pivot,
+    "q42_events_transitions": q42_events_transitions,
+    "q43_events_funnel": q43_events_funnel,
+    "q44_docs_top_terms": q44_docs_top_terms,
+    "q45_events_hopping_windows": q45_events_hopping_windows,
+    "q46_events_value_quantiles": q46_events_value_quantiles,
+    "q47_embedding_quantization": q47_embedding_quantization,
+    "q48_docs_stratified_sample": q48_docs_stratified_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1971,4 +2485,13 @@ ORACLE_SQL: dict[str, str] = {
     "q37_docs_split_assignment": _q37_sql(),
     "q38_docs_containment_pairs": Q38_SQL,
     "q39_revenue_rollup": Q39_SQL,
+    "q40_events_asof_join": Q40_SQL,
+    "q41_events_user_pivot": Q41_SQL,
+    "q42_events_transitions": Q42_SQL,
+    "q43_events_funnel": Q43_SQL,
+    "q44_docs_top_terms": Q44_SQL,
+    "q45_events_hopping_windows": Q45_SQL,
+    "q46_events_value_quantiles": Q46_SQL,
+    "q47_embedding_quantization": Q47_SQL,
+    "q48_docs_stratified_sample": _q48_sql(),
 }

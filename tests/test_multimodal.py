@@ -22,8 +22,14 @@ from dedup.multimodal import (
 
 
 def test_decode_unknown_format_raises():
+    # lossy VP8 (well-formed chunk) is the one WebP flavor still needing a
+    # real video codec; lossless VP8L decodes (test_webp.py)
+    lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP needs a codec lib
+        decode_image(lossy)
+    # a WebP container with no image chunk at all is malformed, not a stub
+    with pytest.raises(ValueError, match="no VP8L/VP8 chunk"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPXXXX")
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"\xff\xd8\xff\xe0JFIF...")  # JPEG header without SOF/SOS
 

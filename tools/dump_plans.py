@@ -59,6 +59,10 @@ def main() -> None:
     containment = QUERIES["q38_docs_containment_pairs"](spark, SF)
     rollup = QUERIES["q39_revenue_rollup"](spark, SF)
     split = QUERIES["q37_docs_split_assignment"](spark, SF)
+    asof = QUERIES["q40_events_asof_join"](spark, SF)
+    pivot = QUERIES["q41_events_user_pivot"](spark, SF)
+    funnel = QUERIES["q43_events_funnel"](spark, SF)
+    topterms = QUERIES["q44_docs_top_terms"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -104,6 +108,28 @@ def main() -> None:
             "q37 split assignment: stateless narrow projection — zero "
             "Exchange, zero Python (md5 buckets in codegen)",
             split,
+        ),
+        (
+            "q40 as-of join: union-and-carry — ONE Exchange on user_id + "
+            "one Sort + running last_value window (no range join, no "
+            "O(n·m) candidate blowup)",
+            asof,
+        ),
+        (
+            "q41 pivot: single partial-aggregated groupBy(user_id) — the "
+            "pinned pivot folds to conditional aggregates in one exchange",
+            pivot,
+        ),
+        (
+            "q43 funnel: one groupBy(user_id) of conditional mins + 1-row "
+            "global agg + stack() — no self-joins, no second scan",
+            funnel,
+        ),
+        (
+            "q44 top terms: wordcount tf + count-window df over the same "
+            "aggregate (no df self-join) + per-doc top-k — 3 exchanges "
+            "total, all JVM",
+            topterms,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
