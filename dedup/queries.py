@@ -2395,6 +2395,70 @@ FROM ranked WHERE rn <= 5
 """
 
 
+def q49_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative election after dedup — the keep-policy
+    every production dedup run ends with (Lee'22 keeps one member per
+    cluster; the longest-document convention): per cluster, keep the doc
+    with the longest normalized text (ties → min id), and account for
+    what was kept vs dropped in integer-exact chars. Composes the
+    flagship pipeline's cluster assignment (q20) with the policy, so a
+    green row re-proves the whole engine AND the election.
+
+    Scale shape: the pipeline's own cost + one join on conv_id + one
+    per-cluster window + one partial-aggregated groupBy(cluster_id) —
+    cluster keys are already well-distributed (min-member id)."""
+    clusters = _docs_pipeline(spark, sf_dir)["clusters"]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.length(normalize_sql(F.col("text"))).cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("conv_id")
+    )
+    return (
+        clusters.join(docs, "conv_id")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("conv_id"))).alias("rep_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("kept_chars"),
+            F.sum(
+                F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("dropped_chars"),
+        )
+    )
+
+
+Q49_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+exact_e AS (
+  SELECT rep AS a, id AS b FROM grp WHERE id != rep
+), edges AS (
+  SELECT a AS u, b AS v FROM near UNION SELECT b, a FROM near
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+), walk(id, cid) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+), assign AS (
+  SELECT id, MIN(cid) AS cluster_id FROM walk GROUP BY id
+), ranked AS (
+  SELECT a.cluster_id, a.id, length(d.n) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                            ORDER BY length(d.n) DESC, a.id ASC) AS rn
+  FROM assign a JOIN d ON d.id = a.id
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN id END) AS rep_id,
+       MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
+       CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN n_chars END), 0) AS BIGINT)
+         AS dropped_chars
+FROM ranked GROUP BY cluster_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -2444,6 +2508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_events_value_quantiles": q46_events_value_quantiles,
     "q47_embedding_quantization": q47_embedding_quantization,
     "q48_docs_stratified_sample": q48_docs_stratified_sample,
+    "q49_cluster_representatives": q49_cluster_representatives,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2494,4 +2559,5 @@ ORACLE_SQL: dict[str, str] = {
     "q46_events_value_quantiles": Q46_SQL,
     "q47_embedding_quantization": Q47_SQL,
     "q48_docs_stratified_sample": _q48_sql(),
+    "q49_cluster_representatives": Q49_SQL,
 }
