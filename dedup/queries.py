@@ -2459,6 +2459,54 @@ FROM ranked GROUP BY cluster_id
 """
 
 
+def q50_corpus_heavy_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters — the top-20 most frequent 3-gram
+    shingles (the boilerplate/license-header/prompt-template diagnostic
+    every curation pass starts with), computed the scale way: bounded-
+    memory per-partition Misra-Gries sketches (mapInPandas, no shuffle)
+    → broadcast candidate semi-join → exact count of candidates only →
+    runtime exactness certificate (dedup/heavyhitters.py). The full-
+    cardinality groupBy this replaces would shuffle the whole gram
+    stream at 100 TB; here the shuffle carries candidate matches only,
+    and the answer is still provably exact — which is what the oracle
+    (brute-force GROUP BY / ORDER BY / LIMIT) checks."""
+    from .heavyhitters import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    grams = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
+                )
+            ).alias("gram")
+        )
+    )
+    return heavy_hitters(grams, k_top=20, capacity=2048)
+
+
+Q50_SQL = f"""
+WITH toks AS (
+  SELECT string_split({NORMALIZE_DUCKDB_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+  FROM toks WHERE len(t) >= 3
+), counted AS (
+  SELECT gram, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, gram ASC) AS rank
+  FROM grams GROUP BY gram
+)
+SELECT CAST(rank AS INTEGER) AS rank, gram, CAST(n AS BIGINT) AS n
+FROM counted WHERE rank <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -2509,6 +2557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_embedding_quantization": q47_embedding_quantization,
     "q48_docs_stratified_sample": q48_docs_stratified_sample,
     "q49_cluster_representatives": q49_cluster_representatives,
+    "q50_corpus_heavy_shingles": q50_corpus_heavy_shingles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2560,4 +2609,5 @@ ORACLE_SQL: dict[str, str] = {
     "q47_embedding_quantization": Q47_SQL,
     "q48_docs_stratified_sample": _q48_sql(),
     "q49_cluster_representatives": Q49_SQL,
+    "q50_corpus_heavy_shingles": Q50_SQL,
 }
