@@ -1968,9 +1968,11 @@ def q41_events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     values matters at scale: without it Spark runs an extra distinct
     pass over the full input just to discover the column set.
 
-    Scale shape: a single partial-aggregated groupBy(user_id) — the
-    pivot becomes a struct of conditional aggregates inside one
-    exchange, identical cost to a plain 6-column agg. The oracle is
+    Scale shape: Catalyst plans pivot as two consecutive partial-
+    aggregated shuffles — groupBy(user_id, event_type) reduces the
+    full input, then pivotfirst regroups on user_id over rows already
+    reduced to the (user, type) grain, so the second exchange moves at
+    most |users|×5 rows regardless of input size. The oracle is
     conditional aggregation (COUNT/SUM ... FILTER), the relational
     equivalent."""
     ev = _t(spark, sf_dir, "events")

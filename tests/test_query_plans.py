@@ -1,0 +1,106 @@
+"""Scale-shape assertions for the analytics operators: the number of
+shuffles each plan is ALLOWED is pinned, so a refactor that silently adds
+an exchange (or swaps a broadcast join for a sort-merge join) fails here
+even though results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dedup.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # count shuffle exchanges only (broadcast exchanges are the cheap kind
+    # we *want*); each node prints once in executedPlan
+    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q40_asof_single_shuffle(spark):
+    """Union-and-carry as-of join: ONE hash exchange on user_id feeds both
+    the sort and the running window — never a range join."""
+    df = QUERIES["q40_events_asof_join"](spark, SF)
+    assert _n_exchanges(df) == 1, _plan(df)
+    assert "CartesianProduct" not in _plan(df)
+
+
+def test_q41_pivot_two_reducing_shuffles(spark):
+    """Catalyst plans pinned pivot as groupBy(user, type) + pivotfirst on
+    user — two exchanges, the second over rows already reduced to the
+    (user, type) grain. An unpinned pivot would add a third job (value
+    discovery); a join-based rewrite would be worse still."""
+    df = QUERIES["q41_events_user_pivot"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "pivotfirst" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_q43_funnel_two_shuffles_no_join(spark):
+    """Funnel = groupBy(user_id) + 1-row global agg: two exchanges (hash +
+    single-partition), zero joins, zero windows."""
+    df = QUERIES["q43_events_funnel"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_q44_top_terms_three_shuffles_no_join(spark):
+    """tf agg + token count-window + per-doc top-k window = exactly three
+    exchanges; df comes from a window over the tf aggregate, NOT a second
+    aggregate branch joined back."""
+    df = QUERIES["q44_docs_top_terms"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_q45_hopping_single_shuffle_via_expand(spark):
+    """Sliding windows ride one Expand (x2 rows) + one aggregation
+    exchange — the plan must not contain a join or a second shuffle."""
+    df = QUERIES["q45_events_hopping_windows"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_q47_quantization_zero_shuffle_zero_python(spark):
+    """int8 quantization is a stateless narrow projection: no exchange, no
+    Python evaluation node (higher-order functions stay in the JVM)."""
+    df = QUERIES["q47_embedding_quantization"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 0, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q50_exact_pass_broadcasts_candidates(spark):
+    """The heavy-hitters exact pass must be a broadcast hash join of the
+    tiny candidate set against the gram stream — a sort-merge join here
+    would shuffle the full gram cardinality, the thing the sketch exists
+    to avoid."""
+    from dedup.heavyhitters import mg_summaries
+
+    grams = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("gram"))
+    )
+    cand = (
+        mg_summaries(grams, 256)
+        .filter(F.col("gram").isNotNull())
+        .select("gram")
+        .distinct()
+    )
+    exact = grams.join(F.broadcast(cand), "gram").groupBy("gram").count()
+    plan = _plan(exact)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
