@@ -2509,6 +2509,87 @@ FROM counted WHERE rank <= 20
 """
 
 
+def q51_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content novelty vs all EARLIER documents (by doc_id
+    ingestion order) — the incremental-curation signal "how much of this
+    doc is new": the share of its distinct sliding 8-token grams whose
+    corpus-wide first occurrence is this doc. Directional, unlike q33's
+    symmetric duplicated-segment flag: re-crawls and quote-heavy docs
+    score low, first appearances score 1.0.
+
+    Scale shape: same wordcount skeleton as q33 — explode per-doc
+    DISTINCT gram hashes, one partial-aggregated groupBy(gram_h) for the
+    min-doc_id first-occurrence table, equi-join back on the 8-byte
+    hash, per-doc rollup. Only (hash, doc_id) rows are exchanged; the
+    oracle reproduces the min-first-occurrence via string grams
+    (identical absent 2^-64 xxhash64 collisions, the q11/q20/q31/q33
+    tolerance)."""
+    g = 8
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    d = docs.select("doc_id", toks.alias("toks"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - g + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, g))),
+        )
+    )
+    occ = d.filter(F.size("toks") >= g).select(
+        "doc_id", F.explode(grams).alias("gram_h")
+    )
+    firsts = occ.groupBy("gram_h").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        occ.join(firsts, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_grams"),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+        F.when(
+            F.col("n_grams") > 0, F.col("novel_grams") / F.col("n_grams")
+        ).alias("novelty_frac"),
+    )
+
+
+Q51_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split({NORMALIZE_DUCKDB_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 7),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7])))) AS gram
+  FROM d WHERE len(t) >= 8
+), firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM occ GROUP BY gram
+), per AS (
+  SELECT o.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.first_doc = o.doc_id THEN 1 ELSE 0 END) AS novel_grams
+  FROM occ o JOIN firsts f USING (gram)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per.novel_grams, 0) AS BIGINT) AS novel_grams,
+       CASE WHEN per.n_grams > 0
+            THEN CAST(per.novel_grams AS DOUBLE) / per.n_grams END
+         AS novelty_frac
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -2560,6 +2641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_docs_stratified_sample": q48_docs_stratified_sample,
     "q49_cluster_representatives": q49_cluster_representatives,
     "q50_corpus_heavy_shingles": q50_corpus_heavy_shingles,
+    "q51_docs_novelty": q51_docs_novelty,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2612,4 +2694,5 @@ ORACLE_SQL: dict[str, str] = {
     "q48_docs_stratified_sample": _q48_sql(),
     "q49_cluster_representatives": Q49_SQL,
     "q50_corpus_heavy_shingles": Q50_SQL,
+    "q51_docs_novelty": Q51_SQL,
 }

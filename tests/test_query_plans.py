@@ -104,3 +104,15 @@ def test_q50_exact_pass_broadcasts_candidates(spark):
     plan = _plan(exact)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q51_novelty_two_shuffles_no_python(spark):
+    """Novelty: explode distinct gram hashes, ONE exchange for the
+    min-first-occurrence agg, ONE for the per-doc rollup; the join back
+    on the 8-byte hash and the final doc_id join stay broadcast at this
+    size. Whole pipeline is JVM-side — no Python/Arrow eval."""
+    df = QUERIES["q51_docs_novelty"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
