@@ -2590,6 +2590,112 @@ FROM d LEFT JOIN per USING (doc_id)
 """
 
 
+def q52_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — for every pair of corpus
+    sources, how many distinct 13-token windows they share, next to each
+    side's distinct-window total. This is the curator's mirror/re-crawl
+    detector (public method: the source-level view of Brown et al.
+    NeurIPS'20 §C n-gram collision): a pair whose shared count approaches
+    min(grams_a, grams_b) is one source re-hosting the other.
+
+    Scale shape: per-source distinct gram hashes (8-byte xxhash64, the
+    q11/q20/q31/q51 collision tolerance) are built map-side from each
+    doc's token array; ONE partial-aggregated groupBy(gram_h) collects
+    the sorted source set per gram, and the pair matrix is emitted
+    JVM-side by expanding each set's combinations with nested
+    higher-order transforms — never a gram-table self-join (which would
+    shuffle the corpus-sized gram table twice and explode on hot grams).
+    The per-source totals are a 20-row aggregate, broadcast back onto
+    the matrix. Only (hash, source) rows cross the wire; source count S
+    bounds a gram's fan-out at S(S-1)/2 regardless of corpus size."""
+    n = 13
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    grams = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sg = (
+        docs.select("source", toks.alias("toks"))
+        .select("source", F.explode(grams).alias("gram_h"))
+        .distinct()
+    )
+    tot = sg.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    srcs = F.array_sort(F.collect_set("source")).alias("srcs")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("srcs") - 1),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), F.size("srcs")),
+                lambda j: F.struct(
+                    F.element_at(F.col("srcs"), i).alias("src_a"),
+                    F.element_at(F.col("srcs"), j).alias("src_b"),
+                ),
+            ),
+        )
+    )
+    mat = (
+        sg.groupBy("gram_h")
+        .agg(srcs)
+        .filter(F.size("srcs") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    return (
+        mat.join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b")
+                )
+            ),
+            "src_b",
+        )
+        .select("src_a", "src_b", "shared_grams", "grams_a", "grams_b")
+    )
+
+
+Q52_SQL = f"""
+WITH d AS (
+  SELECT source,
+         string_split({NORMALIZE_DUCKDB_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+), g AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source,
+           unnest(list_transform(generate_series(1, len(t) - 12),
+                  i -> array_to_string(t[i:i+12], ' '))) AS gram
+    FROM d WHERE len(t) >= 13
+  )
+), n AS (
+  SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source
+), p AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_grams
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, CAST(p.shared_grams AS BIGINT) AS shared_grams,
+       CAST(na.n_grams AS BIGINT) AS grams_a,
+       CAST(nb.n_grams AS BIGINT) AS grams_b
+FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -2642,6 +2748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_cluster_representatives": q49_cluster_representatives,
     "q50_corpus_heavy_shingles": q50_corpus_heavy_shingles,
     "q51_docs_novelty": q51_docs_novelty,
+    "q52_cross_source_overlap": q52_cross_source_overlap,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2695,4 +2802,5 @@ ORACLE_SQL: dict[str, str] = {
     "q49_cluster_representatives": Q49_SQL,
     "q50_corpus_heavy_shingles": Q50_SQL,
     "q51_docs_novelty": Q51_SQL,
+    "q52_cross_source_overlap": Q52_SQL,
 }
