@@ -2696,6 +2696,149 @@ FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b
 """
 
 
+def q53_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 24-hour activity window — for every event, how
+    many events and how much value the same user produced in the
+    preceding 24 hours (inclusive of the event itself). This is the
+    RANGE-frame window shape — a value-bounded frame over event time,
+    distinct from the bucketed tumbling/hopping windows (q17/q45, which
+    assign rows to fixed grid cells) and from ROWS frames (q40, which
+    count physical rows): rate limiting, burst detection, and per-entity
+    trailing features for training data all take this form.
+
+    Scale shape: ONE shuffle on user_id + one sort per partition; the
+    RANGE frame streams with a sliding two-pointer over the sorted run,
+    O(window occupancy) state per user, never a self-join on the time
+    interval (the naive formulation, O(n·m) candidates per user before
+    pruning). Value sums ride integer micro-units (the q46/q47 floor
+    convention) so the running totals are exact and engine-portable."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    vmicro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-24 * 3600 * 1000000, 0)
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("trailing_n"),
+        F.sum(vmicro).over(w).cast("long").alias("trailing_val_micros"),
+    )
+
+
+Q53_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       user_id,
+       ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS trailing_val_micros
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q54_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE aggregation over (lang, source) — doc counts and exact
+    char totals at all four grouping levels, including the two
+    single-axis marginals that ROLLUP (q39) cannot produce. The curator
+    reads this as the corpus composition matrix with its row/column
+    margins in one result.
+
+    Scale shape: Spark `.cube()` compiles to one Expand (×4 grouping
+    sets) + ONE partial-aggregated exchange on the expanded key — the
+    map-side combine collapses each partition to at most
+    4·|lang×source| rows before the shuffle, so the exchange is
+    cardinality-bounded regardless of corpus size. Slots are labelled
+    'ALL' via coalesce (lang/source are never NULL in the data, so the
+    label is unambiguous — same convention as q39)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+Q54_SQL = """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+def q55_purchaser_retention_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort set algebra via INTERSECT / EXCEPT — purchasers in the
+    first half of the observed time range vs the second half, split into
+    retained ('both'), churned ('h1_only'), and new ('h2_only')
+    segments. Exercises Spark's dedicated set-operation physical plans
+    (intersect → left-semi + aggregate, subtract → left-anti +
+    aggregate), the one relational surface the board didn't yet touch.
+
+    Scale shape: the midpoint is a 1-row aggregate broadcast onto the
+    scan (integer floor-div on epoch micros, exact in both engines);
+    each half reduces to a distinct user set map-side before the set
+    ops, so every exchange after the first carries at most |users| rows
+    (tiny next to |events|). Spark recomputes the half-set lineage per
+    set op — at 100 TB you'd either persist the two half-sets or use
+    the one-shuffle conditional-aggregate rewrite
+    (groupBy(user).agg(max(us<=mid), max(us>mid)) → CASE); this query
+    deliberately keeps the set-op operators on the surface."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.select("user_id", us.alias("us"))
+    bounds = p.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    tagged = p.join(F.broadcast(bounds))
+    h1 = tagged.filter(F.col("us") <= F.col("mid")).select("user_id").distinct()
+    h2 = tagged.filter(F.col("us") > F.col("mid")).select("user_id").distinct()
+    seg = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("segment"), "user_id"
+    )
+    return (
+        seg(h1.intersect(h2), "both")
+        .unionByName(seg(h1.subtract(h2), "h1_only"))
+        .unionByName(seg(h2.subtract(h1), "h2_only"))
+    )
+
+
+Q55_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM p
+), h1 AS (
+  SELECT DISTINCT user_id FROM p, b WHERE us <= mid
+), h2 AS (
+  SELECT DISTINCT user_id FROM p, b WHERE us > mid
+)
+SELECT 'both' AS segment, user_id
+FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)
+UNION ALL
+SELECT 'h1_only' AS segment, user_id
+FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2)
+UNION ALL
+SELECT 'h2_only' AS segment, user_id
+FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -2749,6 +2892,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_corpus_heavy_shingles": q50_corpus_heavy_shingles,
     "q51_docs_novelty": q51_docs_novelty,
     "q52_cross_source_overlap": q52_cross_source_overlap,
+    "q53_events_trailing_24h": q53_events_trailing_24h,
+    "q54_docs_cube": q54_docs_cube,
+    "q55_purchaser_retention_sets": q55_purchaser_retention_sets,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2803,4 +2949,7 @@ ORACLE_SQL: dict[str, str] = {
     "q50_corpus_heavy_shingles": Q50_SQL,
     "q51_docs_novelty": Q51_SQL,
     "q52_cross_source_overlap": Q52_SQL,
+    "q53_events_trailing_24h": Q53_SQL,
+    "q54_docs_cube": Q54_SQL,
+    "q55_purchaser_retention_sets": Q55_SQL,
 }

@@ -116,3 +116,48 @@ def test_q51_novelty_two_shuffles_no_python(spark):
     assert _n_exchanges(df) == 2, plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q52_overlap_no_gram_self_join(spark):
+    """Cross-source overlap must never self-join the gram table: the pair
+    matrix comes from JVM-side expansion of each gram's collected source
+    set, and the only joins are the two broadcast total-attachments.
+    Pinned: no sort-merge join, no cartesian, no Python."""
+    df = QUERIES["q52_cross_source_overlap"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert _n_exchanges(df) <= 6, plan
+
+
+def test_q53_trailing_range_frame_single_shuffle(spark):
+    """The trailing 24h window is ONE hash exchange on user_id + one sort
+    + a RANGE-frame window — never an interval self-join."""
+    df = QUERIES["q53_events_trailing_24h"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "RangeFrame" in plan, plan
+
+
+def test_q54_cube_single_shuffle_via_expand(spark):
+    """CUBE = one Expand (x4 grouping sets) + one partial-aggregated
+    exchange; no join, no second shuffle."""
+    df = QUERIES["q54_docs_cube"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_q55_set_ops_stay_on_user_sets(spark):
+    """INTERSECT/EXCEPT compile to semi/anti joins over the distinct user
+    sets; the events scan must reduce map-side first (partial distinct
+    before every exchange), and the bounds row rides a broadcast."""
+    df = QUERIES["q55_purchaser_retention_sets"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
