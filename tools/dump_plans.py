@@ -63,6 +63,10 @@ def main() -> None:
     pivot = QUERIES["q41_events_user_pivot"](spark, SF)
     funnel = QUERIES["q43_events_funnel"](spark, SF)
     topterms = QUERIES["q44_docs_top_terms"](spark, SF)
+    novelty = QUERIES["q51_docs_novelty"](spark, SF)
+    overlap = QUERIES["q52_cross_source_overlap"](spark, SF)
+    trailing = QUERIES["q53_events_trailing_24h"](spark, SF)
+    cube = QUERIES["q54_docs_cube"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -130,6 +134,27 @@ def main() -> None:
             "aggregate (no df self-join) + per-doc top-k — 3 exchanges "
             "total, all JVM",
             topterms,
+        ),
+        (
+            "q51 novelty: distinct gram hashes → min-first-occurrence agg "
+            "→ per-doc rollup — 2 exchanges, broadcast joins back, all JVM",
+            novelty,
+        ),
+        (
+            "q52 cross-source overlap: ONE groupBy(gram_hash) + JVM-side "
+            "source-set pair expansion (no gram-table self-join); totals "
+            "attached via 2 broadcast hash joins",
+            overlap,
+        ),
+        (
+            "q53 trailing 24h: ONE Exchange on user_id + Sort + RangeFrame "
+            "window (streaming two-pointer; no interval self-join)",
+            trailing,
+        ),
+        (
+            "q54 cube: one Expand (x4 grouping sets) + ONE "
+            "partial-aggregated exchange",
+            cube,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
