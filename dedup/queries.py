@@ -2839,6 +2839,113 @@ FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
 """
 
 
+def q56_source_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 13-gram cardinality via a KMV (k-minimum-
+    values) sketch (Bar-Yossef RANDOM'02 / Beyer SIGMOD'07) next to the
+    exact count it estimates — the second mergeable-sketch family on the
+    board after q50's Misra-Gries. Unlike HLL (whose register layout is
+    engine-private, so A8 stays a diagnostic), KMV is a deterministic
+    function of the hash values: both engines derive the same 60-bit
+    hash (first 15 hex chars of md5 — the engine-portable hash
+    convention of q37/q48), keep the k=256 smallest per source, and the
+    estimator (k-1)/U_(k) is plain IEEE arithmetic — so the sketch
+    state AND the estimate are value-hash-checked, not just bounded.
+
+    Scale shape: distinct (source, hash) reduces map-side (exchange 1);
+    per-(source, salt-64) k-min windows prune to ≤ 64k candidate rows
+    per source (exchange 2 — the A4 salted two-stage shape, so the
+    20-partition source key never sees the full gram cardinality); the
+    final k-of-64k merge window + aggregate ride one tiny source-keyed
+    exchange. Exact counts fall out of the salt stage's rn=1 rows —
+    no second pass over the gram table."""
+    n, k = 13, 256
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    grams = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sg = (
+        docs.select("source", toks.alias("toks"))
+        .select("source", F.explode(grams).alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("h")
+    w1n = Window.partitionBy("source", "salt")
+    cand = (
+        sg.withColumn("salt", F.pmod(F.col("h"), F.lit(64)))
+        .withColumn("rn", F.row_number().over(w1))
+        .withColumn("n_salt", F.count("*").over(w1n))
+        .filter(F.col("rn") <= k)
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    agg = (
+        cand.withColumn("rn2", F.row_number().over(w2))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, F.col("n_salt")))
+            .cast("long")
+            .alias("exact_distinct"),
+            F.sum(F.when(F.col("rn2") <= k, 1).otherwise(0))
+            .cast("int")
+            .alias("kmv_k"),
+            F.max(F.when(F.col("rn2") <= k, F.col("h"))).alias("kth_hash"),
+            F.max(F.when(F.col("rn2") == k, F.col("h"))).alias("_hk"),
+        )
+    )
+    est = F.when(
+        F.col("exact_distinct") < k, F.col("exact_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("_hk").cast("double") / F.lit(1152921504606846976.0))
+    )
+    return agg.select(
+        "source", "exact_distinct", "kmv_k", "kth_hash",
+        est.alias("est_distinct"),
+    )
+
+
+Q56_SQL = f"""
+WITH d AS (
+  SELECT source,
+         string_split({NORMALIZE_DUCKDB_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         ('0x' || substring(md5(array_to_string(t[i:i+12], ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 12)) AS i
+        FROM d WHERE len(t) >= 13)
+), r AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_exact
+  FROM g
+)
+SELECT source,
+       CAST(n_exact AS BIGINT) AS exact_distinct,
+       CAST(LEAST(n_exact, 256) AS INTEGER) AS kmv_k,
+       CAST(MAX(CASE WHEN rn <= 256 THEN h END) AS BIGINT) AS kth_hash,
+       CASE WHEN n_exact < 256 THEN CAST(n_exact AS DOUBLE)
+            ELSE 255.0 / (CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE)
+                          / 1152921504606846976.0)
+       END AS est_distinct
+FROM r GROUP BY source, n_exact
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -2895,6 +3002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_events_trailing_24h": q53_events_trailing_24h,
     "q54_docs_cube": q54_docs_cube,
     "q55_purchaser_retention_sets": q55_purchaser_retention_sets,
+    "q56_source_distinct_kmv": q56_source_distinct_kmv,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2952,4 +3060,5 @@ ORACLE_SQL: dict[str, str] = {
     "q53_events_trailing_24h": Q53_SQL,
     "q54_docs_cube": Q54_SQL,
     "q55_purchaser_retention_sets": Q55_SQL,
+    "q56_source_distinct_kmv": Q56_SQL,
 }

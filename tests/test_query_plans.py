@@ -161,3 +161,15 @@ def test_q55_set_ops_stay_on_user_sets(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q56_kmv_salted_no_join_no_python(spark):
+    """KMV sketch: distinct partial-agg + salted k-min window + tiny
+    source-keyed merge = three exchanges, zero joins, zero Python; the
+    full gram cardinality never shuffles onto the 20-partition source
+    key directly."""
+    df = QUERIES["q56_source_distinct_kmv"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 3, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
