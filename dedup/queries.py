@@ -2946,6 +2946,94 @@ FROM r GROUP BY source, n_exact
 """
 
 
+def q57_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (§2.9) — the last major Structured
+    Streaming surface next to q27's watermark dedup, q28's session
+    windows, and q29's custom state: purchases and views replay as TWO
+    independent file streams, and each purchase joins every view by the
+    same user within the preceding hour. Both sides carry watermarks and
+    the join condition is equi-key (user_id) + a bounded time interval,
+    which is exactly the state-cleanup contract Spark's streaming
+    symmetric hash join needs: each side buffers only rows younger than
+    watermark + interval, so state is bounded at any corpus size.
+
+    The watermark delay exceeds the corpus's event-time span, so no
+    matches are dropped and the emitted pair set is deterministic
+    regardless of file/micro-batch arrival order — value-checked against
+    DuckDB's plain interval join. At 100 TB the same query runs
+    continuously with a real (minutes-scale) watermark; the join state
+    then holds ~1 hour of per-user history instead of the whole stream."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    src_path = f"{sf_dir}/events.parquet"
+    if not _os.path.isdir(src_path):
+        staged = (
+            f"{_tempfile.gettempdir()}/q57_events_"
+            f"{_hashlib.md5(src_path.encode()).hexdigest()[:10]}"
+        )
+        if not _os.path.exists(f"{staged}/events.parquet"):
+            _os.makedirs(staged, exist_ok=True)
+            _shutil.copy(src_path, f"{staged}/events.parquet")
+        src_path = staged
+    schema = spark.read.parquet(src_path).schema
+
+    def _side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src_path)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("event_id").cast("long").alias(f"{prefix}_id"),
+            )
+            .withWatermark(f"{prefix}_ts", "365 days")
+        )
+
+    purch = _side("purchase", "p")
+    views = _side("view", "v").withColumnRenamed("user_id", "v_user_id")
+    joined = purch.join(
+        views,
+        F.expr(
+            "user_id = v_user_id AND "
+            "v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+        ),
+    ).select(
+        "p_id",
+        "v_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("us_gap"),
+    )
+    sink = f"q57_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+Q57_SQL = """
+SELECT CAST(p.event_id AS BIGINT) AS p_id,
+       CAST(v.event_id AS BIGINT) AS v_id,
+       p.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS us_gap
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -3003,6 +3091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_docs_cube": q54_docs_cube,
     "q55_purchaser_retention_sets": q55_purchaser_retention_sets,
     "q56_source_distinct_kmv": q56_source_distinct_kmv,
+    "q57_stream_interval_join": q57_stream_interval_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3061,4 +3150,5 @@ ORACLE_SQL: dict[str, str] = {
     "q54_docs_cube": Q54_SQL,
     "q55_purchaser_retention_sets": Q55_SQL,
     "q56_source_distinct_kmv": Q56_SQL,
+    "q57_stream_interval_join": Q57_SQL,
 }
