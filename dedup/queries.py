@@ -3034,6 +3034,56 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def q58_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed cluster-size histogram over the flagship clustering
+    — the curator's first post-dedup diagnostic (is the corpus mostly
+    singletons with a thin duplicate tail, or did a template family blow
+    up into a giant component?). Composes the full q20 engine output,
+    so a green row re-proves the end-to-end cluster assignment through
+    one more lens.
+
+    Buckets are exact integer arithmetic, not floating log2: the bucket
+    of size s is 2^(bits(s)-1) via length(bin(s)) — identical in both
+    engines, no libm boundary risk at powers of two. Scale shape: one
+    count per cluster_id (partial-aggregated), then a ≤64-row histogram
+    aggregate — nothing beyond the pipeline's own cost."""
+    clusters = q20_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    # SQL shiftleft accepts a column shift amount (the Python helper wants
+    # a literal int)
+    bucket_lo = F.expr("shiftleft(1, length(bin(sz)) - 1)").cast("long")
+    return (
+        sizes.groupBy(bucket_lo.alias("bucket_lo"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_convs"),
+        )
+    )
+
+
+Q58_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+exact_e AS (
+  SELECT rep AS a, id AS b FROM grp WHERE id != rep
+), edges AS (
+  SELECT a AS u, b AS v FROM near UNION SELECT b, a FROM near
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+), walk(id, cid) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+), assign AS (
+  SELECT id, MIN(cid) AS cluster_id FROM walk GROUP BY id
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM assign GROUP BY cluster_id
+)
+SELECT CAST(1 << (length(bin(sz)) - 1) AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_convs
+FROM sizes GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -3092,6 +3142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_purchaser_retention_sets": q55_purchaser_retention_sets,
     "q56_source_distinct_kmv": q56_source_distinct_kmv,
     "q57_stream_interval_join": q57_stream_interval_join,
+    "q58_cluster_size_histogram": q58_cluster_size_histogram,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3151,4 +3202,5 @@ ORACLE_SQL: dict[str, str] = {
     "q55_purchaser_retention_sets": Q55_SQL,
     "q56_source_distinct_kmv": Q56_SQL,
     "q57_stream_interval_join": Q57_SQL,
+    "q58_cluster_size_histogram": Q58_SQL,
 }
