@@ -2967,7 +2967,6 @@ def q57_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
-    import uuid as _uuid
 
     src_path = f"{sf_dir}/events.parquet"
     if not _os.path.isdir(src_path):
@@ -2979,12 +2978,26 @@ def q57_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _os.makedirs(staged, exist_ok=True)
             _shutil.copy(src_path, f"{staged}/events.parquet")
         src_path = staged
+    return stream_interval_join(spark, src_path)
+
+
+def stream_interval_join(
+    spark: SparkSession, src_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """q57's engine: drain the purchase and view streams from src_path
+    through the watermarked interval join. max_files_per_trigger forces
+    multi-micro-batch arrival (tests use it to prove the emitted pair
+    set is arrival-order independent)."""
+    import uuid as _uuid
+
     schema = spark.read.parquet(src_path).schema
 
     def _side(event_type: str, prefix: str):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return (
-            spark.readStream.schema(schema)
-            .parquet(src_path)
+            reader.parquet(src_path)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id"),

@@ -485,3 +485,48 @@ def test_stream_idempotent_redelivery(spark):
     stream_dedup(spark, tmp, stream_dir, cfg)
     after = _clusters_canonical(current_clusters(spark, stream_dir))
     assert before == after
+
+
+def test_stream_interval_join_arrival_order_independent(spark):
+    """q57's stream-stream interval join must emit the same pair set
+    whether the corpus arrives as one micro-batch or file-by-file in
+    maxFilesPerTrigger=1 drains (the symmetric hash join buffers each
+    side's unmatched rows until the watermark passes, so late-arriving
+    partners still pair up)."""
+    import tempfile
+
+    from dedup.queries import stream_interval_join
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    staged = tempfile.mkdtemp(prefix="sij_in_")
+    # 5 files, hash-scattered so purchases and their views usually land in
+    # DIFFERENT files (the adversarial arrival order)
+    src.repartition(5, "event_id").write.mode("overwrite").parquet(staged)
+
+    batch = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT CAST(p.event_id AS LONG), CAST(v.event_id AS LONG)
+            FROM {e} p JOIN {e} v
+              ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+            """,
+            e=src,
+        ).collect()
+    }
+    assert batch, "fixture must produce at least one interval match"
+
+    one_shot = {
+        (r["p_id"], r["v_id"])
+        for r in stream_interval_join(spark, staged).collect()
+    }
+    dribbled = {
+        (r["p_id"], r["v_id"])
+        for r in stream_interval_join(
+            spark, staged, max_files_per_trigger=1
+        ).collect()
+    }
+    assert one_shot == batch
+    assert dribbled == batch
