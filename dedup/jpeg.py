@@ -6,11 +6,14 @@ fully decodable with stdlib + numpy — marker parse, canonical Huffman
 entropy decode (16-bit lookahead table), dequantize, separable 8x8 IDCT as
 two matrix multiplies, chroma upsampling, and JFIF YCbCr→RGB.
 
-Scope: baseline (SOF0) and extended-sequential (SOF1) Huffman JPEGs with
-integer subsampling ratios and 8-bit precision — the overwhelming majority
-of real-world files. Progressive (SOF2), hierarchical, and arithmetic-coded
-variants raise NotImplementedError at a single guarded branch, same policy
-as the other decoders in multimodal.py.
+Scope: baseline (SOF0), extended-sequential (SOF1), and progressive (SOF2)
+Huffman JPEGs with integer subsampling ratios and 8-bit precision — the
+overwhelming majority of real-world files. Progressive scans implement
+spectral selection, successive approximation, and EOB-run coding
+(ITU-T.81 G.2), accumulating coefficients across scans before one
+vectorized IDCT. Hierarchical and arithmetic-coded variants raise
+NotImplementedError at a single guarded branch, same policy as the other
+decoders in multimodal.py.
 """
 
 from __future__ import annotations
@@ -255,10 +258,12 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive Huffman — own scan loop
+            return _decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline/extended-sequential Huffman JPEG is supported "
-                f"(SOF marker 0xFF{marker:02X}: progressive/hierarchical/"
+                f"only baseline/extended-sequential/progressive Huffman JPEG "
+                f"is supported (SOF marker 0xFF{marker:02X}: hierarchical/"
                 "arithmetic variants need a codec library)"
             )
         elif marker == 0xC4:  # DHT
@@ -345,6 +350,12 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                     plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu += 1
 
+    return _planes_to_rgb(frame, comps, hmax, vmax)
+
+
+def _planes_to_rgb(frame, comps, hmax: int, vmax: int) -> np.ndarray:
+    """Shared decode tail: upsample each component's float plane to full
+    resolution, crop to the frame, JFIF YCbCr->RGB."""
     H, W = frame["h"], frame["w"]
     planes = []
     for c in comps:
@@ -362,6 +373,262 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+def _hdecode(br: _BitReader, tab) -> int:
+    sym, ln = tab
+    pk = br.peek16()
+    s = int(sym[pk])
+    if s < 0:
+        raise ValueError("invalid Huffman code in entropy stream")
+    br.skip(int(ln[pk]))
+    return s
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive (SOF2) Huffman JPEG -> HxWx3 uint8 RGB (ITU-T.81 G.2).
+
+    Coefficients accumulate across scans: DC first/refinement scans walk
+    the interleaved MCU grid; AC scans are always single-component and
+    walk the component's own block raster with spectral selection
+    [Ss, Se], successive-approximation shifts (Al), and EOB-run coding.
+    After the last scan every block is dequantized and inverse-DCT'd in
+    one vectorized einsum per component."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    frame = None
+    restart = 0
+    geom = None  # (hmax, vmax, mcux, mcuy) once the frame is known
+    i = 2
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        L = int.from_bytes(data[i : i + 2], "big")
+        seg = data[i + 2 : i + L]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    tab = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.float64)
+                    p += 128
+                else:
+                    tab = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.float64)
+                    p += 64
+                nat = np.empty(64)
+                nat[_ZIGZAG] = tab
+                qt[tq] = nat.reshape(8, 8)
+        elif marker == 0xC2:
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            geom = (hmax, vmax, mcux, mcuy)
+            for c in comps:
+                bw_full, bh_full = mcux * c["h"], mcuy * c["v"]
+                # true (non-MCU-padded) block dims for non-interleaved scans
+                cw = -(-(w * c["h"]) // hmax)
+                ch = -(-(h * c["v"]) // vmax)
+                c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)
+                c["bw_full"], c["bh_full"] = bw_full, bh_full
+                c["coef"] = np.zeros((bh_full, bw_full, 64), dtype=np.int32)
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                total = sum(counts)
+                symbols = seg[p + 17 : p + 17 + total]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(counts, symbols)
+                p += 17 + total
+        elif marker == 0xDD:
+            restart = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append({"id": cs, "dc": tabs >> 4, "ac": tabs & 15})
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            segs, end = _entropy_segments(data, i + L)
+            _progressive_scan(
+                frame, geom, scan, ss, se, ah, al, huff_dc, huff_ac, restart, segs
+            )
+            i = end
+            continue
+        i += L
+    if frame is None:
+        raise ValueError("truncated JPEG: missing SOF2")
+
+    hmax, vmax, _, _ = geom
+    comps = frame["comps"]
+    for c in comps:
+        q = qt[c["tq"]]
+        blocks = c["coef"].astype(np.float64).reshape(
+            c["bh_full"], c["bw_full"], 8, 8
+        ) * q
+        spatial = np.einsum("ij,xyjk,kl->xyil", _A.T, blocks, _A) + 128.0
+        c["plane"] = spatial.transpose(0, 2, 1, 3).reshape(
+            c["bh_full"] * 8, c["bw_full"] * 8
+        )
+    return _planes_to_rgb(frame, comps, hmax, vmax)
+
+
+def _progressive_scan(
+    frame, geom, scan, ss, se, ah, al, huff_dc, huff_ac, restart, segs
+) -> None:
+    """Apply one progressive scan's entropy segments to the accumulated
+    coefficient arrays (DC: F.2.2.1 + G.1.2.1; AC: G.1.2.2 / G.1.2.3)."""
+    hmax, vmax, mcux, mcuy = geom
+    by_id = {c["id"]: c for c in frame["comps"]}
+    order = [by_id[s["id"]] for s in scan]
+    interleaved = len(order) > 1
+    if interleaved:
+        total_units = mcux * mcuy
+    else:
+        c0 = order[0]
+        total_units = c0["bw"] * c0["bh"]
+    for c, s in zip(order, scan):
+        if ss == 0:
+            c["dct"] = huff_dc[s["dc"]]
+        if se > 0:
+            c["act"] = huff_ac[s["ac"]]
+        c["pred"] = 0
+    per_seg = restart if restart else total_units
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for seg_bytes in segs:
+        if unit >= total_units:
+            break
+        br = _BitReader(seg_bytes)
+        eobrun = 0
+        for c in order:
+            c["pred"] = 0
+        for _ in range(min(per_seg, total_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for c in order:
+                    for blk in range(c["h"] * c["v"]):
+                        bv, bh = divmod(blk, c["h"])
+                        coef = c["coef"][my * c["v"] + bv, mx * c["h"] + bh]
+                        _decode_dc(br, c, coef, ah, al)
+            else:
+                c = order[0]
+                by, bx = divmod(unit, c["bw"])
+                coef = c["coef"][by, bx]
+                if ss == 0:
+                    _decode_dc(br, c, coef, ah, al)
+                elif ah == 0:
+                    eobrun = _ac_first(br, c, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, c, coef, ss, se, p1, m1, eobrun)
+            unit += 1
+
+
+def _decode_dc(br: _BitReader, c, coef, ah: int, al: int) -> None:
+    if ah == 0:  # DC first: diff-coded magnitude, shifted by Al
+        s = _hdecode(br, c["dct"])
+        c["pred"] += _extend(br.receive(s), s)
+        coef[0] = c["pred"] << al
+    else:  # DC refinement: one correction bit per block
+        if br.receive(1):
+            coef[0] = int(coef[0]) | (1 << al)
+
+
+def _ac_first(br: _BitReader, c, coef, ss, se, al, eobrun: int) -> int:
+    """AC scan, Ah=0 (G.1.2.2): band [ss, se] with EOB-run coding."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _hdecode(br, c["act"])
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            break  # corrupt stream guard
+        coef[_ZIGZAG[k]] = _extend(br.receive(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br: _BitReader, c, coef, ss, se, p1, m1, eobrun: int) -> int:
+    """AC refinement, Ah>0 (G.1.2.3): each already-nonzero coefficient in
+    the band gets a correction bit; zero-history positions are spent by
+    the run lengths and may become +-2^Al."""
+
+    def correct(idx) -> None:
+        v = int(coef[idx])
+        if br.receive(1) and not (v & p1):
+            coef[idx] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _hdecode(br, c["act"])
+            r, size = rs >> 4, rs & 15
+            newval = 0
+            if size == 0:
+                if r < 15:
+                    # unlike _ac_first, NO -1 here: the current block's tail
+                    # still consumes correction bits below, and the run is
+                    # decremented after that (ITU-T.81 G.1.2.3 / IJG)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: pass over 16 zero-history positions
+            else:
+                # size is always 1 in refinement scans
+                newval = p1 if br.receive(1) else m1
+            while k <= se:
+                idx = _ZIGZAG[k]
+                if coef[idx] != 0:
+                    correct(idx)
+                else:
+                    if r == 0:
+                        if newval:
+                            coef[idx] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            idx = _ZIGZAG[k]
+            if coef[idx] != 0:
+                correct(idx)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 class _BitWriter:

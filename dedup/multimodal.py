@@ -230,9 +230,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if b[:2] == b"\xff\xd8":
         from .jpeg import decode_baseline_jpeg
 
-        # pure-numpy baseline decoder (jpeg.py): agrees with the JVM
-        # ImageIO reference to <1 mean abs level on real photos;
-        # progressive/arithmetic variants raise inside
+        # pure-numpy decoder (jpeg.py), baseline AND progressive: agrees
+        # with the JVM ImageIO reference to <1 mean abs level on real
+        # photos; hierarchical/arithmetic variants raise inside
         return decode_baseline_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif

@@ -338,11 +338,9 @@ def test_jpeg_decode_matches_jvm_imageio_reference(spark):
 )
 def test_jpeg_through_media_pipeline_real_decode(spark):
     """Real JPEG payloads flow through featurize_media(fake_decode=False):
-    distinct photos -> distinct hashes/features; progressive JPEG raises at
-    the guarded branch."""
+    distinct photos -> distinct hashes/features."""
     import glob
 
-    from dedup.jpeg import decode_baseline_jpeg
     from dedup.multimodal import decode_image
 
     paths = sorted(glob.glob(f"{SPARK_IMG_DIR}/kittens/*.jpg"))[:3]
@@ -361,9 +359,53 @@ def test_jpeg_through_media_pipeline_real_decode(spark):
     img = decode_image(open(paths[0], "rb").read())
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
 
-    prog = f"{SPARK_IMG_DIR}/multi-channel/grayscale.jpg"  # SOF2 progressive
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_baseline_jpeg(open(prog, "rb").read())
+
+@pytest.mark.skipif(
+    not os.path.isdir(SPARK_IMG_DIR), reason="pyspark sample images absent"
+)
+def test_progressive_jpeg_decode_matches_jvm_imageio(spark, tmp_path):
+    """Progressive (SOF2) decode: a natively progressive sample file plus
+    photographic 4:2:0 files re-encoded to progressive by the independent
+    JVM ImageIO writer must all decode within tight pixel tolerance of
+    ImageIO's own reading."""
+    import glob
+
+    from dedup.jpeg import decode_baseline_jpeg
+
+    jvm = spark.sparkContext._jvm
+
+    def _to_progressive(src: str, dst: str) -> None:
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(src))
+        w = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        param = w.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+            jvm.java.io.File(dst)
+        )
+        w.setOutput(ios)
+        w.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.close()
+
+    paths = [f"{SPARK_IMG_DIR}/multi-channel/grayscale.jpg"]  # natively SOF2
+    for i, src in enumerate(sorted(glob.glob(f"{SPARK_IMG_DIR}/kittens/*.jpg"))):
+        dst = str(tmp_path / f"prog_{i}.jpg")
+        _to_progressive(src, dst)
+        paths.append(dst)
+    assert len(paths) >= 4
+    for p in paths:
+        data = open(p, "rb").read()
+        assert b"\xff\xc2" in data, p  # really progressive
+        row = spark.read.format("image").load(p).select("image.*").head()
+        ref = (
+            np.frombuffer(bytes(row.data), dtype=np.uint8)
+            .reshape(row.height, row.width, row.nChannels)
+            .astype(int)
+        )
+        ref = ref[..., ::-1] if row.nChannels == 3 else np.dstack([ref[..., 0]] * 3)
+        mine = decode_baseline_jpeg(data).astype(int)
+        assert mine.shape == ref.shape, p
+        mad = np.abs(ref - mine).mean()
+        assert mad < 2.0, (p, mad)
 
 
 def test_jpeg_encode_decode_roundtrip():
