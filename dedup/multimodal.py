@@ -43,8 +43,9 @@ _FEATURES_SCHEMA = (
 
 
 def _decode_ppm(b: bytes) -> np.ndarray:
-    """Binary PPM (P6), maxval <= 255: ASCII header (with # comments), one
-    whitespace byte, then raw RGB rows."""
+    """Binary PPM (P6): ASCII header (with # comments), one whitespace
+    byte, then raw RGB rows — 1-byte samples for maxval <= 255, big-endian
+    2-byte samples for 256..65535 (rescaled to 8-bit)."""
     pos, tokens = 0, []
     while len(tokens) < 4:
         while pos < len(b) and b[pos : pos + 1].isspace():
@@ -60,29 +61,83 @@ def _decode_ppm(b: bytes) -> np.ndarray:
             raise ValueError("truncated PPM header")
         tokens.append(b[start:pos])
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
     pos += 1  # exactly one whitespace byte separates header and raster
+    if maxval > 255:
+        wide = np.frombuffer(b, ">u2", count=w * h * 3, offset=pos).reshape(h, w, 3)
+        return ((wide.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(
+            np.uint8
+        )
     return np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
 
 
+def _bmp_rle8_rows(data: bytes, w: int, h: int) -> np.ndarray:
+    """RLE8 escape-coded pixel stream -> (h, w) palette-index rows in
+    file (bottom-up) order."""
+    rows = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            end = min(x + cnt, w)
+            rows[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal bytes, padded to 16-bit
+            end = min(x + val, w)
+            rows[y, x:end] = np.frombuffer(data, np.uint8, count=end - x, offset=i)
+            x = end
+            i += val + (val & 1)
+    return rows
+
+
 def _decode_bmp(b: bytes) -> np.ndarray:
-    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up or top-down)."""
+    """BMP (BITMAPINFOHEADER, bottom-up or top-down): uncompressed 24/32-bit
+    true color, and 8-bit paletted — plain or RLE8-compressed."""
     if len(b) < 54:
         raise ValueError("truncated BMP")
     off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
     w = int.from_bytes(b[18:22], "little", signed=True)
     h = int.from_bytes(b[22:26], "little", signed=True)
     bpp = int.from_bytes(b[28:30], "little")
     comp = int.from_bytes(b[30:34], "little")
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp}, comp={comp})")
-    stride = ((w * 3 + 3) // 4) * 4
-    rows = np.frombuffer(b, np.uint8, count=stride * abs(h), offset=off).reshape(
-        abs(h), stride
-    )[:, : w * 3]
-    img = rows.reshape(abs(h), w, 3)[..., ::-1]  # BGR -> RGB
-    return img[::-1] if h > 0 else img  # positive height = bottom-up
+    ah = abs(h)
+    if bpp == 8 and comp in (0, 1):
+        n_colors = int.from_bytes(b[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            b, np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        if comp == 1:  # RLE8 (always bottom-up)
+            idx = _bmp_rle8_rows(b[off:], w, ah)
+        else:
+            stride = ((w + 3) // 4) * 4
+            idx = np.frombuffer(b, np.uint8, count=stride * ah, offset=off).reshape(
+                ah, stride
+            )[:, :w]
+        img = pal[idx]
+        return img[::-1] if h > 0 else img
+    if bpp in (24, 32) and comp in (0, 3):
+        nb = bpp // 8
+        stride = ((w * nb + 3) // 4) * 4
+        rows = np.frombuffer(b, np.uint8, count=stride * ah, offset=off).reshape(
+            ah, stride
+        )[:, : w * nb]
+        img = rows.reshape(ah, w, nb)[..., :3][..., ::-1]  # BGR(A) -> RGB
+        return img[::-1] if h > 0 else img
+    raise NotImplementedError(
+        f"unsupported BMP variant (bpp={bpp}, comp={comp}): 1/4-bit palettes "
+        "and RLE4/bitfield exotics need a codec library"
+    )
 
 
 def _png_chunks(b: bytes):

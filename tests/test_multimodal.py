@@ -831,3 +831,95 @@ def test_gif_through_media_pipeline_and_frame_sampling(spark):
         assert np.array_equal(
             decode_image(bytes(r["payload"])), frames[r["frame_idx"]]
         )
+
+
+
+
+def test_decode_ppm_16bit_rescales():
+    """maxval > 255 -> big-endian 2-byte samples, rounded to 8-bit."""
+    wide = np.array(
+        [[[0, 32768, 65535], [257, 65278, 12850]]], dtype=np.uint16
+    )
+    data = b"P6\n2 1\n65535\n" + wide.astype(">u2").tobytes()
+    got = decode_image(data)
+    want = ((wide.astype(np.uint32) * 255 + 65535 // 2) // 65535).astype(np.uint8)
+    assert np.array_equal(got, want)
+    # maxval 1023 (10-bit) scales too
+    ten = np.array([[[0, 511, 1023]]], dtype=np.uint16)
+    got10 = decode_image(b"P6\n1 1\n1023\n" + ten.astype(">u2").tobytes())
+    assert got10.tolist() == [[[0, 127, 255]]]
+
+
+def _bmp_header(w, h, bpp, comp, raster_len, n_colors=0):
+    pal_bytes = n_colors * 4
+    return (
+        b"BM"
+        + (54 + pal_bytes + raster_len).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54 + pal_bytes).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + comp.to_bytes(4, "little")
+        + raster_len.to_bytes(4, "little")
+        + b"\x00" * 8
+        + n_colors.to_bytes(4, "little")
+        + b"\x00" * 4
+    )
+
+
+def test_decode_bmp_8bit_palette():
+    """8-bit paletted BMP (bottom-up): indices map through the BGRX
+    palette; rows are 4-byte aligned."""
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255)]
+    pal_bytes = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+    idx = np.array([[0, 1, 2], [2, 2, 1]], dtype=np.uint8)
+    stride = 4  # w=3 padded
+    raster = b"".join(row.tobytes() + b"\x00" for row in idx[::-1])
+    data = _bmp_header(3, 2, 8, 0, len(raster), 3) + pal_bytes + raster
+    want = np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(decode_image(data), want)
+
+
+def test_decode_bmp_rle8():
+    """RLE8: encoded runs, absolute mode (word-padded), delta skips, EOL,
+    EOF — the decoded indices must match ImageIO-documented semantics."""
+    pal_bytes = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    # 6x3 bottom-up: row0(file)=bottom row of image
+    rle = (
+        b"\x03\x07"          # run: 7 7 7
+        + b"\x00\x03\x05\x06\x08\x00"  # absolute: 5 6 8 (+pad)
+        + b"\x00\x00"        # EOL
+        + b"\x02\x09"        # run: 9 9
+        + b"\x00\x02\x02\x00"  # delta: skip 2 right
+        + b"\x02\x04"        # run: 4 4
+        + b"\x00\x00"        # EOL
+        + b"\x06\x01"        # full row of 1s
+        + b"\x00\x01"        # EOF
+    )
+    data = _bmp_header(6, 3, 8, 1, len(rle), 256) + pal_bytes + rle
+    got = decode_image(data)
+    file_rows = np.array(
+        [
+            [7, 7, 7, 5, 6, 8],
+            [9, 9, 0, 0, 4, 4],  # delta leaves zeros
+            [1, 1, 1, 1, 1, 1],
+        ],
+        dtype=np.uint8,
+    )
+    want = np.stack([file_rows, file_rows, file_rows], axis=-1)[::-1]
+    assert np.array_equal(got, want)
+
+
+def test_decode_bmp_32bit():
+    """32-bit BGRA rows: alpha dropped, no row padding needed."""
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    raster = b""
+    for row in img[::-1]:
+        for px in row:
+            raster += bytes([px[2], px[1], px[0], 0xAA])  # BGRA
+    data = _bmp_header(2, 2, 32, 0, len(raster), 0)
+    assert np.array_equal(decode_image(data + raster), img)
+
