@@ -3097,6 +3097,75 @@ FROM sizes GROUP BY 1
 """
 
 
+def q59_cross_source_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate flow — for every source pair, how many
+    exact-dup and verified near-dup relations the pipeline found between
+    them (canonical src_a <= src_b). Where q52 measures raw 13-gram
+    sharing, this is the post-verification view the curator acts on:
+    which mirrors actually duplicate each other, and whether the overlap
+    is byte-exact (re-host) or near (template drift). Composes the full
+    q20/q22 engine output, so a green row re-proves candidate recall +
+    verification through the source lens.
+
+    Scale shape: the pair relations are tiny next to the corpus (already
+    verified), so the two source-attachment joins carry |pairs| rows and
+    the final matrix aggregate is <= S^2 x 2 rows; everything else is
+    the pipeline's own (cached) cost."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "source"
+    )
+    out = _docs_pipeline(spark, sf_dir)
+    near = out["verified"].select("a", "b", F.lit("near").alias("relation"))
+    # exact-dup edges (rep -> member), string-ordered like the pipeline
+    norm = normalize_sql(F.col("text")).alias("norm")
+    keyed = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), norm
+    )
+    reps = keyed.groupBy("norm").agg(F.min("id").alias("rep"))
+    exact = (
+        keyed.join(reps, "norm")
+        .filter(F.col("id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("a"),
+            F.col("id").alias("b"),
+            F.lit("exact").alias("relation"),
+        )
+    )
+    rel = near.unionByName(exact)
+    sa = docs.select(F.col("id").alias("a"), F.col("source").alias("source_a"))
+    sb = docs.select(F.col("id").alias("b"), F.col("source").alias("source_b"))
+    return (
+        rel.join(sa, "a")
+        .join(sb, "b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("src_a"),
+            F.greatest("source_a", "source_b").alias("src_b"),
+            "relation",
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+Q59_SQL = f"""
+WITH {_DOCS_TRUTH_CTES},
+src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, source FROM documents
+), rel AS (
+  SELECT a, b, 'near' AS relation FROM near
+  UNION ALL
+  SELECT rep AS a, id AS b, 'exact' AS relation FROM grp WHERE id != rep
+)
+SELECT LEAST(sa.source, sb.source) AS src_a,
+       GREATEST(sa.source, sb.source) AS src_b,
+       relation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM rel
+JOIN src sa ON sa.id = rel.a
+JOIN src sb ON sb.id = rel.b
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -3156,6 +3225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_source_distinct_kmv": q56_source_distinct_kmv,
     "q57_stream_interval_join": q57_stream_interval_join,
     "q58_cluster_size_histogram": q58_cluster_size_histogram,
+    "q59_cross_source_dup_flow": q59_cross_source_dup_flow,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3216,4 +3286,5 @@ ORACLE_SQL: dict[str, str] = {
     "q56_source_distinct_kmv": Q56_SQL,
     "q57_stream_interval_join": Q57_SQL,
     "q58_cluster_size_histogram": Q58_SQL,
+    "q59_cross_source_dup_flow": Q59_SQL,
 }
