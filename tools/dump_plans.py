@@ -67,6 +67,7 @@ def main() -> None:
     overlap = QUERIES["q52_cross_source_overlap"](spark, SF)
     trailing = QUERIES["q53_events_trailing_24h"](spark, SF)
     cube = QUERIES["q54_docs_cube"](spark, SF)
+    kmv = QUERIES["q56_source_distinct_kmv"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -155,6 +156,11 @@ def main() -> None:
             "q54 cube: one Expand (x4 grouping sets) + ONE "
             "partial-aggregated exchange",
             cube,
+        ),
+        (
+            "q56 KMV sketch: distinct partial-agg + salted k-min window + "
+            "tiny source-keyed merge — 3 exchanges, zero joins, zero Python",
+            kmv,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
