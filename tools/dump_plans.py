@@ -68,6 +68,8 @@ def main() -> None:
     trailing = QUERIES["q53_events_trailing_24h"](spark, SF)
     cube = QUERIES["q54_docs_cube"](spark, SF)
     kmv = QUERIES["q56_source_distinct_kmv"](spark, SF)
+    sizehist = QUERIES["q58_cluster_size_histogram"](spark, SF)
+    dupflow = QUERIES["q59_cross_source_dup_flow"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -161,6 +163,18 @@ def main() -> None:
             "q56 KMV sketch: distinct partial-agg + salted k-min window + "
             "tiny source-keyed merge — 3 exchanges, zero joins, zero Python",
             kmv,
+        ),
+        (
+            "q58 cluster-size histogram: groupBy(cluster_id) count + "
+            "bit-length bucket agg on top of the flagship clustering — "
+            "two small exchanges past the pipeline's own cost",
+            sizehist,
+        ),
+        (
+            "q59 cross-source dup flow: verified pairs + exact edges, each "
+            "endpoint equi-joined to its source label (pair side is the "
+            "small side — AQE broadcasts), tiny S²×2 matrix agg",
+            dupflow,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
