@@ -3166,6 +3166,97 @@ GROUP BY 1, 2, 3
 """
 
 
+def q60_curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup training-mixture summary — the curation pipeline's final
+    "what do I train on" relation. Composes the q35 tier assignment with an
+    exact-group representative election and whitespace token accounting into
+    one row per (source, tier): how many documents and tokens the cell holds,
+    how many survive the keep policy, and what share of the corpus-wide kept
+    token budget the cell contributes (the mixture weight a sampler would
+    start from). Keep policy (the tiered treatment of Lee'22 §5 /
+    Penedo'23 §5): a tier-3 exact clone is kept only if it is its
+    normalized-text group's minimum doc_id (the canonical representative);
+    near/segment documents are all kept — they stay in the mixture for
+    DOWN-WEIGHTING rather than dropping, which is exactly why the tier
+    column is in the output.
+
+    Scale shape: tier flags are the q35 relations (bounded by the dup
+    population; the production path takes the same flags from
+    tiers.tier_assignments over pipeline outputs instead of the labeled
+    oracle baselines); representative election shares the exact flag's
+    single exchange on norm; token counts are a JVM size(split()); the
+    rollup is one partial-agg exchange on (source, tier) into <= S*4 rows;
+    the corpus-wide kept-token total is a single-row broadcast, never a
+    second corpus scan. kept_token_share is one long->double division on
+    both engines, so the hash match is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_sql(F.col("text"))
+    keyed = docs.select("doc_id", "source", norm.alias("norm"))
+    elig = keyed.select(
+        "doc_id",
+        "source",
+        F.min("doc_id").over(Window.partitionBy("norm")).alias("rep_id"),
+        F.size(F.split(F.col("norm"), " ")).cast("long").alias("n_tokens"),
+    )
+    tiers = q35_docs_dedup_tiers(spark, sf_dir).select(
+        "doc_id", "tier_rank", "tier"
+    )
+    kept = (F.col("tier") != "exact") | (F.col("doc_id") == F.col("rep_id"))
+    cell = (
+        elig.join(tiers, "doc_id")
+        .groupBy("source", "tier_rank", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+    total = cell.agg(F.sum("tokens_kept").alias("_tot"))
+    return cell.join(F.broadcast(total)).select(
+        "source",
+        "tier_rank",
+        "tier",
+        "n_docs",
+        "n_kept",
+        "tokens_total",
+        "tokens_kept",
+        (F.col("tokens_kept").cast("double") / F.col("_tot").cast("double")).alias(
+            "kept_token_share"
+        ),
+    )
+
+
+Q60_SQL = f"""
+WITH tiers AS ({Q35_SQL}),
+keyed AS (
+  SELECT doc_id, source, {_NORM} AS norm FROM documents
+), elig AS (
+  SELECT doc_id, source,
+         MIN(doc_id) OVER (PARTITION BY norm) AS rep_id,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+  FROM keyed
+), cell AS (
+  SELECT e.source, t.tier_rank, t.tier,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN t.tier <> 'exact' OR e.doc_id = e.rep_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(e.n_tokens) AS BIGINT) AS tokens_total,
+         CAST(SUM(CASE WHEN t.tier <> 'exact' OR e.doc_id = e.rep_id
+                       THEN e.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+  FROM elig e JOIN tiers t USING (doc_id)
+  GROUP BY 1, 2, 3
+)
+SELECT source, tier_rank, tier, n_docs, n_kept, tokens_total, tokens_kept,
+       CAST(tokens_kept AS DOUBLE)
+         / (SELECT CAST(SUM(tokens_kept) AS DOUBLE) FROM cell)
+         AS kept_token_share
+FROM cell
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -3226,6 +3317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_stream_interval_join": q57_stream_interval_join,
     "q58_cluster_size_histogram": q58_cluster_size_histogram,
     "q59_cross_source_dup_flow": q59_cross_source_dup_flow,
+    "q60_curation_mixture": q60_curation_mixture,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3287,4 +3379,5 @@ ORACLE_SQL: dict[str, str] = {
     "q57_stream_interval_join": Q57_SQL,
     "q58_cluster_size_histogram": Q58_SQL,
     "q59_cross_source_dup_flow": Q59_SQL,
+    "q60_curation_mixture": Q60_SQL,
 }

@@ -173,3 +173,16 @@ def test_q56_kmv_salted_no_join_no_python(spark):
     assert _n_exchanges(df) == 3, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q60_mixture_total_rides_broadcast(spark):
+    """Curation mixture: the corpus-wide kept-token total joins back as a
+    single broadcast row (BroadcastNestedLoopJoin), never a shuffled or
+    cartesian join; zero Python in the plan. The exchange bulk belongs to
+    the composed q35 labeled oracle baseline — q60's own additions are one
+    norm window, one doc_id join, one (source, tier) partial agg."""
+    df = QUERIES["q60_curation_mixture"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
