@@ -70,6 +70,7 @@ def main() -> None:
     kmv = QUERIES["q56_source_distinct_kmv"](spark, SF)
     sizehist = QUERIES["q58_cluster_size_histogram"](spark, SF)
     dupflow = QUERIES["q59_cross_source_dup_flow"](spark, SF)
+    mixture = QUERIES["q60_curation_mixture"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -175,6 +176,12 @@ def main() -> None:
             "endpoint equi-joined to its source label (pair side is the "
             "small side — AQE broadcasts), tiny S²×2 matrix agg",
             dupflow,
+        ),
+        (
+            "q60 curation mixture: q35 tiers + norm-window representative "
+            "election + one (source, tier) partial agg; corpus-wide kept "
+            "total rides a 1-row BroadcastNestedLoopJoin",
+            mixture,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
