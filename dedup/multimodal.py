@@ -2,15 +2,17 @@
 `binary` columns with typed metadata, processed via Arrow-batched
 mapInPandas.
 
-`decode_image` really decodes the formats a pure-numpy/stdlib parser can
-own: PPM P6 and 24-bit BMP (self-describing uncompressed headers) plus
-8-bit RGB/RGBA non-interlaced PNG (stdlib zlib inflate + the five public
-scanline filters). Formats needing an entropy-coded image library (JPEG,
-WebP) raise NotImplementedError in this container, and a deterministic
-fake decoder remains available for synthetic fixtures. The Spark-side
-plumbing — schema, partitioning, UDF signatures, batch shapes — is real and
-tested (tests/test_multimodal.py): swapping in a full decoder is a
-one-function change that does not touch the distributed plan.
+`decode_image` really decodes, pure numpy/stdlib: PPM (P6, 8/16-bit), BMP
+(24/32-bit true color, 8-bit paletted plain or RLE8), PNG with full static
+coverage (color types 0/2/3/4/6, depths 1/2/4/8/16, sequential and Adam7
+interlaced — stdlib zlib inflate + the five public scanline filters),
+baseline and progressive JPEG (dedup/jpeg.py), GIF87a/89a (dedup/gif.py),
+and lossless WebP/VP8L (dedup/webp.py). Only lossy-WebP/VP8 remains a
+guarded NotImplementedError; a deterministic fake decoder stays available
+for synthetic fixtures. The Spark-side plumbing — schema, partitioning,
+UDF signatures, batch shapes — is real and tested
+(tests/test_multimodal.py): swapping in a codec library is a one-function
+change that does not touch the distributed plan.
 """
 
 from __future__ import annotations
@@ -152,42 +154,36 @@ def _png_chunks(b: bytes):
             return
 
 
-def _decode_png(b: bytes) -> np.ndarray:
-    """Pure-stdlib PNG decode (zlib inflate + per-scanline filter
-    reconstruction per the public W3C PNG spec / RFC 2083): 8-bit RGB
-    (color type 2) and RGBA (6, alpha dropped), non-interlaced. No image
-    library needed — IDAT is DEFLATE, and the five scanline filters
-    (None/Sub/Up/Average/Paeth) are ~30 lines of integer arithmetic."""
-    import zlib
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    ihdr = idat = None
-    parts = []
-    for ctype, data in _png_chunks(b):
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            parts.append(data)
-    if ihdr is None or not parts:
-        raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or color not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG variant unsupported (depth={depth}, color_type={color}, "
-            f"interlace={interlace}); supported: 8-bit RGB/RGBA, non-interlaced"
-        )
-    ch = 3 if color == 2 else 4
-    raw = zlib.decompress(b"".join(parts))
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+# Adam7 pass grid: (x0, y0, dx, dy) per the public PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Reconstruct `h` scanlines of `stride` bytes each from the filtered
+    stream at `off` (each line prefixed by its filter-type byte); returns
+    (rows ndarray (h, stride) uint8, next offset). `bpp` is the filter
+    pixel width in BYTES (max(1, channels*depth/8) per the spec)."""
+    need = h * (stride + 1)
+    if len(raw) - off < need:
         raise ValueError("truncated PNG raster")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.intc)
     for y in range(h):
-        off = y * (stride + 1)
         ftype = raw[off]
-        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1).astype(np.intc)
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1).astype(
+            np.intc
+        )
+        off += stride + 1
         if ftype == 0:
             recon = line
         elif ftype == 2:  # Up
@@ -195,9 +191,9 @@ def _decode_png(b: bytes) -> np.ndarray:
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
             recon = line.copy()
             for x in range(stride):
-                a = recon[x - ch] if x >= ch else 0
+                a = recon[x - bpp] if x >= bpp else 0
                 bb = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
@@ -211,8 +207,91 @@ def _decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = recon
         prev = recon.astype(np.intc)
-    img = out.reshape(h, w, ch)
-    return img[..., :3].copy()
+    return out, off
+
+
+def _png_expand(rows: np.ndarray, w: int, depth: int, color: int, plte) -> np.ndarray:
+    """(h, stride) reconstructed scanline bytes -> (h, w, 3) uint8 RGB for
+    one (sub-)image: bit-unpack depths 1/2/4, drop the low byte of 16-bit
+    samples, look up PLTE for palette images, replicate grayscale."""
+    h = rows.shape[0]
+    ch = _PNG_CHANNELS[color]
+    if depth == 16:
+        samples = rows.reshape(h, w, ch, 2)[..., 0]  # big-endian high byte
+    elif depth == 8:
+        samples = rows.reshape(h, w, ch)
+    else:  # 1/2/4-bit grayscale or palette indices, packed MSB-first
+        bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        samples = (bits * weights).sum(axis=2, dtype=np.uint16)[..., None]
+        if color == 0:  # scale sub-byte gray to full range
+            samples = samples * (255 // ((1 << depth) - 1))
+        samples = samples.astype(np.uint8)
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE chunk")
+        return plte[samples[..., 0]]
+    if color in (0, 4):  # grayscale (+alpha dropped)
+        return np.repeat(samples[..., :1], 3, axis=2).astype(np.uint8)
+    return samples[..., :3].astype(np.uint8).copy()  # RGB / RGBA
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline filter
+    reconstruction per the public W3C PNG spec / RFC 2083), full static
+    coverage: color types 0/2/3/4/6, bit depths 1/2/4/8/16, interlace 0
+    (sequential) and 1 (Adam7). No image library needed — IDAT is DEFLATE,
+    the five scanline filters are integer arithmetic, and Adam7 is seven
+    independently-filtered sub-images re-scattered onto the pixel grid.
+    16-bit samples keep the high byte (the 8-bit view every downstream
+    feature in this engine consumes); alpha is dropped; tRNS ignored for
+    the same reason. APNG animation chunks (acTL/fcTL/fdAT) are ancillary
+    and skipped — the decode yields the default (first) image."""
+    import zlib
+
+    ihdr = None
+    plte = None
+    parts = []
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            parts.append(data)
+    if ihdr is None or not parts:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if color not in _PNG_CHANNELS or interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG header (color={color}, interlace={interlace})")
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or (depth < 8 and color not in (0, 3))
+        or (depth == 16 and color == 3)
+    ):
+        raise ValueError(f"invalid PNG depth/color combo ({depth}, {color})")
+    ch = _PNG_CHANNELS[color]
+    bpp = max(1, ch * depth // 8)
+    raw = zlib.decompress(b"".join(parts))
+
+    def stride_of(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, stride_of(w), bpp)
+        return _png_expand(rows, w, depth, color, plte)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue  # empty pass for small images
+        rows, off = _png_unfilter(raw, off, ph, stride_of(pw), bpp)
+        out[y0::dy, x0::dx] = _png_expand(rows, pw, depth, color, plte)
+    return out
 
 
 def encode_png(pixels: np.ndarray, filter_type: int = 4) -> bytes:
@@ -265,11 +344,10 @@ def encode_png(pixels: np.ndarray, filter_type: int = 4) -> bytes:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an encoded image payload to an HxWx3 uint8 array.
 
-    Real decode paths: PPM P6 and uncompressed 24-bit BMP (self-describing
-    public formats, parsed in pure numpy). Compressed formats need PIL/cv2
-    (absent in this container) and raise NotImplementedError. ``fake=True``
-    derives deterministic pixels from the payload hash for synthetic
-    fixtures whose payloads are not real images.
+    Real decode paths (all pure numpy/stdlib — see the module docstring for
+    the per-format variant matrix): PPM, BMP, PNG, JPEG, GIF, lossless
+    WebP. ``fake=True`` derives deterministic pixels from the payload hash
+    for synthetic fixtures whose payloads are not real images.
     """
     if fake:
         seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "little")
@@ -304,8 +382,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_webp(b)[:, :, :3]
     raise NotImplementedError(
         "remaining formats require PIL/cv2 (unavailable in this "
-        "container); supported here: PPM P6, 24-bit BMP, 8-bit RGB/RGBA "
-        "PNG, baseline JPEG, GIF, lossless WebP (VP8L)"
+        "container); supported here: PPM, BMP, PNG (all static variants), "
+        "baseline/progressive JPEG, GIF, lossless WebP (VP8L)"
     )
 
 
