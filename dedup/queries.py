@@ -3257,6 +3257,186 @@ FROM cell
 """
 
 
+# stopword probes for the q61 hard-rule gate (subset of the Gopher 8-word
+# list that the synthetic corpus vocabulary can actually contain)
+_Q61_STOPWORDS = ("the", "and", "of", "to", "that", "with")
+
+
+def q61_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard quality-rule gate — the Gopher/MassiveText document filters
+    (public method: Rae et al. '21 §A1.1) as boolean rule bits plus the
+    AND-verdict, complementing q16 (soft profile scores) and q32
+    (repetition signals). Rules, each an exact integer comparison so the
+    row hashes bit-identically cross-engine (no float ratios):
+
+      r_wordcount  50 <= n_tokens <= 100000          (Gopher bounds)
+      r_meanlen    3 <= mean word length <= 10       (as 3·nt <= chars <= 10·nt)
+      r_alpha      >= 80% of words contain a letter  (as 5·n_alpha >= 4·nt)
+      r_stop       >= 1 stopword of {the,and,of,to,that,with} present
+                   (Gopher asks >= 2 of its 8-word list; this corpus'
+                   synthetic vocabulary carries at most one, so the
+                   adapted bound keeps the rule discriminative)
+      r_symbol     '#' or '...' occurrences <= 10% of words
+
+    Scale shape: a single narrow projection over the documents scan —
+    zero shuffles, zero joins, zero Python; every expression is
+    whole-stage-codegen string/integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = normalize_sql(F.col("text"))
+    d = docs.select("doc_id", n.alias("n"))
+    toks = F.split(F.col("n"), " ")
+    nt = F.size(toks)
+    # normalize collapsed runs to single spaces, so non-space chars are
+    # exactly length minus the (nt-1) separators
+    chars = F.length("n") - (nt - F.lit(1))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    padded = F.concat(F.lit(" "), F.col("n"), F.lit(" "))
+    n_stop = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        for w in _Q61_STOPWORDS
+    )
+    n_sym = (
+        F.length("n") - F.length(F.replace(F.col("n"), F.lit("#")))
+    ) + (
+        F.length("n") - F.length(F.replace(F.col("n"), F.lit("...")))
+    ) / F.lit(3)
+    rules = {
+        "r_wordcount": (nt >= 50) & (nt <= 100000),
+        "r_meanlen": (3 * nt <= chars) & (chars <= 10 * nt),
+        "r_alpha": 5 * n_alpha >= 4 * nt,
+        "r_stop": n_stop >= 1,
+        "r_symbol": 10 * n_sym <= nt,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return d.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        *[
+            F.when(c, 1).otherwise(0).cast("int").alias(name)
+            for name, c in rules.items()
+        ],
+        F.when(keep, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+Q61_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS n FROM documents
+), s AS (
+  SELECT doc_id, n,
+    len(string_split(n, ' ')) AS nt,
+    length(n) - (len(string_split(n, ' ')) - 1) AS chars,
+    len(list_filter(string_split(n, ' '), x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    ({' + '.join(
+        f"CASE WHEN contains(' '||n||' ', ' {w} ') THEN 1 ELSE 0 END"
+        for w in _Q61_STOPWORDS
+    )}) AS n_stop,
+    (length(n) - length(replace(n, '#', '')))
+      + (length(n) - length(replace(n, '...', ''))) / 3 AS n_sym
+  FROM d
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN nt >= 50 AND nt <= 100000 THEN 1 ELSE 0 END AS INT) AS r_wordcount,
+  CAST(CASE WHEN 3*nt <= chars AND chars <= 10*nt THEN 1 ELSE 0 END AS INT) AS r_meanlen,
+  CAST(CASE WHEN 5*n_alpha >= 4*nt THEN 1 ELSE 0 END AS INT) AS r_alpha,
+  CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS INT) AS r_stop,
+  CAST(CASE WHEN 10*n_sym <= nt THEN 1 ELSE 0 END AS INT) AS r_symbol,
+  CAST(CASE WHEN nt >= 50 AND nt <= 100000
+         AND 3*nt <= chars AND chars <= 10*nt
+         AND 5*n_alpha >= 4*nt
+         AND n_stop >= 1
+         AND 10*n_sym <= nt THEN 1 ELSE 0 END AS INT) AS keep
+FROM s
+"""
+
+
+# training-sequence capacity for q62 (tokens per packed sequence); 512 at
+# this corpus' ~56-token median gives several docs per sequence and real
+# boundary straddling at every sf
+_Q62_CAP = 512
+
+
+def q62_docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing accounting — the standard LLM
+    pretraining packing (concatenate documents in a deterministic order,
+    cut the token stream into fixed-capacity training sequences; public
+    method, e.g. GPT-3/T5 data pipelines). Per source, documents are laid
+    out in doc_id order; a document's sequence is the one its FIRST token
+    lands in (seq_id = floor(start_offset / cap)), and it straddles when
+    its last token falls in a later sequence. Output: per (source, seq_id)
+    the packed doc count, token count, straddler count, and doc_id span —
+    what a capacity planner reads to size the packing stage.
+
+    All arithmetic is integer (offsets, floor division) — bit-identical
+    cross-engine. Scale shape: ONE hash exchange on source feeding the
+    cumulative-offset window (RunningWindowFunction, no re-sort for the
+    agg thanks to partial aggregation on the same key) — the packing of
+    each source is independent, so the plan shards perfectly by source at
+    any corpus size; skewed sources bound the tail exactly as they would
+    on a real packer."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = F.size(F.split(normalize_sql(F.col("text")), " "))
+    d = docs.select("source", "doc_id", tok.alias("tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("tok").over(w), F.lit(0))
+    laid = d.select(
+        "source",
+        "doc_id",
+        "tok",
+        off.alias("off_start"),
+    )
+    seq_id = F.floor(F.col("off_start") / _Q62_CAP)
+    crosses = (
+        F.floor((F.col("off_start") + F.col("tok") - 1) / _Q62_CAP) != seq_id
+    )
+    return (
+        laid.select(
+            "source",
+            "doc_id",
+            "tok",
+            seq_id.cast("long").alias("seq_id"),
+            F.when(crosses, 1).otherwise(0).alias("straddles"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+            F.sum("straddles").cast("long").alias("n_straddlers"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
+
+
+Q62_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split({_NORM}, ' ')) AS tok
+  FROM documents
+), o AS (
+  SELECT source, doc_id, tok,
+    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off_start
+  FROM d
+)
+SELECT source, CAST(off_start // {_Q62_CAP} AS BIGINT) AS seq_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN (off_start + tok - 1) // {_Q62_CAP}
+                  != off_start // {_Q62_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_straddlers,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM o
+GROUP BY source, seq_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -3318,6 +3498,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_cluster_size_histogram": q58_cluster_size_histogram,
     "q59_cross_source_dup_flow": q59_cross_source_dup_flow,
     "q60_curation_mixture": q60_curation_mixture,
+    "q61_docs_quality_gate": q61_docs_quality_gate,
+    "q62_docs_sequence_packing": q62_docs_sequence_packing,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3380,4 +3562,6 @@ ORACLE_SQL: dict[str, str] = {
     "q58_cluster_size_histogram": Q58_SQL,
     "q59_cross_source_dup_flow": Q59_SQL,
     "q60_curation_mixture": Q60_SQL,
+    "q61_docs_quality_gate": Q61_SQL,
+    "q62_docs_sequence_packing": Q62_SQL,
 }

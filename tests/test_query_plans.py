@@ -186,3 +186,26 @@ def test_q60_mixture_total_rides_broadcast(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q61_quality_gate_zero_shuffles(spark):
+    """Hard quality-rule gate is a single narrow projection over the scan:
+    zero exchanges, zero joins, zero Python — pure codegen string/integer
+    arithmetic, so it rides along any other documents pass for free."""
+    df = QUERIES["q61_docs_quality_gate"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 0, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q62_packing_single_shuffle(spark):
+    """Sequence packing: ONE hash exchange on source feeds both the
+    cumulative-offset window and the (source, seq_id) aggregate —
+    HashPartitioning(source) satisfies the agg's clustering, so no second
+    exchange; zero joins, zero Python."""
+    df = QUERIES["q62_docs_sequence_packing"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
