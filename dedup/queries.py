@@ -3437,6 +3437,107 @@ GROUP BY source, seq_id
 """
 
 
+# q63 Bloom sizing: 2048 64-bit words = 131072 bits for the ~8k distinct
+# benchmark grams at sf0.01 (~16 bits/element, k=6 → fpr ≈ 7e-4). The
+# production rule is m ≈ 10-15 bits per expected element; the filter
+# stays a few-hundred-KB broadcast even for benchmark suites with tens of
+# millions of grams — the whole point vs broadcasting the gram set itself.
+_BLOOM_WORDS = 2048
+_BLOOM_K = 6
+
+
+def q63_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom-filter prefilter — q31's
+    exact semantics at the 100-TB plan shape. q31 broadcasts the benchmark's
+    full distinct 13-gram hash set; fine for MB-scale eval suites, but a
+    large held-out suite (millions of grams) makes that broadcast GBs. The
+    production pattern (public: Bloom '70; Spark's own runtime-filter
+    design SPARK-32268) is: fold the benchmark grams into a fixed-size
+    Bloom bit array (bit positions by double hashing, Kirsch-Mitzenmacher
+    '06), ship THAT as the broadcast constant, prefilter corpus grams
+    JVM-side, and exact-verify only the survivors against the (now rarely
+    touched) true gram set.
+
+    The final relation is bit-identical to q31 by construction: the Bloom
+    filter has no false negatives, and false positives die in the exact
+    verify join — so the oracle (the same brute-force SQL) value-checks
+    that the prefilter lost nothing. Scale shape: bloom build is one
+    explode+bit_or agg over the tiny benchmark side collected to
+    _BLOOM_WORDS longs (bounded by filter size, never corpus — the IVF
+    centroid convention); the corpus pass is one codegen'd scan whose
+    exact-join input is the bloom survivors only."""
+    n = 13
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - n + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", grams.alias("grams")
+    )
+    bench_grams = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+
+    m_bits = _BLOOM_WORDS * 64
+    # double hashing h_i = (h1 + i*h2) mod m with h2 forced odd; h1/h2 are
+    # the two 32-bit halves of the xxhash64 gram hash, so no magnitude
+    # overflows bigint
+    def _positions(i: int) -> str:
+        return (
+            f"pmod(cast(shiftrightunsigned(g, 32) as bigint)"
+            f" + {i} * ((g & 4294967295) | 1), {m_bits})"
+        )
+
+    word_masks = (
+        bench_grams.select(
+            F.explode(
+                F.array(*[F.expr(_positions(i)) for i in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in word_masks:
+        words[r["w"]] = r["mask"]
+
+    def _bit_test(i: int) -> str:
+        p = _positions(i)
+        return (
+            f"(element_at(bloom, cast(({p}) / 64 as int) + 1)"
+            f" & shiftleft(1L, cast(({p}) % 64 as int))) != 0"
+        )
+
+    survives = " AND ".join(_bit_test(i) for i in range(_BLOOM_K))
+    candidates = (
+        d.select("doc_id", F.explode("grams").alias("g"))
+        .withColumn("bloom", F.lit(words))
+        .filter(F.expr(survives))
+        .select("doc_id", "g")
+    )
+    contaminated = (
+        candidates.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return d.select("doc_id").join(contaminated, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -3500,6 +3601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_curation_mixture": q60_curation_mixture,
     "q61_docs_quality_gate": q61_docs_quality_gate,
     "q62_docs_sequence_packing": q62_docs_sequence_packing,
+    "q63_bloom_decontamination": q63_bloom_decontamination,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3564,4 +3666,8 @@ ORACLE_SQL: dict[str, str] = {
     "q60_curation_mixture": Q60_SQL,
     "q61_docs_quality_gate": Q61_SQL,
     "q62_docs_sequence_packing": Q62_SQL,
+    # the Bloom path must land exactly where brute force lands — q63's
+    # oracle IS q31's (zero false negatives by construction, false
+    # positives killed by the exact verify join)
+    "q63_bloom_decontamination": Q31_SQL,
 }

@@ -209,3 +209,30 @@ def test_q62_packing_single_shuffle(spark):
     assert _n_exchanges(df) == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q63_bloom_prefilters_exact_join(spark):
+    """Bloom decontamination: the corpus grams pass through the bloom bit
+    tests (shiftleft probes against the literal word array) BEFORE the
+    exact gram join, and that join is broadcast — never a shuffled join of
+    corpus-sized gram tables. Result parity with brute force is the oracle
+    row's job; this pins the plan shape that makes it 100-TB-viable."""
+    df = QUERIES["q63_bloom_decontamination"](spark, SF)
+    plan = _plan(df)
+    assert "shiftleft" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q63_bloom_path_equals_exact_path(spark):
+    """Zero-false-negative funnel: the bloom-prefiltered result is
+    doc-for-doc identical to q31's exact broadcast-set result (false
+    positives die in the verify join, false negatives cannot exist)."""
+    from dedup.queries import q31_benchmark_decontamination
+
+    bloom = QUERIES["q63_bloom_decontamination"](spark, SF).toPandas()
+    exact = q31_benchmark_decontamination(spark, SF).toPandas()
+    b = dict(zip(bloom.doc_id, bloom.contaminated))
+    e = dict(zip(exact.doc_id, exact.contaminated))
+    assert b == e

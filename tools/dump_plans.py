@@ -71,6 +71,9 @@ def main() -> None:
     sizehist = QUERIES["q58_cluster_size_histogram"](spark, SF)
     dupflow = QUERIES["q59_cross_source_dup_flow"](spark, SF)
     mixture = QUERIES["q60_curation_mixture"](spark, SF)
+    quality = QUERIES["q61_docs_quality_gate"](spark, SF)
+    packing = QUERIES["q62_docs_sequence_packing"](spark, SF)
+    bloomdec = QUERIES["q63_bloom_decontamination"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -182,6 +185,23 @@ def main() -> None:
             "election + one (source, tier) partial agg; corpus-wide kept "
             "total rides a 1-row BroadcastNestedLoopJoin",
             mixture,
+        ),
+        (
+            "q61 quality gate: single narrow zero-Exchange projection — "
+            "all rule bits codegen'd string/integer arithmetic",
+            quality,
+        ),
+        (
+            "q62 sequence packing: ONE Exchange on source feeding the "
+            "cumulative-offset window AND the (source, seq_id) agg "
+            "(HashPartitioning(source) satisfies the agg clustering)",
+            packing,
+        ),
+        (
+            "q63 bloom decontamination: corpus grams filtered by the "
+            "literal bloom word array (shiftleft bit probes in codegen) "
+            "BEFORE the broadcast exact-verify semi-join",
+            bloomdec,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
