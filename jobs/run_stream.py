@@ -3,7 +3,7 @@ Structured Streaming; the drain-loop counterpart of jobs/run_dedup.py).
 
   spark-submit --py-files dedup.zip jobs/run_stream.py \
       --input <transcript parquet dir> --stream-dir <state dir> \
-      [--auto-compact] [--max-files-per-trigger N] [--num-perm 128] ...
+      [--auto-compact] [--gc] [--max-files-per-trigger N] [--num-perm 128] ...
 
 Each invocation drains everything currently in --input that the streaming
 checkpoint hasn't seen (trigger availableNow), promotes O(batch) state
@@ -36,6 +36,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="after the drain, re-cluster conversations whose turns were "
         "skipped as already-seen and actually grew (scoped content-hash "
         "probe; no input scan when nothing was skipped)",
+    )
+    p.add_argument(
+        "--gc",
+        action="store_true",
+        help="after the drain (quiescent state), delete part directories "
+        "no longer referenced by the manifest — folding/promotion never "
+        "delete superseded parts themselves, so long-lived streams leak "
+        "disk without an occasional gc pass; bytes freed appear in the "
+        "JSON summary",
     )
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--k-shingle", type=int, default=3)
@@ -104,6 +113,16 @@ def main(argv: list[str] | None = None) -> int:
         auto_compact=args.auto_compact,
     )
     wall = time.monotonic() - t0
+    gc_freed = None
+    if args.gc:
+        from dedup.streaming import gc_parts
+
+        # the drain finished (awaitTermination above) and auto-compact ran
+        # inside stream_dedup, so the state is quiescent — safe to drop
+        # unreferenced part directories
+        gc_freed = gc_parts(args.stream_dir) if current_state(
+            args.stream_dir
+        ) else 0
     state = current_state(args.stream_dir)
     if state is None:  # empty input dir: nothing drained, no state yet
         n_convs = n_clusters = 0
@@ -123,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
                 "dirty_parts_pending": 0
                 if args.auto_compact or state is None
                 else len(state["parts"]["dirty"]),
+                "gc_bytes_freed": gc_freed,
             }
         )
     )

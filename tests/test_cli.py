@@ -132,9 +132,15 @@ def test_run_stream_cli_drains_and_auto_compact(spark):
         "--stream-dir", stream_dir,
         "--shuffle-partitions", "8",
         "--auto-compact",
+        "--gc",
     )
     assert code2 == 0, err2[-2000:]
     assert out2["last_batch_id"] >= 1 and out2["n_convs"] == 60
+    # --gc ran against the quiescent post-compaction state and reported a
+    # byte count; the n_convs/n_clusters asserts below read the manifest
+    # AFTER the gc, so a gc that deleted referenced parts would fail them
+    assert isinstance(out2["gc_bytes_freed"], int)
+    assert out2["gc_bytes_freed"] >= 0
 
     from dedup.pipeline import run_pipeline
 
