@@ -3538,6 +3538,70 @@ def q63_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights — the α-sampling rule
+    multilingual/pretraining pipelines use to keep head sources from
+    swamping the mixture (public method: p_s ∝ n_s^α, α=0.5 here;
+    Conneau '19 XLM-R §3 / Xue '21 mT5). Cross-engine exactness without
+    trusting float pow: the weight is the INTEGER square root of the
+    source's token total, taken as floor(ieee_sqrt(n)) — IEEE-754 requires
+    sqrt correctly rounded, and for n < 2^40 the true root of a non-square
+    sits ≥ 2^-21 from the nearest integer while the rounding error is
+    < 2^-33, so floor lands identically in Spark and DuckDB. Shares are
+    then single long→double divisions of exact integers (q60 convention).
+
+    Output per source: token total, α=1 share (proportional), the α=0.5
+    fixed-point weight, and its normalized share — the pair of columns a
+    mixture planner interpolates between. Scale shape: ONE
+    partial-aggregated exchange on source (the agg is map-side-combined to
+    |sources| rows) + a 1-row broadcast total; nothing else."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    tok = F.size(F.split(normalize_sql(F.col("text")), " "))
+    per_src = (
+        docs.select("source", tok.alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").cast("long").alias("n_tokens"))
+        .withColumn(
+            "weight", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("_tt"),
+        F.sum("weight").cast("long").alias("_tw"),
+    )
+    return per_src.join(F.broadcast(totals)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_tt").cast("double")).alias(
+            "token_share"
+        ),
+        "weight",
+        (F.col("weight").cast("double") / F.col("_tw").cast("double")).alias(
+            "weight_share"
+        ),
+    )
+
+
+Q64_SQL = f"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+  FROM s
+)
+SELECT source, n_tokens,
+  CAST(n_tokens AS DOUBLE) / (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM w)
+    AS token_share,
+  weight,
+  CAST(weight AS DOUBLE) / (SELECT CAST(SUM(weight) AS DOUBLE) FROM w)
+    AS weight_share
+FROM w
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -3602,6 +3666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_docs_quality_gate": q61_docs_quality_gate,
     "q62_docs_sequence_packing": q62_docs_sequence_packing,
     "q63_bloom_decontamination": q63_bloom_decontamination,
+    "q64_source_mixture_weights": q64_source_mixture_weights,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3670,4 +3735,5 @@ ORACLE_SQL: dict[str, str] = {
     # oracle IS q31's (zero false negatives by construction, false
     # positives killed by the exact verify join)
     "q63_bloom_decontamination": Q31_SQL,
+    "q64_source_mixture_weights": Q64_SQL,
 }

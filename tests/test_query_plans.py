@@ -236,3 +236,14 @@ def test_q63_bloom_path_equals_exact_path(spark):
     b = dict(zip(bloom.doc_id, bloom.contaminated))
     e = dict(zip(exact.doc_id, exact.contaminated))
     assert b == e
+
+
+def test_q64_mixture_weights_one_agg_exchange(spark):
+    """Source mixture weights: one partial-aggregated exchange on source,
+    totals attached as a 1-row broadcast (BNLJ) — zero Python, no
+    shuffled join."""
+    df = QUERIES["q64_source_mixture_weights"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

@@ -74,6 +74,7 @@ def main() -> None:
     quality = QUERIES["q61_docs_quality_gate"](spark, SF)
     packing = QUERIES["q62_docs_sequence_packing"](spark, SF)
     bloomdec = QUERIES["q63_bloom_decontamination"](spark, SF)
+    mixweights = QUERIES["q64_source_mixture_weights"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -202,6 +203,12 @@ def main() -> None:
             "literal bloom word array (shiftleft bit probes in codegen) "
             "BEFORE the broadcast exact-verify semi-join",
             bloomdec,
+        ),
+        (
+            "q64 mixture weights: one partial-agg exchange on source + "
+            "1-row broadcast totals (integer-sqrt fixed-point weights in "
+            "codegen)",
+            mixweights,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
