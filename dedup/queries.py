@@ -3602,6 +3602,522 @@ FROM w
 """
 
 
+def q65_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining §2.9 join surface
+    next to q57's stream-stream interval join: the events table replays
+    as a file stream and every micro-batch joins the STATIC customer
+    dimension (user_id = c_custkey) to pick up the market segment, then
+    the enriched keys roll up to per-day / per-segment counts and
+    cent-exact value sums.
+
+    This is the canonical streaming-enrichment shape at 100 TB: the
+    dimension is broadcast once per micro-batch (Spark re-plans the
+    static side under AQE but never shuffles the stream), so the stream
+    side stays a map-only pass — no state, no watermark needed for an
+    inner stream-static join. The replay drains under
+    trigger(availableNow) and the enriched rows land in an append sink;
+    the final rollup is a plain batch aggregate over the sink, so the
+    emitted relation is deterministic under any file/micro-batch arrival
+    order. Value-checked against the equivalent DuckDB join+GROUP BY."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    src_path = f"{sf_dir}/events.parquet"
+    if not _os.path.isdir(src_path):
+        staged = (
+            f"{_tempfile.gettempdir()}/q65_events_"
+            f"{_hashlib.md5(src_path.encode()).hexdigest()[:10]}"
+        )
+        if not _os.path.exists(f"{staged}/events.parquet"):
+            _os.makedirs(staged, exist_ok=True)
+            _shutil.copy(src_path, f"{staged}/events.parquet")
+        src_path = staged
+    schema = spark.read.parquet(src_path).schema
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        spark.readStream.schema(schema)
+        .parquet(src_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .join(F.broadcast(dim), "user_id")
+        .select(
+            F.window("ts", "1 day")["start"].alias("window_start"),
+            "c_mktsegment",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    sink = f"q65_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("window_start", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+Q65_SQL = """
+SELECT time_bucket(INTERVAL '1 day', e.ts) AS window_start,
+       c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q66_unimax_source_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-source budget allocation (public method: Chung et al.
+    ICLR'23 "UniMax" — epoch-capped water-filling; shown here with epoch
+    cap E=1 and a token budget of 9/10 of the corpus, the regime where
+    the cap binds). Greedy semantics: visit sources ASCENDING by size;
+    each gets min(E·n_s, remaining_budget / remaining_sources). The greedy
+    has a closed form — a prefix of small sources is capped at E·n_s and
+    every remaining source splits the leftover budget equally — because
+    once the uniform share stops exceeding a source's cap it never binds
+    again on an ascending walk.
+
+    Cross-engine exactness: the capped test is the pure-integer
+    inequality n_i·(S−i+1) ≤ B − P_{i−1} (no division), allocations are
+    exact longs for capped sources and ONE long→double division for the
+    shared remainder, epochs one further division of those exact
+    operands — bit-identical in Spark and DuckDB.
+
+    Scale shape: the only corpus-sized work is the per-source token agg
+    (one partial-aggregated exchange); everything after — ranking,
+    prefix sums, the first-fail probe, P_k — is a chain of window
+    operators over ONE single-partition exchange of the |sources|-row
+    aggregate (Catalyst stacks same-partitioning windows without
+    re-shuffling), so the whole greedy costs exactly two exchanges and
+    one corpus scan at any scale."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    tok = F.size(F.split(normalize_sql(F.col("text")), " "))
+    per_src = (
+        docs.select("source", tok.alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").cast("long").alias("n_tokens"))
+    )
+    wall = Window.partitionBy()  # the |sources|-row relation: one partition
+    word = Window.orderBy(F.asc("n_tokens"), F.asc("source"))
+    r = per_src.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(word).cast("long").alias("rk"),
+        F.sum("n_tokens")
+        .over(word.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+        (F.sum("n_tokens").over(wall) * 9 / 10).cast("long").alias("B"),
+        F.count("*").over(wall).cast("long").alias("S"),
+    ).withColumn(
+        "cond",
+        F.col("n_tokens") * (F.col("S") - F.col("rk") + 1)
+        <= F.col("B") - (F.col("prefix") - F.col("n_tokens")),
+    )
+    r = r.withColumn(
+        "ff", F.min(F.when(~F.col("cond"), F.col("rk"))).over(wall)
+    ).withColumn(
+        "capped", F.col("rk") < F.coalesce(F.col("ff"), F.col("S") + 1)
+    )
+    r = r.withColumn(
+        "P_k",
+        F.sum(F.when(F.col("capped"), F.col("n_tokens")).otherwise(0))
+        .over(wall)
+        .cast("long"),
+    ).withColumn(
+        "k",
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(wall).cast("long"),
+    )
+    share = (F.col("B") - F.col("P_k")).cast("double") / (
+        F.col("S") - F.col("k")
+    ).cast("double")
+    return (
+        r.withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("n_tokens").cast("double")).otherwise(
+                share
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "capped",
+            "alloc_tokens",
+            (F.col("alloc_tokens") / F.col("n_tokens").cast("double")).alias(
+                "epochs"
+            ),
+        )
+    )
+
+
+Q66_SQL = f"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) * 9 // 10 AS BIGINT) AS B,
+         CAST(COUNT(*) AS BIGINT) AS S
+  FROM s
+), r AS (
+  SELECT source, n_tokens,
+         CAST(row_number() OVER w AS BIGINT) AS rk,
+         CAST(SUM(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS prefix
+  FROM s WINDOW w AS (ORDER BY n_tokens ASC, source ASC)
+), c AS (
+  SELECT r.*, tot.B, tot.S,
+         n_tokens * (S - rk + 1) <= B - (prefix - n_tokens) AS cond
+  FROM r, tot
+), ff AS (
+  SELECT MIN(CASE WHEN NOT cond THEN rk END) AS ff FROM c
+), m AS (
+  SELECT c.*, c.rk < COALESCE(ff.ff, c.S + 1) AS capped FROM c, ff
+), kp AS (
+  SELECT CAST(SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS P_k,
+         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM m
+)
+SELECT m.source, m.n_tokens, m.capped,
+       CASE WHEN m.capped THEN CAST(m.n_tokens AS DOUBLE)
+            ELSE CAST(m.B - kp.P_k AS DOUBLE) / CAST(m.S - kp.k AS DOUBLE)
+       END AS alloc_tokens,
+       CASE WHEN m.capped THEN CAST(m.n_tokens AS DOUBLE)
+            ELSE CAST(m.B - kp.P_k AS DOUBLE) / CAST(m.S - kp.k AS DOUBLE)
+       END / CAST(m.n_tokens AS DOUBLE) AS epochs
+FROM m, kp
+"""
+
+
+def q67_docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate — the tokenizer-coverage check a
+    pretraining pipeline runs before committing to a vocabulary (public
+    convention: closed top-K frequency vocab + UNK rate, Sennrich '16
+    §2 baseline). The vocab is the top-16 tokens by corpus frequency
+    (count DESC, token ASC on ties — fully deterministic); each document
+    reports its token count, OOV occurrence count, and OOV fraction.
+
+    Scale shape: wordcount agg for the vocab (one partial-aggregated
+    exchange + a 16-row window), then the corpus side probes the
+    BROADCAST vocab in its own scan — per-doc counts come from one
+    groupBy(doc_id). The OOV fraction is one long→double division, so
+    values hash identically cross-engine."""
+    k = 16
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
+    counts = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vw = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    vocab = (
+        counts.withColumn("rk", F.row_number().over(vw))
+        .filter(F.col("rk") <= k)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        t.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_frac",
+            F.col("oov_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+Q67_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), v AS (
+  SELECT tok, TRUE AS in_vocab FROM (
+    SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok
+  ) ORDER BY cnt DESC, tok ASC LIMIT 16
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+FROM t LEFT JOIN v USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+def q68_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding dispersion via the centroid identity — the
+    O(n) replacement for the O(n²) "how self-similar is this cluster /
+    source" diagnostic: mean pairwise dot over a group equals
+    (‖Σv‖² − Σ‖v‖²) / (n(n−1)), so one aggregation answers what a
+    pairwise join would (public identity; the standard trick behind
+    cluster-cohesion metrics).
+
+    Cross-engine exactness: embeddings are fixed-point-quantized at 2^20
+    (the q47 floor(x+0.5) convention) so every sum is an exact bigint;
+    the final mean is ONE double division by the exact product
+    n(n−1)·2^40, which converts the fixed-point dot back to original
+    float² units. Scale shape: posexplode → per-(label, dim) partial agg
+    → per-label rollup — wordcount-shaped, no joins between big
+    relations, never a pairwise product."""
+    scale = 1048576.0  # 2^20
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    qd = emb.select("label", "vec_id", q.alias("qv"))
+    per_vec = qd.select(
+        "label",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda a, e: a + e * e
+        ).alias("nsq"),
+    )
+    norms = per_vec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("nsq").cast("long").alias("norms_sq"),
+    )
+    dims = qd.select("label", F.posexplode("qv").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.sum("v").cast("long").alias("sd"))
+        .groupBy("label")
+        .agg(F.sum(F.col("sd") * F.col("sd")).cast("long").alias("centroid_sq"))
+    )
+    return norms.join(F.broadcast(cent), "label").select(
+        "label",
+        "n_vectors",
+        "centroid_sq",
+        "norms_sq",
+        (
+            (F.col("centroid_sq") - F.col("norms_sq")).cast("double")
+            / (
+                (F.col("n_vectors") * (F.col("n_vectors") - 1)).cast("double")
+                * F.lit(1099511627776.0)  # 2^40 = scale²
+            )
+        ).alias("mean_pair_dot"),
+    )
+
+
+Q68_SQL = """
+WITH q AS (
+  SELECT label, vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+           AS qv
+  FROM embeddings
+), d AS (
+  SELECT label, i AS pos, qv[i] AS v
+  FROM (SELECT label, qv, unnest(generate_series(1, len(qv))) AS i FROM q)
+), s AS (
+  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sd FROM d GROUP BY label, pos
+), c AS (
+  SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS centroid_sq
+  FROM s GROUP BY label
+), nrm AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(nsq) AS BIGINT) AS norms_sq
+  FROM (SELECT label, vec_id,
+               list_sum(list_transform(qv, x -> x * x)) AS nsq FROM q)
+  GROUP BY label
+)
+SELECT nrm.label, nrm.n_vectors, c.centroid_sq, nrm.norms_sq,
+       CAST(c.centroid_sq - nrm.norms_sq AS DOUBLE)
+         / (CAST(nrm.n_vectors * (nrm.n_vectors - 1) AS DOUBLE)
+            * 1099511627776.0) AS mean_pair_dot
+FROM nrm JOIN c USING (label)
+"""
+
+
+def q69_events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend via sufficient statistics — the one-pass
+    distributed form of least-squares (slope/intercept from n, Σx, Σy,
+    Σx², Σxy; public textbook identity) that an events pipeline uses for
+    drift/trend detection without collecting anything.
+
+    Cross-engine exactness: x is integer hours since 2024-01-01 (epoch
+    seconds truncated, then integral division — both engines floor on
+    non-negative values), y is integer cents (the q28 ROUND convention),
+    so all five statistics are exact bigints; slope and intercept are
+    each ONE division whose operands are bit-identical in both engines
+    (numerators < 2^63 exact, denominators < 2^53 so the double casts
+    are exact; the one numerator above 2^53 rounds identically from the
+    same exact integer). Scale shape: a single partial-aggregated
+    exchange on event_type; no window, no join."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("sec", F.unix_timestamp("ts") - F.lit(1704067200))
+        .withColumn("x", F.expr("sec div 3600"))
+        .withColumn("y", F.round(F.col("value") * 100).cast("long"))
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    den100 = (
+        (F.col("n_events") * F.col("sxx") - F.col("sx") * F.col("sx")) * 100
+    ).cast("double")
+    return agg.select(
+        "event_type",
+        "n_events",
+        (
+            (F.col("n_events") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den100
+        ).alias("slope_per_hour"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / den100
+        ).alias("intercept_value"),
+    )
+
+
+Q69_SQL = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 3600 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+), a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_events,
+       CAST(n_events * sxy - sx * sy AS DOUBLE)
+         / CAST((n_events * sxx - sx * sx) * 100 AS DOUBLE) AS slope_per_hour,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / CAST((n_events * sxx - sx * sx) * 100 AS DOUBLE) AS intercept_value
+FROM a
+"""
+
+
+def q70_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SEVERITY with the PaLM drop rule — the graded
+    counterpart of q31's any-hit flag (public method: Chowdhery et al.
+    '22 §6.3: a document is dropped when ≥ 70% of its 8-grams were seen
+    in the eval set). Per document: 8-gram occurrence count, contaminated
+    occurrence count, their ratio, and the drop verdict. Benchmark side
+    is the deterministic doc_id % 5 == 0 subset (the q31 convention) —
+    those docs self-match at severity 1.0, giving the verdict a
+    non-degenerate split by construction.
+
+    Scale shape: identical to q31 — the benchmark's distinct gram hashes
+    BROADCAST, the corpus side counts hits in one scan + one
+    groupBy(doc_id); the ratio is one long→double division. Hash-vs-
+    string equality carries the same 2^-64 xxhash64 collision tolerance
+    as q11/q20/q31."""
+    n = 8
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - n + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", grams.alias("grams")
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    hits = (
+        d.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    return (
+        d.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        )
+        .withColumn(
+            "contaminated_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("hits").cast("double") / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("dropped", F.col("contaminated_frac") >= 0.7)
+    )
+
+
+Q70_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS nrm FROM documents
+), t AS (
+  SELECT doc_id,
+         CASE WHEN nrm = '' THEN [] ELSE string_split(nrm, ' ') END AS toks
+  FROM d
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 8
+         THEN list_transform(generate_series(1, len(toks) - 7),
+              i -> array_to_string(toks[i:i+7], ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM t
+), bg AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 5 = 0
+), occ AS (
+  SELECT doc_id, unnest(gs) AS gram FROM g
+), h AS (
+  SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM occ JOIN bg USING (gram) GROUP BY occ.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.gs) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CASE WHEN len(g.gs) > 0
+            THEN CAST(COALESCE(h.hits, 0) AS DOUBLE)
+                   / CAST(len(g.gs) AS DOUBLE)
+            ELSE 0.0 END AS contaminated_frac,
+       CASE WHEN len(g.gs) > 0
+            THEN CAST(COALESCE(h.hits, 0) AS DOUBLE)
+                   / CAST(len(g.gs) AS DOUBLE)
+            ELSE 0.0 END >= 0.7 AS dropped
+FROM g LEFT JOIN h USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -3667,6 +4183,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_docs_sequence_packing": q62_docs_sequence_packing,
     "q63_bloom_decontamination": q63_bloom_decontamination,
     "q64_source_mixture_weights": q64_source_mixture_weights,
+    "q65_stream_static_enrichment": q65_stream_static_enrichment,
+    "q66_unimax_source_budgets": q66_unimax_source_budgets,
+    "q67_docs_vocab_coverage": q67_docs_vocab_coverage,
+    "q68_embedding_dispersion": q68_embedding_dispersion,
+    "q69_events_type_trend": q69_events_type_trend,
+    "q70_contamination_severity": q70_contamination_severity,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3736,4 +4258,10 @@ ORACLE_SQL: dict[str, str] = {
     # positives killed by the exact verify join)
     "q63_bloom_decontamination": Q31_SQL,
     "q64_source_mixture_weights": Q64_SQL,
+    "q65_stream_static_enrichment": Q65_SQL,
+    "q66_unimax_source_budgets": Q66_SQL,
+    "q67_docs_vocab_coverage": Q67_SQL,
+    "q68_embedding_dispersion": Q68_SQL,
+    "q69_events_type_trend": Q69_SQL,
+    "q70_contamination_severity": Q70_SQL,
 }

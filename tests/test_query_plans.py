@@ -247,3 +247,67 @@ def test_q64_mixture_weights_one_agg_exchange(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q66_unimax_two_exchanges_one_scan(spark):
+    """UniMax allocation: the corpus pays ONE partial-aggregated exchange
+    (per-source token totals) and ONE scan; the whole closed-form greedy
+    (rank, prefix, first-fail, P_k) is a stack of same-partitioning
+    window operators over a single-partition exchange of the
+    |sources|-row aggregate — no joins, no Python, no branch re-scans."""
+    df = QUERIES["q66_unimax_source_budgets"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q67_vocab_coverage_broadcast_probe(spark):
+    """Vocab coverage: the vocabulary (top-16 window over the wordcount
+    agg) reaches the corpus side as a BROADCAST probe — the per-doc OOV
+    rollup never shuffled-joins token tables; two hash exchanges total
+    (token counts, per-doc agg) plus the tiny window's single-partition
+    exchange."""
+    df = QUERIES["q67_docs_vocab_coverage"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_exchanges(df) <= 3, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q68_dispersion_no_pairwise_join(spark):
+    """Centroid-identity dispersion: the mean pairwise dot is computed
+    WITHOUT any pairwise join — wordcount-shaped aggs only; the only join
+    in the plan is the broadcast stitch of two ≤|labels|-row aggregates.
+    A cartesian/SMJ appearing here means someone reintroduced the O(n²)
+    formulation."""
+    df = QUERIES["q68_embedding_dispersion"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q69_trend_single_exchange_no_join(spark):
+    """OLS sufficient statistics: ONE partial-aggregated exchange on
+    event_type, zero joins, zero windows, zero Python — the canonical
+    map-side-combined shape."""
+    df = QUERIES["q69_events_type_trend"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q70_severity_broadcast_bench(spark):
+    """PaLM severity: the benchmark gram set reaches the corpus occurrence
+    scan as BROADCAST joins (q31's shape) — no shuffled join of gram
+    tables, no cartesian, no Python."""
+    df = QUERIES["q70_contamination_severity"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

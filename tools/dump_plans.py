@@ -75,6 +75,11 @@ def main() -> None:
     packing = QUERIES["q62_docs_sequence_packing"](spark, SF)
     bloomdec = QUERIES["q63_bloom_decontamination"](spark, SF)
     mixweights = QUERIES["q64_source_mixture_weights"](spark, SF)
+    unimax = QUERIES["q66_unimax_source_budgets"](spark, SF)
+    vocab = QUERIES["q67_docs_vocab_coverage"](spark, SF)
+    dispersion = QUERIES["q68_embedding_dispersion"](spark, SF)
+    trend = QUERIES["q69_events_type_trend"](spark, SF)
+    severity = QUERIES["q70_contamination_severity"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -209,6 +214,34 @@ def main() -> None:
             "1-row broadcast totals (integer-sqrt fixed-point weights in "
             "codegen)",
             mixweights,
+        ),
+        (
+            "q66 UniMax budgets: one corpus agg exchange + ONE "
+            "single-partition exchange under a stack of same-partitioning "
+            "windows (rank/prefix/first-fail/P_k) — no joins, one scan",
+            unimax,
+        ),
+        (
+            "q67 vocab coverage: wordcount agg + 16-row window, vocab "
+            "BROADCAST back into the per-doc OOV rollup (no shuffled "
+            "token join)",
+            vocab,
+        ),
+        (
+            "q68 embedding dispersion: centroid identity — posexplode → "
+            "(label, dim) partial agg → label rollup; the only join is "
+            "the broadcast stitch of two ≤|labels|-row aggregates",
+            dispersion,
+        ),
+        (
+            "q69 OLS trend: ONE partial-agg exchange on event_type, "
+            "sufficient statistics in codegen, no window/join",
+            trend,
+        ),
+        (
+            "q70 PaLM severity: benchmark 8-gram hashes broadcast into "
+            "the occurrence scan (q31 shape), per-doc rollup + verdict",
+            severity,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
