@@ -4118,6 +4118,388 @@ FROM g LEFT JOIN h USING (doc_id)
 """
 
 
+def q71_docs_self_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram self-information — the engine-exact
+    stand-in for LM-perplexity quality filtering (CCNet, Wenzek LREC'20
+    §4.3 uses a KenLM score; the unigram form is its zeroth-order
+    member). A document of corpus-frequent tokens scores low, one full
+    of rare tokens scores high; pipelines threshold both tails.
+
+    Cross-engine exactness: real log2 of a count ratio is not
+    bit-reproducible across engines, so the score uses the floor-log2
+    fixed point via binary digit length — bits(tok) =
+    length(bin(N_total)) − length(bin(cnt_tok)) — an exact integer in
+    both Spark (java Long.toBinaryString) and DuckDB (bin()). Per-doc
+    info_bits is an exact bigint sum; mean_bits is ONE long→double
+    division.
+
+    Scale shape: wordcount-shaped — per-(doc, tok) partial-agg exchange,
+    token-frequency re-agg over the already-reduced relation, one
+    shuffled equi-join back on tok (AQE-skew-safe), a 1-row broadcast
+    total, and the per-doc rollup. Never touches raw text twice."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
+    dt = t.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("c_dt"))
+    # tc/total branch off the exploded scan, not off dt: chaining them off
+    # the (doc, tok) aggregate re-materializes its exchange once per
+    # consumer (measured 7 exchanges); the scan is pushed-down-cheap and
+    # each branch map-side-combines to ≤|vocab| / 1 rows
+    tc = t.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    total = t.agg(F.count("*").cast("long").alias("n_total"))
+    j = (
+        dt.join(tc, "tok")
+        .join(F.broadcast(total))
+        .withColumn(
+            "bits",
+            (F.length(F.bin("n_total")) - F.length(F.bin("cnt"))).cast("long"),
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_tokens"),
+            F.sum(F.col("c_dt") * F.col("bits")).cast("long").alias("info_bits"),
+        )
+        .withColumn(
+            "mean_bits",
+            F.col("info_bits").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+Q71_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), dt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c_dt
+  FROM t GROUP BY doc_id, tok
+), tc AS (
+  SELECT tok, CAST(SUM(c_dt) AS BIGINT) AS cnt FROM dt GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tc
+), agg AS (
+  SELECT dt.doc_id,
+         CAST(SUM(dt.c_dt) AS BIGINT) AS n_tokens,
+         CAST(SUM(dt.c_dt * (length(bin(tot.n_total)) - length(bin(tc.cnt))))
+              AS BIGINT) AS info_bits
+  FROM dt JOIN tc USING (tok), tot
+  GROUP BY dt.doc_id
+)
+SELECT doc_id, n_tokens, info_bits,
+       CAST(info_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_bits
+FROM agg
+"""
+
+
+def q72_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the standard product-analytics
+    triangle: users grouped by the week of their first event, counted in
+    each later week they return. The board's other window/session ops
+    (q28 gaps, q43 funnel, q55 set algebra) slice engagement differently;
+    this is the cohort × offset grid none of them produce.
+
+    Cross-engine exactness: the week index is integer floor-division of
+    epoch microseconds (`div` / `//`), no calendar or timezone rules in
+    play; counts are exact.
+
+    Scale shape: the (user, week) presence grid reduces map-side in the
+    distinct's partial aggregate; the cohort week is a min-window over
+    the ALREADY reduced grid (≤ users × weeks rows), and the final
+    matrix rollup is dimension-sized. Three exchanges, each strictly
+    smaller than the last; the raw event table is scanned once."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000").alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    c = uw.withColumn("cohort_wk", F.min("wk").over(w))
+    return (
+        c.select(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+Q72_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), c AS (
+  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+  FROM uw
+)
+SELECT cohort_wk, wk - cohort_wk AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY cohort_wk, wk - cohort_wk
+"""
+
+
+def q73_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-leader debounce — the event-stream cleaning step that keeps
+    only events starting a new burst per (user, type): an event survives
+    iff its predecessor in the same key is ≥ 60s older (or absent).
+    This is the lag-based dedup regime between q09's
+    first-occurrence-ever and q27's fixed-window event-time dedup:
+    repeated rapid fires collapse to their leader, slow repeats all
+    survive.
+
+    Cross-engine exactness: the gap test is a bigint microsecond
+    difference under a total order (ts, then event_id on ties) — no
+    doubles anywhere.
+
+    Scale shape: ONE hash exchange on user_id feeds the
+    (user_id, event_type) sort and the lag window; the filter is a
+    codegen'd comparison. No joins, no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    d = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn("prev_us", F.lag("us").over(w))
+    return d.filter(
+        F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") >= 60_000_000)
+    ).select("event_id", "user_id", "event_type", "us")
+
+
+Q73_SQL = """
+WITH d AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, us
+FROM d WHERE prev_us IS NULL OR us - prev_us >= 60000000
+"""
+
+
+def q74_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kolmogorov–Smirnov distance between a source's document
+    length distribution and the whole corpus — the drift / homogeneity
+    check a curation pipeline runs before mixing sources (a source whose
+    ECDF sits far from the corpus ECDF needs its own length filters).
+    D_s = max_t |F_s(t) − F_corpus(t)|, evaluated at every distinct
+    length (exact, since ECDFs only step there).
+
+    Cross-engine exactness: cumulative counts are exact bigints; each
+    ECDF value is ONE long→double division and the KS statistic is an
+    abs-difference max over those — identical IEEE ops in both engines.
+
+    Scale shape: ONE corpus-sized exchange (the (source, length)
+    histogram, partial-aggregated map-side), materialized via
+    localCheckpoint so the corpus is scanned exactly once — four
+    downstream branches (global CDF, totals, per-source totals, grid
+    probe) then read the ≤|sources|×|lengths| checkpoint, not the
+    corpus (unmaterialized, Catalyst re-derives the scan per branch —
+    measured 4 scans). Everything after is dimension-sized broadcast
+    work."""
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    cl = docs.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint()
+    gl = cl.groupBy("n_chars").agg(F.sum("c").cast("long").alias("g"))
+    gcum = gl.withColumn(
+        "cum_all", F.sum("g").over(Window.orderBy("n_chars")).cast("long")
+    )
+    tot = gl.agg(F.sum("g").cast("long").alias("n_all"))
+    srcs = cl.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    grid = srcs.crossJoin(F.broadcast(gcum.select("n_chars", "cum_all")))
+    k = grid.join(F.broadcast(cl), ["source", "n_chars"], "left").withColumn(
+        "cum_src",
+        F.sum(F.coalesce("c", F.lit(0)))
+        .over(Window.partitionBy("source").orderBy("n_chars"))
+        .cast("long"),
+    )
+    diff = F.abs(
+        F.col("cum_src").cast("double") / F.col("n_src").cast("double")
+        - F.col("cum_all").cast("double") / F.col("n_all").cast("double")
+    )
+    return (
+        k.join(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_docs"),
+            F.max(diff).alias("ks_distance"),
+        )
+    )
+
+
+Q74_SQL = """
+WITH cl AS (
+  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+), gl AS (
+  SELECT n_chars, CAST(SUM(c) AS BIGINT) AS g FROM cl GROUP BY n_chars
+), gcum AS (
+  SELECT n_chars,
+         CAST(SUM(g) OVER (ORDER BY n_chars) AS BIGINT) AS cum_all
+  FROM gl
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n_all FROM gl
+), srcs AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM cl GROUP BY source
+), k AS (
+  SELECT g.source, g.n_src, g.n_chars, g.cum_all,
+         CAST(SUM(COALESCE(cl.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY g.n_chars) AS BIGINT) AS cum_src
+  FROM (SELECT s.source, s.n_src, c.n_chars, c.cum_all
+        FROM srcs s CROSS JOIN gcum c) g
+  LEFT JOIN cl ON cl.source = g.source AND cl.n_chars = g.n_chars
+)
+SELECT source, MAX(n_src) AS n_docs,
+       MAX(ABS(CAST(cum_src AS DOUBLE) / CAST(n_src AS DOUBLE)
+               - CAST(cum_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+         AS ks_distance
+FROM k, tot
+GROUP BY source
+"""
+
+
+def q75_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length deciles WITHOUT a global sort — NTILE(10) over
+    (n_chars, doc_id) recomputed distributedly: the value histogram
+    (tiny) gives each distinct length its cumulative offset, a
+    row_number window PARTITIONED BY the value gives the within-length
+    rank, and NTILE's closed form tile(r) = (r−1)·n div N + 1
+    reproduces the engine builtin exactly (same floor arithmetic both
+    tile-size cases reduce to). The oracle side IS DuckDB's native
+    NTILE(10), so the green hash proves the closed-form rewrite.
+
+    Scale shape: a naive NTILE over a total order is a SinglePartition
+    sort — the one window shape that cannot scale. Here the only
+    per-row window is partitioned by n_chars (each partition =
+    one value's rows), the histogram/offsets are dimension-sized
+    broadcasts, and the decile rollup is 10 rows. At 100 TB a
+    heavily-repeated single value would make one fat partition —
+    salt the row_number by (n_chars, pmod(hash(doc_id), k)) with
+    per-salt offsets from the same histogram trick if that bites."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hist = docs.groupBy("n_chars").agg(F.count("*").cast("long").alias("c"))
+    pre = hist.withColumn(
+        "before",
+        (F.sum("c").over(Window.orderBy("n_chars")) - F.col("c")).cast("long"),
+    )
+    tot = hist.agg(F.sum("c").cast("long").alias("n_all"))
+    wg = Window.partitionBy("n_chars").orderBy("doc_id")
+    r = docs.withColumn("rk_in", F.row_number().over(wg).cast("long"))
+    j = (
+        r.join(F.broadcast(pre.select("n_chars", "before")), "n_chars")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.expr("(before + rk_in - 1) * 10 div n_all + 1").cast("long"),
+        )
+    )
+    return j.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+Q75_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM t GROUP BY decile
+"""
+
+
+def q76_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the verified
+    near-dup graph — the cohesion diagnostic that separates template
+    families (dense, transitive: high coefficient) from chains of
+    borderline matches (low coefficient, candidates for a tighter
+    threshold). Composes the full q22 engine output, so a green row
+    re-proves end-to-end pair generation through one more lens.
+
+    Counting: edges are canonical (a < b), each triangle is counted
+    once via the a<b<c orientation (e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c));
+    wedges = Σ_v d_v(d_v−1)/2 exactly (each term is even-product
+    integer math). Coefficient = 3·T/W, one double division.
+
+    Scale shape: the census runs on the VERIFIED pair relation —
+    orders of magnitude smaller than the corpus — with equi-joins
+    only; the classic degree-ordered orientation keeps the b-key join
+    skew-bounded if a hub family appears."""
+    e = q22_verified_pairs(spark, sf_dir).select("a", "b").distinct()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - F.lit(1))), F.lit(0)
+        ).cast("long").alias("s")
+    ).select(F.expr("s div 2").cast("long").alias("n_wedges"))
+    edges_n = e.agg(F.count("*").cast("long").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        edges_n.join(wedges)
+        .join(tri)
+        .withColumn(
+            "global_clustering",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+Q76_SQL = f"""
+WITH {_DOCS_TRUTH_CTES},
+e AS (
+  SELECT DISTINCT a, b FROM near
+), deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+  GROUP BY n
+), w AS (
+  SELECT CAST(COALESCE(SUM(d * (d - 1)), 0) // 2 AS BIGINT) AS n_wedges
+  FROM deg
+), tr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+)
+SELECT c.n_edges, w.n_wedges, tr.n_triangles,
+       CASE WHEN w.n_wedges > 0
+            THEN 3.0 * CAST(tr.n_triangles AS DOUBLE)
+                 / CAST(w.n_wedges AS DOUBLE)
+            ELSE 0.0 END AS global_clustering
+FROM c, w, tr
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -4189,6 +4571,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_embedding_dispersion": q68_embedding_dispersion,
     "q69_events_type_trend": q69_events_type_trend,
     "q70_contamination_severity": q70_contamination_severity,
+    "q71_docs_self_information": q71_docs_self_information,
+    "q72_events_cohort_retention": q72_events_cohort_retention,
+    "q73_events_debounce": q73_events_debounce,
+    "q74_source_length_drift": q74_source_length_drift,
+    "q75_docs_length_deciles": q75_docs_length_deciles,
+    "q76_dup_graph_triangles": q76_dup_graph_triangles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4264,4 +4652,10 @@ ORACLE_SQL: dict[str, str] = {
     "q68_embedding_dispersion": Q68_SQL,
     "q69_events_type_trend": Q69_SQL,
     "q70_contamination_severity": Q70_SQL,
+    "q71_docs_self_information": Q71_SQL,
+    "q72_events_cohort_retention": Q72_SQL,
+    "q73_events_debounce": Q73_SQL,
+    "q74_source_length_drift": Q74_SQL,
+    "q75_docs_length_deciles": Q75_SQL,
+    "q76_dup_graph_triangles": Q76_SQL,
 }

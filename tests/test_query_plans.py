@@ -311,3 +311,65 @@ def test_q70_severity_broadcast_bench(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q71_self_information_wordcount_shape(spark):
+    """Self-information score: wordcount-shaped — per-(doc,tok) agg, token
+    re-agg, ONE equi-join back on tok, 1-row broadcast total. Never a
+    cartesian, never Python; the floor-log2 fixed point is codegen'd
+    string length over bin()."""
+    df = QUERIES["q71_docs_self_information"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) <= 6, plan
+
+
+def test_q72_cohort_retention_three_reducing_exchanges(spark):
+    """Cohort matrix: distinct (user, week) grid → min-window on user →
+    dimension-sized rollup. Three exchanges, each over an already-reduced
+    relation; no joins anywhere."""
+    df = QUERIES["q72_events_cohort_retention"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 3, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q73_debounce_single_exchange(spark):
+    """Burst-leader debounce: ONE hash exchange on user_id feeds the
+    (user, type) sort + lag window; the gap test is a codegen'd filter.
+    No joins, no second scan."""
+    df = QUERIES["q73_events_debounce"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q74_ks_drift_one_corpus_exchange(spark):
+    """KS drift: ONE corpus-sized hash exchange (the (source, length)
+    histogram); the grid/CDF machinery after it is broadcast-built
+    dimension-sized work — no sort-merge join ever touches corpus rows."""
+    df = QUERIES["q74_source_length_drift"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # the corpus scan lives in the histogram's localCheckpoint job; the
+    # final plan reads the dimension-sized checkpoint, never the parquet
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_q75_deciles_no_global_sort(spark):
+    """Distributed NTILE: the only per-row window is partitioned by
+    n_chars — the plan must NOT contain a SinglePartition exchange over
+    corpus rows feeding a global sort window. The histogram/offset side
+    is broadcast."""
+    df = QUERIES["q75_docs_length_deciles"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # the SinglePartition exchanges allowed are the tiny aggregate ones;
+    # the row_number window must be hash-partitioned on n_chars
+    assert "hashpartitioning(n_chars" in plan, plan
