@@ -4367,10 +4367,15 @@ def q75_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_chars, doc_id) recomputed distributedly: the value histogram
     (tiny) gives each distinct length its cumulative offset, a
     row_number window PARTITIONED BY the value gives the within-length
-    rank, and NTILE's closed form tile(r) = (r−1)·n div N + 1
-    reproduces the engine builtin exactly (same floor arithmetic both
-    tile-size cases reduce to). The oracle side IS DuckDB's native
-    NTILE(10), so the green hash proves the closed-form rewrite.
+    rank, and NTILE's exact closed form — base = N div n, extra =
+    N mod n, tile(r) = ceil(r/(base+1)) while r ≤ extra·(base+1) else
+    extra + ceil((r−extra·(base+1))/base) — reproduces the builtin's
+    front-loaded big tiles. (The tempting uniform form
+    (r−1)·n div N + 1 spreads the remainder across tiles and diverges
+    whenever N mod n splits a run — caught by the crafted-corpus
+    boundary test, invisible at the sf tiers where N mod 10 = 0.) The
+    oracle side IS DuckDB's native NTILE(10), so the green hash proves
+    the closed-form rewrite.
 
     Scale shape: a naive NTILE over a total order is a SinglePartition
     sort — the one window shape that cannot scale. Here the only
@@ -4392,9 +4397,16 @@ def q75_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         r.join(F.broadcast(pre.select("n_chars", "before")), "n_chars")
         .join(F.broadcast(tot))
+        .withColumn("rank", F.col("before") + F.col("rk_in"))
         .withColumn(
             "decile",
-            F.expr("(before + rk_in - 1) * 10 div n_all + 1").cast("long"),
+            F.expr(
+                "CASE WHEN rank <= (n_all % 10) * (n_all div 10 + 1)"
+                " THEN (rank + n_all div 10) div (n_all div 10 + 1)"
+                " ELSE (n_all % 10) + (rank - (n_all % 10) * (n_all div 10 + 1)"
+                "      + n_all div 10 - 1) div (n_all div 10)"
+                " END"
+            ).cast("long"),
         )
     )
     return j.groupBy("decile").agg(
@@ -4500,6 +4512,166 @@ FROM c, w, tr
 """
 
 
+def q77_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier detection via median/MAD (the
+    median-absolute-deviation rule, Hampel's robust z — the outlier
+    gate that, unlike mean/stddev, a burst of anomalies cannot drag
+    toward itself). An event is an outlier when its absolute deviation
+    from the type median exceeds 3× the type MAD.
+
+    Cross-engine exactness: values quantize to integer cents (the q28
+    ROUND convention); the median of integers and the MAD of their
+    dyadic deviations are exact interpolated quantiles (the q46-proven
+    percentile/quantile_cont parity), every intermediate a dyadic
+    rational held exactly in doubles, so the 3×MAD comparison is
+    bit-deterministic — no Hampel 0.6745 constant, which WOULD
+    introduce real rounding.
+
+    Scale shape: robust statistics are inherently multi-pass — median
+    agg (tiny), deviation pass joined against the BROADCAST medians,
+    MAD agg (tiny), verdict pass against broadcast median+MAD. Three
+    pushed-down 2-column scans, zero corpus-sized shuffles beyond the
+    per-type partial aggs. At 100 TB swap percentile → approx_percentile
+    and fuse to one pass at a tolerance, same plan skeleton."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = base.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("median_cents")
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents").cast("double") - F.col("median_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad_cents")
+    )
+    verdict = base.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    return verdict.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("median_cents").alias("median_cents"),
+        F.max("mad_cents").alias("mad_cents"),
+        F.sum(
+            F.when(
+                F.abs(F.col("cents").cast("double") - F.col("median_cents"))
+                > F.lit(3.0) * F.col("mad_cents"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
+Q77_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS median_cents
+  FROM base GROUP BY event_type
+), mad AS (
+  SELECT b.event_type,
+         quantile_cont(ABS(CAST(b.cents AS DOUBLE) - m.median_cents), 0.5)
+           AS mad_cents
+  FROM base b JOIN med m USING (event_type)
+  GROUP BY b.event_type
+)
+SELECT b.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(m.median_cents) AS median_cents,
+       MAX(d.mad_cents) AS mad_cents,
+       CAST(SUM(CASE WHEN ABS(CAST(b.cents AS DOUBLE) - m.median_cents)
+                          > 3.0 * d.mad_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM base b JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY b.event_type
+"""
+
+
+def q78_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion profile — members, verified edge count,
+    how many edges came from the substring (suffix) path, and the
+    min/max verified Jaccard inside each cluster. This is the
+    threshold-tuning table: a cluster whose min Jaccard hugs the 0.8
+    bar is a chain the next threshold bump would split; an
+    all-substring cluster is boilerplate stitching, not paraphrase.
+    Composes BOTH flagship outputs (q20 assignment + q22 pairs), so a
+    green row re-proves their mutual consistency edge-for-edge.
+
+    Determinism: counts are exact; min/max over the ROUND(,4) Jaccard
+    doubles are order-independent (never a distributed double SUM).
+    Singleton and exact-only clusters carry NULL jaccard bounds and
+    0 edges in both engines.
+
+    Scale shape: pair-to-cluster attachment is one equi-join on the
+    pair's left endpoint (verified pairs ≪ corpus; cluster table
+    ~|docs|), then two partial-agg rollups stitched with one
+    left join on cluster_id."""
+    clusters = q20_dedup_clusters(spark, sf_dir)
+    pairs = q22_verified_pairs(spark, sf_dir)
+    e = pairs.join(
+        clusters.select(
+            F.col("conv_id").alias("a"), F.col("cluster_id")
+        ),
+        "a",
+    )
+    per = e.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("e_cnt"),
+        F.sum(
+            F.when(F.col("source") == "substring", 1).otherwise(0)
+        ).cast("long").alias("sub_cnt"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return sizes.join(per, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce("e_cnt", F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce("sub_cnt", F.lit(0)).cast("long").alias("n_substring_edges"),
+        "min_jaccard",
+        "max_jaccard",
+    )
+
+
+Q78_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+exact_e AS (
+  SELECT rep AS a, id AS b FROM grp WHERE id != rep
+), edges AS (
+  SELECT a AS u, b AS v FROM near UNION SELECT b, a FROM near
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+), walk(id, cid) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+), assign AS (
+  SELECT id, MIN(cid) AS cluster_id FROM walk GROUP BY id
+), sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM assign GROUP BY cluster_id
+), pe AS (
+  SELECT a.cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS e_cnt,
+         CAST(SUM(CASE WHEN near.source = 'substring' THEN 1 ELSE 0 END)
+              AS BIGINT) AS sub_cnt,
+         MIN(near.jaccard) AS min_jaccard,
+         MAX(near.jaccard) AS max_jaccard
+  FROM near JOIN assign a ON a.id = near.a
+  GROUP BY a.cluster_id
+)
+SELECT s.cluster_id, s.n_members,
+       CAST(COALESCE(pe.e_cnt, 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(pe.sub_cnt, 0) AS BIGINT) AS n_substring_edges,
+       pe.min_jaccard, pe.max_jaccard
+FROM sizes s LEFT JOIN pe USING (cluster_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -4577,6 +4749,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_source_length_drift": q74_source_length_drift,
     "q75_docs_length_deciles": q75_docs_length_deciles,
     "q76_dup_graph_triangles": q76_dup_graph_triangles,
+    "q77_events_robust_outliers": q77_events_robust_outliers,
+    "q78_cluster_cohesion": q78_cluster_cohesion,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4658,4 +4832,6 @@ ORACLE_SQL: dict[str, str] = {
     "q74_source_length_drift": Q74_SQL,
     "q75_docs_length_deciles": Q75_SQL,
     "q76_dup_graph_triangles": Q76_SQL,
+    "q77_events_robust_outliers": Q77_SQL,
+    "q78_cluster_cohesion": Q78_SQL,
 }

@@ -373,3 +373,15 @@ def test_q75_deciles_no_global_sort(spark):
     # the SinglePartition exchanges allowed are the tiny aggregate ones;
     # the row_number window must be hash-partitioned on n_chars
     assert "hashpartitioning(n_chars" in plan, plan
+
+
+def test_q77_robust_outliers_broadcast_stats(spark):
+    """Median/MAD outliers: the per-type stats reach the verdict scan as
+    BROADCAST joins — never a shuffled join of corpus rows against
+    1-row-per-type aggregates; no Python."""
+    df = QUERIES["q77_events_robust_outliers"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
