@@ -80,6 +80,12 @@ def main() -> None:
     dispersion = QUERIES["q68_embedding_dispersion"](spark, SF)
     trend = QUERIES["q69_events_type_trend"](spark, SF)
     severity = QUERIES["q70_contamination_severity"](spark, SF)
+    selfinfo = QUERIES["q71_docs_self_information"](spark, SF)
+    cohort = QUERIES["q72_events_cohort_retention"](spark, SF)
+    debounce = QUERIES["q73_events_debounce"](spark, SF)
+    ksdrift = QUERIES["q74_source_length_drift"](spark, SF)
+    deciles = QUERIES["q75_docs_length_deciles"](spark, SF)
+    outliers = QUERIES["q77_events_robust_outliers"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -242,6 +248,42 @@ def main() -> None:
             "q70 PaLM severity: benchmark 8-gram hashes broadcast into "
             "the occurrence scan (q31 shape), per-doc rollup + verdict",
             severity,
+        ),
+        (
+            "q71 self-information: wordcount shape — (doc, tok) agg, "
+            "token-frequency re-agg, shuffled equi-join back on tok, "
+            "1-row broadcast total; floor-log2 via bin() in codegen",
+            selfinfo,
+        ),
+        (
+            "q72 cohort retention: distinct (user, week) partial agg → "
+            "min-window on user → dimension-sized matrix rollup — 3 "
+            "reducing exchanges, zero joins",
+            cohort,
+        ),
+        (
+            "q73 debounce: ONE Exchange on user_id + (user, type) sort + "
+            "lag window + codegen'd gap filter — no joins, one scan",
+            debounce,
+        ),
+        (
+            "q74 KS drift: (source, length) histogram localCheckpointed "
+            "(corpus scanned once); CDF grid + windows run on the "
+            "dimension-sized checkpoint with broadcast joins only",
+            ksdrift,
+        ),
+        (
+            "q75 distributed NTILE: histogram offsets broadcast + "
+            "row_number window partitioned by n_chars (never a "
+            "SinglePartition sort over corpus rows) + exact closed-form "
+            "tile arithmetic in codegen",
+            deciles,
+        ),
+        (
+            "q77 median/MAD outliers: per-type exact percentiles, stats "
+            "re-attached via BROADCAST joins; three pushed-down 2-column "
+            "scans, no corpus-sized shuffle beyond the partial aggs",
+            outliers,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
