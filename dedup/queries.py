@@ -4672,6 +4672,189 @@ FROM sizes s LEFT JOIN pe USING (cluster_id)
 """
 
 
+_SWEEP_THRESHOLDS = [0.8, 0.85, 0.9, 0.95]
+
+
+def q79_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity sweep — how the verified Jaccard
+    graph's edge count, touched-node count, and component count move as
+    the near-dup bar tightens from 0.8 to 0.95. This is the knob-tuning
+    table a curator reads before committing a threshold: components
+    that survive 0.95 are hard template families; edges that vanish by
+    0.85 were borderline paraphrase.
+
+    One CC run, not four: every (threshold, edge) survivor is tagged by
+    prefixing its node ids with the threshold index, and a single
+    connected-components invocation over the union graph labels all
+    four sweeps at once (components never cross tags by construction).
+    The oracle does the same with ONE recursive CTE over tagged nodes.
+
+    Determinism: thresholds are shared double literals; the ≥ compare
+    runs on q22's ROUND(,4) Jaccard values; counts exact. Substring
+    edges carry no Jaccard and stay out of the sweep by the
+    source='jaccard' filter.
+
+    Scale shape: the sweep multiplies the VERIFIED pair relation
+    (≪ corpus) by ≤4 survivorship, then runs the same large-star /
+    small-star CC the flagship pipeline uses; everything else is
+    dimension-sized."""
+    from .cc import connected_components
+
+    pairs = (
+        q22_verified_pairs(spark, sf_dir)
+        .filter(F.col("source") == "jaccard")
+        .select("a", "b", "jaccard")
+        .localCheckpoint()
+    )
+    th = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(_SWEEP_THRESHOLDS)],
+        "t_idx int, threshold double",
+    )
+    je = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    tag = lambda c: F.concat(  # noqa: E731
+        F.col("t_idx").cast("string"), F.lit(":"), F.col(c)
+    )
+    assign, _ = connected_components(
+        je.select(tag("a").alias("a"), tag("b").alias("b")), DedupConfig()
+    )
+    comp = (
+        assign.withColumn(
+            "t_idx", F.split(F.col("conv_id"), ":").getItem(0).cast("int")
+        )
+        .groupBy("t_idx")
+        .agg(
+            F.count("*").cast("long").alias("nodes"),
+            F.countDistinct("cluster_id").cast("long").alias("comps"),
+        )
+    )
+    es = je.groupBy("t_idx").agg(F.count("*").cast("long").alias("edges"))
+    return (
+        th.join(es, "t_idx", "left")
+        .join(comp, "t_idx", "left")
+        .select(
+            "threshold",
+            F.coalesce("edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("comps", F.lit(0)).cast("long").alias("n_components"),
+        )
+    )
+
+
+Q79_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+th(t_idx, threshold) AS (
+  VALUES (1, 0.8), (2, 0.85), (3, 0.9), (4, 0.95)
+), je AS (
+  SELECT th.t_idx, th.threshold, near.a, near.b
+  FROM near, th
+  WHERE near.source = 'jaccard' AND near.jaccard >= th.threshold
+), nodes AS (
+  SELECT DISTINCT t_idx, id FROM (
+    SELECT t_idx, a AS id FROM je UNION ALL SELECT t_idx, b FROM je
+  )
+), tedges AS (
+  SELECT t_idx, a AS u, b AS v FROM je UNION SELECT t_idx, b, a FROM je
+), walk(t_idx, id, cid) AS (
+  SELECT t_idx, id, id FROM nodes
+  UNION
+  SELECT e.t_idx, e.v, w.cid
+  FROM walk w JOIN tedges e ON e.t_idx = w.t_idx AND e.u = w.id
+), assign AS (
+  SELECT t_idx, id, MIN(cid) AS cluster_id FROM walk GROUP BY t_idx, id
+), comp AS (
+  SELECT t_idx,
+         CAST(COUNT(*) AS BIGINT) AS nodes,
+         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS comps
+  FROM assign GROUP BY t_idx
+), es AS (
+  SELECT t_idx, CAST(COUNT(*) AS BIGINT) AS edges FROM je GROUP BY t_idx
+)
+SELECT th.threshold,
+       CAST(COALESCE(es.edges, 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(comp.nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(comp.comps, 0) AS BIGINT) AS n_components
+FROM th LEFT JOIN es USING (t_idx) LEFT JOIN comp USING (t_idx)
+"""
+
+
+# log10(1 + 1/d) for d = 1..9, materialized as shared double literals via
+# Python repr — Benford's law expectations (Newcomb 1881 / Benford 1938);
+# computing log10 inside either engine would not be bit-stable, a literal is
+import math as _math
+
+_BENFORD = [repr(_math.log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+def q80_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile per event type — the
+    classic fabricated-data / instrumentation-bug screen: organically
+    sized values follow log10(1+1/d); a synthetic or clamped feed does
+    not. Emits each (type, digit) cell's count, observed share,
+    Benford expectation, and absolute deviation.
+
+    Cross-engine exactness: digits come from the first character of
+    the integer cents (string head — no float log); shares are ONE
+    division; the nine Benford constants are shared repr'd double
+    literals, never computed in-engine (libm log10 is not bit-stable
+    across engines).
+
+    Scale shape: one partial-aggregated exchange on the 9·|types| key;
+    the digit extraction is codegen'd string arithmetic on the scan."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") > 0)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    counts = base.select("event_type", digit.alias("digit")).groupBy(
+        "event_type", "digit"
+    ).agg(F.count("*").cast("long").alias("n_values"))
+    w = Window.partitionBy("event_type")
+    exp_arr = F.array(*[F.lit(float(p)) for p in _BENFORD])
+    return (
+        counts.withColumn("total", F.sum("n_values").over(w))
+        .withColumn(
+            "share",
+            F.col("n_values").cast("double") / F.col("total").cast("double"),
+        )
+        .withColumn("benford_p", F.element_at(exp_arr, F.col("digit")))
+        .select(
+            "event_type",
+            "digit",
+            "n_values",
+            "share",
+            "benford_p",
+            F.abs(F.col("share") - F.col("benford_p")).alias("abs_dev"),
+        )
+    )
+
+
+Q80_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
+), d AS (
+  SELECT event_type,
+         CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM base
+), counts AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n_values
+  FROM d GROUP BY event_type, digit
+), shared AS (
+  SELECT event_type, digit, n_values,
+         CAST(n_values AS DOUBLE)
+           / CAST(SUM(n_values) OVER (PARTITION BY event_type) AS DOUBLE)
+           AS share,
+         ([{", ".join(_BENFORD)}])[digit] AS benford_p
+  FROM counts
+)
+SELECT event_type, digit, n_values, share, benford_p,
+       ABS(share - benford_p) AS abs_dev
+FROM shared
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -4751,6 +4934,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_dup_graph_triangles": q76_dup_graph_triangles,
     "q77_events_robust_outliers": q77_events_robust_outliers,
     "q78_cluster_cohesion": q78_cluster_cohesion,
+    "q79_threshold_sweep": q79_threshold_sweep,
+    "q80_events_benford": q80_events_benford,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4834,4 +5019,6 @@ ORACLE_SQL: dict[str, str] = {
     "q76_dup_graph_triangles": Q76_SQL,
     "q77_events_robust_outliers": Q77_SQL,
     "q78_cluster_cohesion": Q78_SQL,
+    "q79_threshold_sweep": Q79_SQL,
+    "q80_events_benford": Q80_SQL,
 }

@@ -385,3 +385,14 @@ def test_q77_robust_outliers_broadcast_stats(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q80_benford_single_exchange(spark):
+    """Benford profile: digit extraction is codegen'd string arithmetic on
+    the scan; ONE partial-aggregated exchange on the (type, digit) key
+    feeds the share window. No joins, no Python."""
+    df = QUERIES["q80_events_benford"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) <= 2, plan

@@ -224,3 +224,56 @@ def test_q75_fewer_rows_than_tiles(spark, tiny_decile_dir):
     )
     assert list(sdf["decile"]) == [1, 2, 3, 4, 5, 6, 7]
     assert list(sdf["n_docs"]) == [1] * 7
+
+
+@pytest.fixture(scope="module")
+def sweep_dir(spark, tmp_path_factory):
+    # four independent near-pairs with engineered 3-gram Jaccard: a base of
+    # 200 unique tokens and a variant with the last k tokens replaced has
+    # s = 198 shingles each, exactly k changed per side (a trailing edit
+    # touches the k shingles ending in the edited span), so
+    # j(k) = (s-k)/(s+k):  k=2 -> 0.980, 8 -> 0.922, 13 -> 0.877,
+    # 19 -> 0.825 — one pair inside each sweep bucket.
+    rows = []
+
+    def doc(doc_id, tokens):
+        text = " ".join(tokens)
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "text": text,
+                "lang": "en",
+                "source": "srcA",
+                "n_chars": len(text),
+            }
+        )
+
+    for pair_i, k in enumerate([2, 8, 13, 19]):
+        base = [f"p{pair_i}tok{j:04d}" for j in range(200)]
+        var = base[:-k] + [f"p{pair_i}alt{j:04d}" for j in range(k)]
+        doc(100 + pair_i * 2, base)
+        doc(101 + pair_i * 2, var)
+    d = tmp_path_factory.mktemp("sweep")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_q79_sweep_buckets_all_fire(spark, sweep_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sweep_dir}/documents.parquet/*.parquet')"
+    )
+    sdf = _parity(
+        QUERIES["q79_threshold_sweep"](spark, sweep_dir),
+        con,
+        ORACLE_SQL["q79_threshold_sweep"],
+        ["threshold"],
+    )
+    # tightening the bar drops exactly one engineered pair per step
+    assert list(sdf["n_edges"]) == [4, 3, 2, 1]
+    assert list(sdf["n_nodes"]) == [8, 6, 4, 2]
+    assert list(sdf["n_components"]) == [4, 3, 2, 1]
