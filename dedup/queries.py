@@ -4855,6 +4855,172 @@ FROM shared
 """
 
 
+def q81_dup_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size per node of the verified near-dup graph
+    — the friend-of-friend expansion a candidate-recovery pass would
+    enqueue (a doc two hops away shares a neighbor but was never pair-
+    verified itself; a large 2-hop ball around a node flags a template
+    family the 1-hop view underestimates).
+
+    Exact set semantics: reachable = distance-1 ∪ distance-2, self
+    excluded, counted DISTINCT — integers only. Oracle recomputes it
+    from the brute-force near edge set, a fourth lens over q22.
+
+    Scale shape: adjacency and the one self-join run on the verified
+    pair relation (≪ corpus); the distinct union collapses map-side
+    per node. The degree-square blowup is bounded by the pipeline's
+    bucket caps upstream."""
+    e = q22_verified_pairs(spark, sf_dir).select("a", "b").distinct()
+    adj = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    two = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    reach = adj.unionByName(two).distinct()
+    deg = adj.groupBy("a").agg(F.count("*").cast("long").alias("degree"))
+    ball = reach.groupBy("a").agg(
+        F.count("*").cast("long").alias("n_within_2hops")
+    )
+    return deg.join(ball, "a").select(
+        F.col("a").alias("node"), "degree", "n_within_2hops"
+    )
+
+
+Q81_SQL = f"""
+WITH {_DOCS_TRUTH_CTES},
+e AS (
+  SELECT DISTINCT a, b FROM near
+), adj AS (
+  SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+), two AS (
+  SELECT x.a, y.b FROM adj x JOIN adj y ON x.b = y.a WHERE x.a != y.b
+), reach AS (
+  SELECT DISTINCT a, b FROM (SELECT a, b FROM adj UNION ALL
+                             SELECT a, b FROM two)
+), deg AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY a
+), ball AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS n_within_2hops
+  FROM reach GROUP BY a
+)
+SELECT deg.a AS node, deg.degree, ball.n_within_2hops
+FROM deg JOIN ball USING (a)
+"""
+
+
+def q82_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival table for time-to-first-purchase — the
+    Kaplan-Meier life table (Kaplan & Meier JASA'58) over integer days
+    since each user's first event: per conversion day, how many users
+    were still at risk (no purchase yet AND still observable), how many
+    converted, and the discrete hazard. Users who never purchase are
+    right-censored at the end of the observation window.
+
+    Cross-engine exactness: day indexes are integer floor-division of
+    epoch-microsecond gaps; at-risk counts come from reverse cumulative
+    sums of exact per-day conversion/censor histograms; the hazard is
+    ONE long→double division. (The survival curve itself needs a
+    running product = exp(sum(log)) — libm, not bit-stable — so the
+    table ships hazards, from which any consumer derives S(t).)
+
+    Scale shape: ONE corpus exchange (groupBy user for first-event /
+    first-purchase timestamps, partial-aggregated); the day grid,
+    reverse-cumsum windows, and the final table are all bounded by the
+    observation span in days, not the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.when(F.col("event_type") == "purchase", us).alias("pus"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.min("us").alias("t0"), F.min("pus").alias("tp")
+    )
+    gmax = base.agg(F.max("us").alias("gmax"))
+    u = per_user.join(F.broadcast(gmax)).select(
+        F.expr("(tp - t0) div 86400000000").alias("conv_day"),
+        F.expr("(gmax - t0) div 86400000000").alias("censor_day"),
+    )
+    hist = u.groupBy(
+        F.coalesce("conv_day", F.col("censor_day")).alias("day"),
+        F.col("conv_day").isNotNull().alias("converted"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    days = hist.groupBy("day").agg(
+        F.sum(F.when(F.col("converted"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.sum(F.when(~F.col("converted"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # at risk on day d = everyone whose conversion OR censor day is >= d
+    risk = days.withColumn(
+        "n_at_risk",
+        (F.sum("n_converted").over(w) + F.sum("n_censored").over(w)).cast(
+            "long"
+        ),
+    )
+    return (
+        risk.filter(F.col("n_converted") > 0)
+        .select(
+            "day",
+            "n_at_risk",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double")
+                / F.col("n_at_risk").cast("double")
+            ).alias("hazard"),
+        )
+    )
+
+
+Q82_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pus
+  FROM events
+), per_user AS (
+  SELECT user_id, MIN(us) AS t0, MIN(pus) AS tp FROM base GROUP BY user_id
+), g AS (
+  SELECT MAX(us) AS gmax FROM base
+), u AS (
+  SELECT (tp - t0) // 86400000000 AS conv_day,
+         (gmax - t0) // 86400000000 AS censor_day
+  FROM per_user, g
+), hist AS (
+  SELECT COALESCE(conv_day, censor_day) AS day,
+         conv_day IS NOT NULL AS converted,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM u GROUP BY 1, 2
+), days AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN converted THEN n ELSE 0 END) AS BIGINT)
+           AS n_converted,
+         CAST(SUM(CASE WHEN NOT converted THEN n ELSE 0 END) AS BIGINT)
+           AS n_censored
+  FROM hist GROUP BY day
+), risk AS (
+  SELECT day, n_converted,
+         CAST(SUM(n_converted + n_censored) OVER (
+           ORDER BY day DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_at_risk
+  FROM days
+)
+SELECT day, n_at_risk, n_converted,
+       CAST(n_converted AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+FROM risk WHERE n_converted > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -4936,6 +5102,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_cluster_cohesion": q78_cluster_cohesion,
     "q79_threshold_sweep": q79_threshold_sweep,
     "q80_events_benford": q80_events_benford,
+    "q81_dup_graph_two_hop": q81_dup_graph_two_hop,
+    "q82_purchase_survival": q82_purchase_survival,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5021,4 +5189,6 @@ ORACLE_SQL: dict[str, str] = {
     "q78_cluster_cohesion": Q78_SQL,
     "q79_threshold_sweep": Q79_SQL,
     "q80_events_benford": Q80_SQL,
+    "q81_dup_graph_two_hop": Q81_SQL,
+    "q82_purchase_survival": Q82_SQL,
 }
