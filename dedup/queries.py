@@ -5021,6 +5021,374 @@ FROM risk WHERE n_converted > 0
 """
 
 
+def q83_shared_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix template families — the transcript analogue of
+    "how many conversations start with the same system prompt": group
+    per-user event streams by their first-3-step signature under stable
+    (ts, event_id) ordering and report families seen in >= 2
+    conversations. In an LLM transcript corpus, large prefix families
+    are template/boilerplate candidates a prefix-dedup pass would
+    collapse before shingling.
+
+    Scale shape: ONE exchange on the conversation key; the per-group
+    sort is bounded by conversation length, and the second groupBy runs
+    on one row per conversation (≪ corpus)."""
+    ev = _t(spark, sf_dir, "events")
+    per_conv = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    1,
+                    3,
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("prefix"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return (
+        per_conv.groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .filter(F.col("n_convs") >= 2)
+    )
+
+
+Q83_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), p AS (
+  SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS prefix
+  FROM r WHERE rn <= 3 GROUP BY user_id
+), n AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM p JOIN n USING (user_id)
+GROUP BY prefix HAVING COUNT(*) >= 2
+"""
+
+
+def q84_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power-iteration steps of PageRank (damping 0.85) over the
+    verified near-dup graph — ranks the most "central" documents of a
+    template family, the ones a canonical-representative election should
+    prefer. Brin & Page WWW'98 semantics on the symmetric dup graph.
+
+    Cross-engine exactness: ranks are integer fixed point at scale
+    10^12 with FLOOR division everywhere — r0 = S div N, contribution =
+    (85 * (r div out_deg)) div 100, base = (15 * (S div N)) div 100 —
+    so both engines produce identical BIGINTs; no libm, no float
+    accumulation order.
+
+    Scale shape: the rank relation is one row per dup-graph node
+    (≪ corpus); each iteration is one equi-join on the edge list plus a
+    partial-aggregated groupBy — the textbook distributed PageRank step.
+    Iteration count is fixed (3), so the plan is a static unrolled DAG;
+    per-iteration localCheckpoint would cap lineage at higher counts."""
+    scale = 1000000000000
+    e = q22_verified_pairs(spark, sf_dir).select("a", "b").distinct()
+    adj = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v")).localCheckpoint()
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    nodes = adj.select(F.col("u").alias("id")).distinct()
+    n = nodes.count()
+    r0 = F.lit(scale // n).cast("long")
+    base = F.lit((15 * (scale // n)) // 100).cast("long")
+    ranks = nodes.select("id", r0.alias("r"))
+    for _ in range(3):
+        contrib = (
+            adj.join(ranks, adj.u == ranks.id)
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("id"),
+                F.expr("(85 * (r div d)) div 100").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("id").agg(
+            (base + F.sum("c")).cast("long").alias("r")
+        )
+    return ranks.select(F.col("id").alias("node"), F.col("r").alias("rank_fp"))
+
+
+Q84_SQL = f"""
+WITH {_DOCS_TRUTH_CTES},
+e AS (
+  SELECT DISTINCT a, b FROM near
+), adj AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u
+), nodes AS (
+  SELECT DISTINCT u AS id FROM adj
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         1000000000000 // CAST(COUNT(*) AS BIGINT) AS r0,
+         (15 * (1000000000000 // CAST(COUNT(*) AS BIGINT))) // 100 AS base
+  FROM nodes
+), r1 AS (
+  SELECT adj.v AS id,
+         (SELECT base FROM nn)
+           + SUM((85 * ((SELECT r0 FROM nn) // deg.d)) // 100) AS r
+  FROM adj JOIN deg ON deg.u = adj.u GROUP BY adj.v
+), r2 AS (
+  SELECT adj.v AS id,
+         (SELECT base FROM nn) + SUM((85 * (r1.r // deg.d)) // 100) AS r
+  FROM adj JOIN r1 ON r1.id = adj.u JOIN deg ON deg.u = adj.u
+  GROUP BY adj.v
+), r3 AS (
+  SELECT adj.v AS id,
+         (SELECT base FROM nn) + SUM((85 * (r2.r // deg.d)) // 100) AS r
+  FROM adj JOIN r2 ON r2.id = adj.u JOIN deg ON deg.u = adj.u
+  GROUP BY adj.v
+)
+SELECT id AS node, CAST(r AS BIGINT) AS rank_fp FROM r3
+"""
+
+
+def q85_cluster_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment that keeps dup clusters co-located:
+    clusters ranked by total chars (desc, cluster_id tiebreak) and dealt
+    round-robin onto 8 shards — the standard size-ranked balancing that
+    keeps shard loads within one max-cluster of each other while
+    guaranteeing every near-dup family lands in ONE shard (so downstream
+    per-shard sampling never reintroduces cross-shard dups).
+
+    Scale shape: ranking runs on the cluster aggregate (one row per
+    cluster, ≪ corpus). The global row_number here is a single-partition
+    window over that reduced relation; at 10^12-turn scale the same
+    rank is computed shuffle-free with the q75 closed form (range
+    partition + partition-offset cumsum)."""
+    clusters = q20_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "n_chars"
+    )
+    per_cluster = (
+        clusters.join(docs, "conv_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+    w = Window.orderBy(F.desc("chars"), F.asc("cluster_id"))
+    sharded = per_cluster.withColumn(
+        "shard", ((F.row_number().over(w) - 1) % 8).cast("int")
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    )
+
+
+Q85_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+exact_e AS (
+  SELECT rep AS a, id AS b FROM grp WHERE id != rep
+), edges AS (
+  SELECT a AS u, b AS v FROM near UNION SELECT b, a FROM near
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+), walk(id, cid) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+), clusters AS (
+  SELECT id AS conv_id, MIN(cid) AS cluster_id FROM walk GROUP BY id
+), per_cluster AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM clusters
+  JOIN documents ON CAST(doc_id AS VARCHAR) = conv_id
+  GROUP BY cluster_id
+), sharded AS (
+  SELECT *, CAST((ROW_NUMBER() OVER (ORDER BY chars DESC, cluster_id) - 1)
+                 % 8 AS INTEGER) AS shard
+  FROM per_cluster
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS total_chars
+FROM sharded GROUP BY shard
+"""
+
+
+def q86_dedup_bytes_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings ledger: how many documents and chars the
+    flagship clustering removes when only each cluster's representative
+    (cluster_id == conv_id, the min-id member) is kept — the
+    storage/compute-savings number a curation run reports per source.
+
+    Scale shape: one broadcast-sized join of the cluster assignment back
+    to document metadata, then a partial-aggregated groupBy on the
+    low-cardinality source key."""
+    clusters = q20_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source", "n_chars"
+    )
+    kept = F.col("conv_id") == F.col("cluster_id")
+    return (
+        clusters.join(docs, "conv_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+    )
+
+
+Q86_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+exact_e AS (
+  SELECT rep AS a, id AS b FROM grp WHERE id != rep
+), edges AS (
+  SELECT a AS u, b AS v FROM near UNION SELECT b, a FROM near
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+), walk(id, cid) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+), clusters AS (
+  SELECT id AS conv_id, MIN(cid) AS cluster_id FROM walk GROUP BY id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN conv_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN conv_id = cluster_id THEN 0 ELSE n_chars END)
+            AS BIGINT) AS chars_saved
+FROM clusters JOIN documents ON CAST(doc_id AS VARCHAR) = conv_id
+GROUP BY source
+"""
+
+
+def q87_reassembly_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's per-turn text-equality row invariant as a zero-row
+    audit (the q26 style): reassemble each per-user stream with the
+    engine's sort-structs-inside-one-aggregation operator (A1), explode
+    it back to (conv, position, value), and anti-compare against the
+    window-ordered original — any row here is a turn whose content or
+    position the reassembly operator corrupted. Green at 0 rows proves
+    "preserves per-turn text equality under stable turn ordering" as a
+    value-checked result, not just a pytest assertion.
+
+    Scale shape: both sides are ONE exchange on the conversation key
+    (the window and the groupBy share the partitioning); the equi-join
+    runs on (user_id, pos) — co-partitioned, no extra shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    reassembled = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("turns")
+        )
+        .select(
+            "user_id",
+            F.posexplode(
+                F.transform(F.col("turns"), lambda s: s["event_type"])
+            ).alias("pos", "roundtrip"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    original = ev.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.col("event_type").alias("expected"),
+    )
+    return (
+        original.join(reassembled, ["user_id", "pos"])
+        .filter(F.col("expected") != F.col("roundtrip"))
+        .select("user_id", "pos", "expected", "roundtrip")
+    )
+
+
+Q87_SQL = """
+WITH original AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS pos,
+         event_type AS expected
+  FROM events
+), reassembled AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS pos,
+         event_type AS roundtrip
+  FROM events
+)
+SELECT user_id, pos, expected, roundtrip
+FROM original JOIN reassembled USING (user_id, pos)
+WHERE expected != roundtrip
+"""
+
+
+def q88_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection: rank each source's documents by
+    (n_chars desc, doc_id) and keep the prefix whose running char total
+    stays within a 100k budget — the greedy largest-first selection a
+    fixed-budget curation pass makes per source. Reports kept/dropped
+    docs and kept chars per source.
+
+    Scale shape: the cumulative sum is a PARTITIONED window (one
+    exchange on source, then a per-partition running sum) — no global
+    sort, no driver loop; the final rollup aggregates one flag per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = docs.select(
+        "source",
+        "n_chars",
+        (F.sum("n_chars").over(w) <= 100000).alias("kept"),
+    )
+    return flagged.groupBy("source").agg(
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )
+
+
+Q88_SQL = """
+WITH flagged AS (
+  SELECT source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) <= 100000 AS kept
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept
+FROM flagged GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -5104,6 +5472,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_events_benford": q80_events_benford,
     "q81_dup_graph_two_hop": q81_dup_graph_two_hop,
     "q82_purchase_survival": q82_purchase_survival,
+    "q83_shared_prefix_groups": q83_shared_prefix_groups,
+    "q84_dup_pagerank": q84_dup_pagerank,
+    "q85_cluster_shard_balance": q85_cluster_shard_balance,
+    "q86_dedup_bytes_saved": q86_dedup_bytes_saved,
+    "q87_reassembly_roundtrip_audit": q87_reassembly_roundtrip_audit,
+    "q88_token_budget_selection": q88_token_budget_selection,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5191,4 +5565,10 @@ ORACLE_SQL: dict[str, str] = {
     "q80_events_benford": Q80_SQL,
     "q81_dup_graph_two_hop": Q81_SQL,
     "q82_purchase_survival": Q82_SQL,
+    "q83_shared_prefix_groups": Q83_SQL,
+    "q84_dup_pagerank": Q84_SQL,
+    "q85_cluster_shard_balance": Q85_SQL,
+    "q86_dedup_bytes_saved": Q86_SQL,
+    "q87_reassembly_roundtrip_audit": Q87_SQL,
+    "q88_token_budget_selection": Q88_SQL,
 }
