@@ -86,6 +86,17 @@ def main() -> None:
     ksdrift = QUERIES["q74_source_length_drift"](spark, SF)
     deciles = QUERIES["q75_docs_length_deciles"](spark, SF)
     outliers = QUERIES["q77_events_robust_outliers"](spark, SF)
+    cohesion = QUERIES["q78_cluster_cohesion"](spark, SF)
+    sweep = QUERIES["q79_threshold_sweep"](spark, SF)
+    benford = QUERIES["q80_events_benford"](spark, SF)
+    twohop = QUERIES["q81_dup_graph_two_hop"](spark, SF)
+    survival = QUERIES["q82_purchase_survival"](spark, SF)
+    prefix = QUERIES["q83_shared_prefix_groups"](spark, SF)
+    pagerank = QUERIES["q84_dup_pagerank"](spark, SF)
+    shards = QUERIES["q85_cluster_shard_balance"](spark, SF)
+    savings = QUERIES["q86_dedup_bytes_saved"](spark, SF)
+    audit = QUERIES["q87_reassembly_roundtrip_audit"](spark, SF)
+    budget = QUERIES["q88_token_budget_selection"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -284,6 +295,75 @@ def main() -> None:
             "re-attached via BROADCAST joins; three pushed-down 2-column "
             "scans, no corpus-sized shuffle beyond the partial aggs",
             outliers,
+        ),
+        (
+            "q78 cluster cohesion: verified pairs + cluster map joined "
+            "(pair side small — AQE broadcasts), per-cluster rollup on "
+            "the reduced relation",
+            cohesion,
+        ),
+        (
+            "q79 threshold sweep: ONE pass over verified pairs — each "
+            "threshold a conditional aggregate column, no per-threshold "
+            "re-scan",
+            sweep,
+        ),
+        (
+            "q80 benford: first-digit extraction in codegen + one "
+            "9-row-per-type partial agg; expected-law join is broadcast",
+            benford,
+        ),
+        (
+            "q81 two-hop: adjacency localCheckpointed off the pair "
+            "relation (≪ corpus), ONE self-join + distinct union "
+            "collapsing map-side, degree/ball stitched by equi-join on "
+            "the node key",
+            twohop,
+        ),
+        (
+            "q82 survival table: ONE corpus exchange (per-user min aggs); "
+            "day-grid histogram + reverse-cumsum windows all run on the "
+            "observation-span-sized relation",
+            survival,
+        ),
+        (
+            "q83 shared prefixes: ONE Exchange on the conversation key "
+            "(sorted-struct prefix + count in the same agg), second "
+            "groupBy on one row per conversation",
+            prefix,
+        ),
+        (
+            "q84 PageRank: static 3-step unrolled DAG — each step one "
+            "equi-join of the node-sized rank relation against the "
+            "checkpointed edge list + one partial-aggregated groupBy; "
+            "all integer fixed-point in codegen",
+            pagerank,
+        ),
+        (
+            "q85 shard balance: cluster-sized aggregate under a "
+            "row_number window + 8-row shard rollup; corpus touched only "
+            "by the flagship pipeline itself",
+            shards,
+        ),
+        (
+            "q86 dedup savings: cluster map equi-joined to 3-column "
+            "pruned document metadata, ONE partial-agg exchange on the "
+            "low-cardinality source key",
+            savings,
+        ),
+        (
+            "q87 roundtrip audit: each side is one Exchange(user_id) "
+            "(window vs sorted-struct agg); AQE broadcasts the smaller "
+            "side here — at scale the (user_id, pos) join reuses "
+            "HashPartitioning(user_id) (subset-key clustering), so no "
+            "third shuffle either way",
+            audit,
+        ),
+        (
+            "q88 token budget: PARTITIONED cumulative-sum window (one "
+            "Exchange on source, no global sort) + per-source rollup on "
+            "the same partitioning",
+            budget,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
