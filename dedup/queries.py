@@ -5389,6 +5389,239 @@ FROM flagged GROUP BY source
 """
 
 
+def q89_cluster_source_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster source-span histogram: for each flagship dedup cluster,
+    how many distinct sources its members span — the cross-source
+    contamination diagnostic (a span-1 cluster is an intra-crawl rerun;
+    a span-3+ cluster is the same template syndicated everywhere, which
+    changes which copy a curator keeps). Composes the full q20 engine
+    output through yet another lens.
+
+    Scale shape: one broadcast-sized join of the cluster assignment to
+    2-column pruned doc metadata, a partial-aggregated groupBy per
+    cluster, then a ≤n_sources-row histogram aggregate."""
+    clusters = q20_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "source"
+    )
+    per = (
+        clusters.join(docs, "conv_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.countDistinct("source").cast("long").alias("span"),
+            F.count("*").cast("long").alias("sz"),
+        )
+    )
+    return per.groupBy("span").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+
+
+Q89_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+exact_e AS (
+  SELECT rep AS a, id AS b FROM grp WHERE id != rep
+), edges AS (
+  SELECT a AS u, b AS v FROM near UNION SELECT b, a FROM near
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+), walk(id, cid) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+), assign AS (
+  SELECT id, MIN(cid) AS cluster_id FROM walk GROUP BY id
+), per AS (
+  SELECT a.cluster_id,
+         CAST(COUNT(DISTINCT dd.source) AS BIGINT) AS span,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM assign a JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = a.id
+  GROUP BY a.cluster_id
+)
+SELECT span, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM per GROUP BY span
+"""
+
+
+def q90_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies spectrum (the Zipf/Good-Turing
+    diagnostic): how many distinct token types occur with corpus
+    frequency in each power-of-two band. The hapax band (bucket 1)
+    sizes the OCR-garbage/typo tail; a fat high-frequency band flags
+    boilerplate the dedup pass should have collapsed.
+
+    Buckets are exact integer arithmetic (the q58 bin-length trick), so
+    both engines compute identical BIGINTs. Scale shape: wordcount is
+    one partial-aggregated exchange on the token key; the spectrum is a
+    ≤64-row second aggregate — the canonical two-round distributed
+    wordcount, nothing more."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    bucket_lo = F.expr("shiftleft(1, length(bin(cnt)) - 1)").cast("long")
+    return counts.groupBy(bucket_lo.alias("freq_bucket_lo")).agg(
+        F.count("*").cast("long").alias("n_token_types"),
+        F.sum("cnt").cast("long").alias("n_occurrences"),
+    )
+
+
+Q90_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok
+)
+SELECT CAST(1 << (length(bin(cnt)) - 1) AS BIGINT) AS freq_bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_token_types,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM counts GROUP BY 1
+"""
+
+
+def q91_shared_turn_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-turn detection over the event stream: payloads whose
+    exact content recurs across many distinct user streams — the
+    system-prompt/canned-response signal a transcript curation pass
+    strips before dedup (shared turns otherwise glue unrelated
+    conversations into one near-dup cluster). Reports each payload
+    shared by ≥5 users with its md5 fingerprint (the key a production
+    run would ship instead of the raw text), user/type/occurrence
+    counts.
+
+    Scale shape: ONE partial-aggregated exchange on the payload key —
+    distinct-user and occurrence counts collapse map-side; the ≥5
+    filter runs post-aggregate on the reduced relation. md5 is
+    JVM-codegen on the Spark side and value-identical in DuckDB."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "props")
+    return (
+        ev.groupBy("props")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .filter(F.col("n_users") >= 5)
+        .select(
+            F.md5(F.col("props")).alias("content_fp"),
+            "props",
+            "n_users",
+            "n_types",
+            "n_events",
+        )
+    )
+
+
+Q91_SQL = """
+SELECT md5(props) AS content_fp, props,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY props HAVING COUNT(DISTINCT user_id) >= 5
+"""
+
+
+def q92_daily_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily content-novelty curve: per day, how many distinct payloads
+    appeared at all, how many appeared for the FIRST time in the
+    stream's history, and the novelty fraction — the drift/staleness
+    monitor a continuously-ingesting pipeline plots (novelty collapsing
+    toward 0 means the crawl is resurfacing old content; a spike means
+    a new source came online).
+
+    Scale shape: one distinct on (day, payload) — partial-aggregated —
+    then a min-day per payload and two day-keyed rollups; the final
+    join runs on the days relation (observation-span-sized). The only
+    double is the final one-division novelty fraction."""
+    dp = (
+        _t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "props")
+        .distinct()
+    )
+    first = dp.groupBy("props").agg(F.min("day").alias("day"))
+    per_day = dp.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_distinct")
+    )
+    new = first.groupBy("day").agg(F.count("*").cast("long").alias("n_new"))
+    return (
+        per_day.join(new, "day", "left")
+        .select(
+            "day",
+            "n_distinct",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            (
+                F.coalesce(F.col("n_new"), F.lit(0)).cast("double")
+                / F.col("n_distinct").cast("double")
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+Q92_SQL = """
+WITH dp AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, props FROM events
+), first AS (
+  SELECT props, MIN(day) AS day FROM dp GROUP BY props
+), per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM dp GROUP BY day
+), new AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM first GROUP BY day
+)
+SELECT per_day.day, n_distinct,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+         AS novelty_frac
+FROM per_day LEFT JOIN new USING (day)
+"""
+
+
+def q93_inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram: microsecond gaps between consecutive
+    events within each user stream, log2-bucketed — the traffic-shape
+    diagnostic that separates scripted/bot cadence (one narrow band)
+    from organic sessions (a broad spectrum), and sizes the debounce
+    window q73 assumes.
+
+    Exact integer arithmetic end to end: epoch-microsecond lag
+    differences, bucket via the bin-length trick with a BIGINT one
+    (gaps exceed 2^31 us after ~36 minutes, so an int shift would
+    overflow), zero-gap pinned to bucket 0. Scale shape: one exchange
+    on user_id for the lag window, then a ≤64-row histogram."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; sessions run UTC so the cast is a
+    # no-op reinterpretation for unix_micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(gap_us)) - 1)")
+    )
+    return g.groupBy(bucket.alias("gap_bucket_lo")).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+    )
+
+
+Q93_SQL = """
+WITH g AS (
+  SELECT epoch_us(ts)
+           - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CASE WHEN gap_us = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(1::BIGINT << (length(bin(gap_us)) - 1) AS BIGINT)
+       END AS gap_bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -5478,6 +5711,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_dedup_bytes_saved": q86_dedup_bytes_saved,
     "q87_reassembly_roundtrip_audit": q87_reassembly_roundtrip_audit,
     "q88_token_budget_selection": q88_token_budget_selection,
+    "q89_cluster_source_span": q89_cluster_source_span,
+    "q90_token_frequency_spectrum": q90_token_frequency_spectrum,
+    "q91_shared_turn_content": q91_shared_turn_content,
+    "q92_daily_novelty": q92_daily_novelty,
+    "q93_inter_event_gap_histogram": q93_inter_event_gap_histogram,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5571,4 +5809,9 @@ ORACLE_SQL: dict[str, str] = {
     "q86_dedup_bytes_saved": Q86_SQL,
     "q87_reassembly_roundtrip_audit": Q87_SQL,
     "q88_token_budget_selection": Q88_SQL,
+    "q89_cluster_source_span": Q89_SQL,
+    "q90_token_frequency_spectrum": Q90_SQL,
+    "q91_shared_turn_content": Q91_SQL,
+    "q92_daily_novelty": Q92_SQL,
+    "q93_inter_event_gap_histogram": Q93_SQL,
 }

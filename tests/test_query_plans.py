@@ -396,3 +396,48 @@ def test_q80_benford_single_exchange(spark):
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     assert _n_exchanges(df) <= 2, plan
+
+
+def test_q90_spectrum_two_round_wordcount(spark):
+    """Token spectrum is the canonical two-round distributed wordcount:
+    token exchange then a <=64-row bucket exchange — no joins, no
+    Python, partial aggregation on both rounds."""
+    df = QUERIES["q90_token_frequency_spectrum"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q91_shared_content_payload_keyed(spark):
+    """Shared-turn detection: the two count-distincts plan as Expand +
+    payload-keyed partial aggregation — two exchanges total, never a
+    join, never Python."""
+    df = QUERIES["q91_shared_turn_content"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) <= 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q92_novelty_broadcast_day_join(spark):
+    """Daily novelty: the per-day rollup joins the first-seen rollup on
+    the observation-span-sized day key — that join must BROADCAST, and
+    nothing here is allowed to go quadratic or drop to Python."""
+    df = QUERIES["q92_daily_novelty"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q93_gap_histogram_one_stream_exchange(spark):
+    """Gap histogram: ONE exchange on user_id feeds the lag window; the
+    histogram aggregate adds one <=64-row exchange. Integer arithmetic
+    only — no joins, no Python."""
+    df = QUERIES["q93_inter_event_gap_histogram"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
