@@ -97,6 +97,11 @@ def main() -> None:
     savings = QUERIES["q86_dedup_bytes_saved"](spark, SF)
     audit = QUERIES["q87_reassembly_roundtrip_audit"](spark, SF)
     budget = QUERIES["q88_token_budget_selection"](spark, SF)
+    srcspan = QUERIES["q89_cluster_source_span"](spark, SF)
+    spectrum = QUERIES["q90_token_frequency_spectrum"](spark, SF)
+    sharedturn = QUERIES["q91_shared_turn_content"](spark, SF)
+    dailynov = QUERIES["q92_daily_novelty"](spark, SF)
+    gaphist = QUERIES["q93_inter_event_gap_histogram"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -364,6 +369,32 @@ def main() -> None:
             "Exchange on source, no global sort) + per-source rollup on "
             "the same partitioning",
             budget,
+        ),
+        (
+            "q89 source span: cluster map joined to 2-column pruned doc "
+            "metadata, per-cluster partial agg, ≤n_sources-row histogram",
+            srcspan,
+        ),
+        (
+            "q90 token spectrum: two-round distributed wordcount — token "
+            "exchange then a ≤64-row bucket exchange, no joins, no Python",
+            spectrum,
+        ),
+        (
+            "q91 shared turns: Expand + payload-keyed partial aggregation "
+            "(two count-distincts in one pass), post-agg ≥5-users filter",
+            sharedturn,
+        ),
+        (
+            "q92 daily novelty: distinct(day, payload) partial-agg, "
+            "min-day per payload, two day-keyed rollups stitched by a "
+            "BROADCAST join on the observation-span-sized day relation",
+            dailynov,
+        ),
+        (
+            "q93 gap histogram: ONE Exchange(user_id) for the lag window, "
+            "BIGINT bin-length bucketing in codegen, ≤64-row histogram",
+            gaphist,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
