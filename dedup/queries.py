@@ -5622,6 +5622,348 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY 1
 """
 
 
+def q94_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the traffic-
+    concentration number a crawl scheduler watches (G→0 means uniform
+    contributors, G→1 means a handful of power users dominate, which
+    skews both dedup key distributions and mixture weights downstream).
+
+    Exact rank formula G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) with x
+    ascending — the numerator and denominator are BIGINTs (tie order is
+    irrelevant: permuting equal x within a rank block leaves Σ i·x_i
+    unchanged), so the single final division is the only double.
+
+    Scale shape: the corpus is touched by ONE partial-aggregated
+    exchange (per-user counts); the rank window runs on the users
+    relation (≪ events). At extreme user cardinality the q75 closed-
+    form distributed rank substitutes for the single-partition window."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    w = Window.orderBy(F.asc("x"), F.asc("user_id"))
+    ranked = counts.select("x", F.row_number().over(w).alias("i"))
+    n = F.count("*")
+    sx = F.sum("x")
+    six = F.sum(F.col("i").cast("long") * F.col("x"))
+    return ranked.agg(
+        n.cast("long").alias("n_users"),
+        sx.cast("long").alias("n_events"),
+        (
+            (F.lit(2) * six - (n + F.lit(1)) * sx).cast("double")
+            / (n * sx).cast("double")
+        ).alias("gini"),
+    )
+
+
+Q94_SQL = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS n_events,
+       CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+FROM ranked
+"""
+
+
+def q95_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity (market-basket lift over user streams): for
+    each unordered type pair, how many users emit BOTH, and the lift
+    n_users·co / (cnt_a·cnt_b) — lift > 1 means the types travel
+    together (one funnel), < 1 means disjoint populations. The same
+    analysis flags transcript channels whose content co-occurs enough
+    to share a dedup partition.
+
+    Scale shape: the corpus is touched by ONE exchange — a per-user
+    collect_set with map-side partial aggregation (the set is ≤n_types,
+    a handful). The users-sized set relation is localCheckpointed and
+    reused three ways: JVM higher-order pair expansion (sorted array +
+    triangular slice, so a<b by construction — never a self-join),
+    exploded marginals, and the 1-row user count; marginals attach by
+    BROADCAST. Lift is one division of two exact BIGINT products."""
+    ev = _t(spark, sf_dir, "events")
+    sets = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .localCheckpoint()
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(types, (x, i) -> transform("
+                    "slice(types, i + 2, size(types) - i - 1), "
+                    "y -> struct(x AS type_a, y AS type_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    co = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_co")
+    )
+    marg = (
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    nu = sets.agg(F.count("*").cast("long").alias("n_users"))
+    return (
+        co.join(
+            F.broadcast(marg.withColumnRenamed("event_type", "type_a")), "type_a"
+        )
+        .withColumnRenamed("cnt", "cnt_a")
+        .join(
+            F.broadcast(marg.withColumnRenamed("event_type", "type_b")), "type_b"
+        )
+        .withColumnRenamed("cnt", "cnt_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_co",
+            (
+                (F.col("n_co") * F.col("n_users")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+Q95_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), marg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM ut GROUP BY event_type
+), nu AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+), co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_co,
+       CAST(n_co * nu.n_users AS DOUBLE)
+         / CAST(ma.cnt * mb.cnt AS DOUBLE) AS lift
+FROM co
+JOIN marg ma ON ma.event_type = co.type_a
+JOIN marg mb ON mb.event_type = co.type_b
+CROSS JOIN nu
+"""
+
+
+def q96_rep_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-election bias audit: over multi-member clusters,
+    does the min-id representative rule (q49's election) systematically
+    keep shorter or longer documents than the members it discards? A
+    curation run that keeps biased reps shifts the corpus length
+    distribution without anyone deciding to. Reports counts and mean
+    chars for kept reps vs discarded members — the two means are the
+    only doubles, computed from exact BIGINT sums at the very end.
+
+    Scale shape: cluster map joined to 2-column pruned doc metadata,
+    ONE per-cluster partial aggregate, then a 1-row rollup."""
+    clusters = q20_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "n_chars"
+    )
+    is_rep = F.col("conv_id") == F.col("cluster_id")
+    per = (
+        clusters.join(docs, "conv_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.max(F.when(is_rep, F.col("n_chars"))).alias("rep_chars"),
+            F.sum("n_chars").alias("all_chars"),
+        )
+        .filter(F.col("sz") >= 2)
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_multi_clusters"),
+        F.sum("rep_chars").cast("long").alias("rep_chars_total"),
+        F.sum(F.col("all_chars") - F.col("rep_chars"))
+        .cast("long")
+        .alias("dropped_chars_total"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_dropped"),
+        (
+            F.sum("rep_chars").cast("double") / F.count("*").cast("double")
+        ).alias("rep_mean_chars"),
+        (
+            F.sum(F.col("all_chars") - F.col("rep_chars")).cast("double")
+            / F.sum(F.col("sz") - 1).cast("double")
+        ).alias("dropped_mean_chars"),
+    )
+
+
+Q96_SQL = f"""
+WITH RECURSIVE {_DOCS_TRUTH_CTES},
+exact_e AS (
+  SELECT rep AS a, id AS b FROM grp WHERE id != rep
+), edges AS (
+  SELECT a AS u, b AS v FROM near UNION SELECT b, a FROM near
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+), walk(id, cid) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT e.v, w.cid FROM walk w JOIN edges e ON e.u = w.id
+), assign AS (
+  SELECT id, MIN(cid) AS cluster_id FROM walk GROUP BY id
+), per AS (
+  SELECT a.cluster_id, COUNT(*) AS sz,
+         MAX(CASE WHEN a.id = a.cluster_id THEN dd.n_chars END) AS rep_chars,
+         SUM(dd.n_chars) AS all_chars
+  FROM assign a JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = a.id
+  GROUP BY a.cluster_id
+  HAVING COUNT(*) >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
+       CAST(SUM(rep_chars) AS BIGINT) AS rep_chars_total,
+       CAST(SUM(all_chars - rep_chars) AS BIGINT) AS dropped_chars_total,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_dropped,
+       CAST(SUM(rep_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS rep_mean_chars,
+       CAST(SUM(all_chars - rep_chars) AS DOUBLE)
+         / CAST(SUM(sz - 1) AS DOUBLE) AS dropped_mean_chars
+FROM per
+"""
+
+
+def q97_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary Jaccard matrix: for every source pair,
+    the overlap of their distinct normalized-token vocabularies — the
+    cheap corpus-level cousin of the q52 13-gram contamination matrix
+    (high vocab overlap with low n-gram overlap = same domain, distinct
+    text; high both = the same crawl ingested twice).
+
+    Scale shape: the corpus is touched by ONE exchange — a per-token
+    collect_set(source) with map-side partial aggregation (distinct is
+    implicit in the set, so no separate distinct pass; the set is
+    ≤n_sources). The vocab-sized token→sources relation is
+    localCheckpointed and reused twice: JVM higher-order pair expansion
+    (sorted array + triangular slice, a<b by construction — never a
+    token self-join) and exploded per-source vocab marginals, which
+    attach by BROADCAST. Jaccard is one division of exact BIGINTs via
+    |A∪B| = |A|+|B|−|A∩B|."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    toksets = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+        .localCheckpoint()
+    )
+    marg = (
+        toksets.select(F.explode("sources").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    inter = (
+        toksets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(sources, (x, i) -> transform("
+                        "slice(sources, i + 2, size(sources) - i - 1), "
+                        "y -> struct(x AS source_a, y AS source_b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(marg.withColumnRenamed("source", "source_a")), "source_a"
+        )
+        .withColumnRenamed("vocab", "vocab_a")
+        .join(
+            F.broadcast(marg.withColumnRenamed("source", "source_b")), "source_b"
+        )
+        .withColumnRenamed("vocab", "vocab_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+                .cast("double")
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+Q97_SQL = f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents
+), marg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(ma.vocab + mb.vocab - n_common AS DOUBLE) AS vocab_jaccard
+FROM inter
+JOIN marg ma ON ma.source = inter.source_a
+JOIN marg mb ON mb.source = inter.source_b
+"""
+
+
+def q98_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap — the load-shape table a stream
+    capacity planner reads (and the bot-cadence complement to q93: a
+    heatmap with no diurnal structure is scripted traffic). Weekday and
+    hour come from pure integer arithmetic on epoch-microseconds
+    ((days+4) % 7 pins 0=Sunday off the 1970-01-01 Thursday epoch) —
+    no locale/calendar functions, so both engines agree by
+    construction. Value totals ride the DECIMAL(18,2) exact-sum
+    convention.
+
+    Scale shape: ONE partial-aggregated exchange on a ≤168-key space —
+    the heatmap never exceeds 7×24 rows."""
+    ev = _t(spark, sf_dir, "events")
+    # `div` is exact integer division — a double `/` + cast could land one
+    # off at an exact day/hour boundary (53-bit mantissa vs 1e15 micros)
+    dow = F.expr(
+        "((unix_micros(cast(ts as timestamp)) div 86400000000) + 4) % 7"
+    )
+    hour = F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24")
+    return (
+        ev.select(
+            dow.alias("weekday"), hour.alias("hour"), "user_id", "value"
+        )
+        .groupBy("weekday", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+Q98_SQL = """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -5716,6 +6058,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_shared_turn_content": q91_shared_turn_content,
     "q92_daily_novelty": q92_daily_novelty,
     "q93_inter_event_gap_histogram": q93_inter_event_gap_histogram,
+    "q94_user_activity_gini": q94_user_activity_gini,
+    "q95_event_type_affinity": q95_event_type_affinity,
+    "q96_rep_length_bias": q96_rep_length_bias,
+    "q97_source_vocab_overlap": q97_source_vocab_overlap,
+    "q98_weekday_hour_heatmap": q98_weekday_hour_heatmap,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5814,4 +6161,9 @@ ORACLE_SQL: dict[str, str] = {
     "q91_shared_turn_content": Q91_SQL,
     "q92_daily_novelty": Q92_SQL,
     "q93_inter_event_gap_histogram": Q93_SQL,
+    "q94_user_activity_gini": Q94_SQL,
+    "q95_event_type_affinity": Q95_SQL,
+    "q96_rep_length_bias": Q96_SQL,
+    "q97_source_vocab_overlap": Q97_SQL,
+    "q98_weekday_hour_heatmap": Q98_SQL,
 }

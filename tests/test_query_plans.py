@@ -441,3 +441,51 @@ def test_q93_gap_histogram_one_stream_exchange(spark):
     assert _n_exchanges(df) == 2, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q94_gini_one_corpus_exchange(spark):
+    """Gini: ONE partial-aggregated exchange on user_id; the rank window
+    and 1-row rollup run on the users relation. No joins, no Python."""
+    df = QUERIES["q94_user_activity_gini"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q95_affinity_no_self_join(spark):
+    """Type affinity: the corpus is consumed once into the checkpointed
+    per-user set relation; pair expansion is JVM higher-order (never a
+    user_id self-join), marginals/user-count attach by BROADCAST."""
+    df = QUERIES["q95_event_type_affinity"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # everything downstream reads the checkpointed RDD, not parquet
+    assert "Scan parquet" not in plan, plan
+    assert _n_exchanges(df) <= 4, plan
+
+
+def test_q97_vocab_overlap_no_token_self_join(spark):
+    """Vocab overlap: ONE corpus exchange builds the checkpointed
+    token→sources sets; pairs come from triangular array expansion, not
+    a token-keyed self-join; marginals BROADCAST."""
+    df = QUERIES["q97_source_vocab_overlap"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert _n_exchanges(df) <= 3, plan
+
+
+def test_q98_heatmap_single_exchange(spark):
+    """Weekday×hour heatmap: integer div/mod in codegen on the scan, ONE
+    partial-aggregated exchange over a ≤168-key space (the distinct-user
+    count plans an Expand, still one shuffle round + tiny final)."""
+    df = QUERIES["q98_weekday_hour_heatmap"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) <= 2, plan
