@@ -5964,6 +5964,247 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q99_bottleneck_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q21 shape re-expressed: for every multi-supplier order,
+    the unique supplier whose shipments finished LAST kept the whole
+    order waiting — count such bottleneck orders per supplier. (Classic
+    Q21 uses receipt/commit dates this schema doesn't carry; the
+    uniqueness-of-the-latest-supplier semantics — EXISTS another
+    supplier, NOT EXISTS another equally-late one — is preserved as
+    pure window logic.)
+
+    Scale shape: lineitem collapses to one (order, supplier) row per
+    pair at the first partial-aggregated exchange; both window passes
+    share ONE Exchange(l_orderkey) over that reduced relation; the
+    per-supplier rollup and the BROADCAST supplier-name join run on
+    supplier-sized data. No correlated subquery, no self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = ps.select(
+        "l_orderkey",
+        "l_suppkey",
+        "last_ship",
+        F.count("*").over(w).alias("n_suppliers"),
+        F.max("last_ship").over(w).alias("order_last"),
+    ).withColumn(
+        "n_at_last",
+        F.sum((F.col("last_ship") == F.col("order_last")).cast("int")).over(w),
+    )
+    bottleneck = marked.filter(
+        (F.col("n_suppliers") >= 2)
+        & (F.col("last_ship") == F.col("order_last"))
+        & (F.col("n_at_last") == 1)
+    )
+    return (
+        bottleneck.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_waiting_orders"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_waiting_orders")
+    )
+
+
+Q99_SQL = """
+WITH ps AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1, 2
+), staged AS (
+  SELECT l_orderkey, l_suppkey, last_ship,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_suppliers,
+         MAX(last_ship) OVER (PARTITION BY l_orderkey) AS order_last
+  FROM ps
+), marked AS (
+  SELECT l_suppkey, last_ship, n_suppliers, order_last,
+         SUM(CASE WHEN last_ship = order_last THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_at_last
+  FROM staged
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_waiting_orders
+FROM marked m JOIN supplier s ON s.s_suppkey = m.l_suppkey
+WHERE m.n_suppliers >= 2 AND m.last_ship = m.order_last AND m.n_at_last = 1
+GROUP BY 1, 2
+"""
+
+
+def q100_weekly_type_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume growth per event type — the trend table a
+    drift monitor alerts on. Weeks are epoch-anchored integer indexes
+    (microseconds div 604800e6 — no ISO-week/locale functions), growth
+    compares each week against the PREVIOUS OBSERVED week for that type
+    (lag over the weekly relation), and the growth ratio is the only
+    double — one division of exact BIGINT counts; the first observed
+    week reports NULL.
+
+    Scale shape: ONE partial-aggregated corpus exchange on the
+    (type, week) key; the lag window runs on the weeks-sized relation."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+    weekly = ev.groupBy("event_type", week.alias("week")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        prev.alias("prev_n"),
+        (
+            (F.col("n_events") - prev).cast("double") / prev.cast("double")
+        ).alias("wow_growth"),
+    )
+
+
+Q100_SQL = """
+WITH weekly AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n_events,
+       LAG(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+       CAST(n_events - LAG(n_events) OVER (PARTITION BY event_type
+                                           ORDER BY week) AS DOUBLE)
+         / CAST(LAG(n_events) OVER (PARTITION BY event_type ORDER BY week)
+                AS DOUBLE) AS wow_growth
+FROM weekly
+"""
+
+
+def q101_corpus_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the per-lang and per-source marginals in
+    ONE pass, WITHOUT the cross cells or grand total (the combination
+    neither ROLLUP q39 nor CUBE q54 can produce: a curator wants both
+    axis margins but the |lang|×|source| interior would dwarf them).
+
+    Scale shape: one Expand (×2 grouping sets) + ONE partial-aggregated
+    exchange — each partition collapses to ≤|lang|+|source| rows before
+    the shuffle. 'ALL' labelling via coalesce, the q39/q54 convention
+    (lang/source are never NULL in the data)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["lang"], ["source"]], "lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+Q101_SQL = """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source))
+"""
+
+
+def q102_user_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity via the Gini–Simpson index
+    1 − Σp² = (n² − Σc²)/n² — the entropy-free diversity measure (no
+    libm log, so it stays bit-deterministic: numerator and denominator
+    are exact BIGINTs, the single final division is the only double).
+    Bot streams score near 0 (one event type), organic users spread out.
+
+    Scale shape: one partial-aggregated exchange on (user, type), then
+    a second on user_id over the ≤n_types-rows-per-user relation."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    per = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    n2 = F.col("n_events") * F.col("n_events")
+    return per.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        ((n2 - F.col("ssq")).cast("double") / n2.cast("double")).alias(
+            "simpson"
+        ),
+    )
+
+
+Q102_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+), per AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       CAST(n_events * n_events - ssq AS DOUBLE)
+         / CAST(n_events * n_events AS DOUBLE) AS simpson
+FROM per
+"""
+
+
+def q103_day_volume_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume spike detection against the exact median day: a day
+    whose total value exceeds 2× the median day total is a spike — the
+    robust (median-based, outlier-immune) alert a stream monitor runs.
+    Day totals are exact BIGINT cents; the median uses the q46-proven
+    percentile/quantile_cont parity on integers (interpolation at .5 is
+    dyadic, so 2×median compares exactly); ratio is the final double.
+
+    Scale shape: ONE corpus exchange to day totals (≤span rows), a
+    1-row exact-percentile aggregate BROADCAST back — no global sort,
+    no second corpus pass."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+    med = daily.agg(
+        F.expr("percentile(total_cents, 0.5D)").alias("median_cents")
+    )
+    return daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_events",
+        "total_cents",
+        "median_cents",
+        (
+            F.col("total_cents").cast("double") / F.col("median_cents")
+        ).alias("vs_median"),
+        (
+            F.col("total_cents").cast("double")
+            > F.lit(2.0) * F.col("median_cents")
+        ).alias("is_spike"),
+    )
+
+
+Q103_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events GROUP BY 1
+), med AS (
+  SELECT quantile_cont(total_cents, 0.5) AS median_cents FROM daily
+)
+SELECT day, n_events, total_cents, median_cents,
+       CAST(total_cents AS DOUBLE) / median_cents AS vs_median,
+       CAST(total_cents AS DOUBLE) > 2.0 * median_cents AS is_spike
+FROM daily CROSS JOIN med
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -6063,6 +6304,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_rep_length_bias": q96_rep_length_bias,
     "q97_source_vocab_overlap": q97_source_vocab_overlap,
     "q98_weekday_hour_heatmap": q98_weekday_hour_heatmap,
+    "q99_bottleneck_suppliers": q99_bottleneck_suppliers,
+    "q100_weekly_type_growth": q100_weekly_type_growth,
+    "q101_corpus_marginals": q101_corpus_marginals,
+    "q102_user_simpson_diversity": q102_user_simpson_diversity,
+    "q103_day_volume_spikes": q103_day_volume_spikes,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6166,4 +6412,9 @@ ORACLE_SQL: dict[str, str] = {
     "q96_rep_length_bias": Q96_SQL,
     "q97_source_vocab_overlap": Q97_SQL,
     "q98_weekday_hour_heatmap": Q98_SQL,
+    "q99_bottleneck_suppliers": Q99_SQL,
+    "q100_weekly_type_growth": Q100_SQL,
+    "q101_corpus_marginals": Q101_SQL,
+    "q102_user_simpson_diversity": Q102_SQL,
+    "q103_day_volume_spikes": Q103_SQL,
 }

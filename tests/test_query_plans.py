@@ -489,3 +489,59 @@ def test_q98_heatmap_single_exchange(spark):
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     assert _n_exchanges(df) <= 2, plan
+
+
+def test_q99_bottleneck_reduced_windows(spark):
+    """Q21-shape bottleneck suppliers: lineitem collapses at the first
+    partial agg; both window passes and the rollup run on reduced
+    relations; the supplier-name join BROADCASTs. Never a sort-merge
+    join or correlated re-scan."""
+    df = QUERIES["q99_bottleneck_suppliers"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) <= 3, plan
+
+
+def test_q100_weekly_growth_one_corpus_exchange(spark):
+    """WoW growth: ONE corpus exchange to the (type, week) grain; the
+    lag window runs on the weeks-sized relation. No joins, no Python."""
+    df = QUERIES["q100_weekly_type_growth"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) == 2, plan
+
+
+def test_q101_grouping_sets_single_expand(spark):
+    """Explicit GROUPING SETS: one Expand (x2 sets) + ONE partial-
+    aggregated exchange — the two axis margins never pay two passes."""
+    df = QUERIES["q101_corpus_marginals"](spark, SF)
+    plan = _plan(df)
+    assert "Expand" in plan, plan
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q102_simpson_two_reducing_exchanges(spark):
+    """Simpson diversity: (user, type) partial agg then a user-keyed
+    second agg over the reduced relation — integer sufficient stats,
+    no Python, no joins."""
+    df = QUERIES["q102_user_simpson_diversity"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) == 2, plan
+
+
+def test_q103_spikes_broadcast_median(spark):
+    """Day-volume spikes: day totals at ONE corpus exchange; the 1-row
+    exact median attaches by broadcast (nested-loop over one row is the
+    cheap kind) — never a second corpus pass or a global sort."""
+    df = QUERIES["q103_day_volume_spikes"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
