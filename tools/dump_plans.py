@@ -102,6 +102,15 @@ def main() -> None:
     sharedturn = QUERIES["q91_shared_turn_content"](spark, SF)
     dailynov = QUERIES["q92_daily_novelty"](spark, SF)
     gaphist = QUERIES["q93_inter_event_gap_histogram"](spark, SF)
+    gini = QUERIES["q94_user_activity_gini"](spark, SF)
+    affinity = QUERIES["q95_event_type_affinity"](spark, SF)
+    vocabjac = QUERIES["q97_source_vocab_overlap"](spark, SF)
+    heatmap = QUERIES["q98_weekday_hour_heatmap"](spark, SF)
+    bottleneck = QUERIES["q99_bottleneck_suppliers"](spark, SF)
+    wow = QUERIES["q100_weekly_type_growth"](spark, SF)
+    marginals = QUERIES["q101_corpus_marginals"](spark, SF)
+    simpson = QUERIES["q102_user_simpson_diversity"](spark, SF)
+    spikes = QUERIES["q103_day_volume_spikes"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -395,6 +404,53 @@ def main() -> None:
             "q93 gap histogram: ONE Exchange(user_id) for the lag window, "
             "BIGINT bin-length bucketing in codegen, ≤64-row histogram",
             gaphist,
+        ),
+        (
+            "q94 Gini: ONE partial-agg Exchange(user_id); rank window + "
+            "1-row rollup on the users relation; one final division",
+            gini,
+        ),
+        (
+            "q95 type affinity: corpus consumed once into checkpointed "
+            "per-user sets; JVM triangular pair expansion (no self-join); "
+            "marginals/user-count BROADCAST",
+            affinity,
+        ),
+        (
+            "q97 vocab overlap: ONE corpus exchange → checkpointed "
+            "token→sources sets; triangular expansion, BROADCAST marginals",
+            vocabjac,
+        ),
+        (
+            "q98 weekday×hour heatmap: integer div/mod in codegen, ONE "
+            "partial-agg exchange over ≤168 keys",
+            heatmap,
+        ),
+        (
+            "q99 bottleneck suppliers: lineitem → (order, supplier) "
+            "partial agg, shared Exchange(l_orderkey) window passes, "
+            "BROADCAST name join",
+            bottleneck,
+        ),
+        (
+            "q100 WoW growth: ONE corpus exchange to (type, week); lag "
+            "window on the weeks relation",
+            wow,
+        ),
+        (
+            "q101 grouping sets: one Expand (×2) + ONE partial-agg "
+            "exchange for both axis margins",
+            marginals,
+        ),
+        (
+            "q102 Simpson diversity: (user, type) partial agg → user agg "
+            "over the reduced relation; integer sufficient stats",
+            simpson,
+        ),
+        (
+            "q103 day spikes: day totals at ONE corpus exchange; 1-row "
+            "exact median broadcast back",
+            spikes,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
