@@ -6205,6 +6205,229 @@ FROM daily CROSS JOIN med
 """
 
 
+def q104_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static interval join (the batch twin of the q57 stream-stream
+    interval join): every (view, purchase) pair by the same user where
+    the purchase lands within one hour AFTER the view — the attribution
+    pair relation a marketing/causality pass consumes. Gap is exact
+    epoch-microsecond arithmetic.
+
+    Scale shape: an EQUI-join on user_id (co-partitioned exchange both
+    sides) carrying the range predicate as a post-join filter — never a
+    cartesian; per-user event counts bound the pair fan-out. At extreme
+    per-user skew the q53-style trailing RANGE window computes counts
+    without materializing pairs; this query IS the pair relation."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), us.alias("view_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("purchase_us"),
+    )
+    return (
+        views.join(purchases, "user_id")
+        .filter(
+            (F.col("purchase_us") > F.col("view_us"))
+            & (F.col("purchase_us") - F.col("view_us") <= 3600000000)
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.col("purchase_us") - F.col("view_us")).alias("gap_us"),
+        )
+    )
+
+
+Q104_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) > epoch_us(v.ts)
+ AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+"""
+
+
+def q105_strict_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS through the spark.sql SURFACE: repeat
+    customers none of whose orders fall below 100k — the query is
+    deliberately written as SQL with a correlated subquery so the
+    oracle row certifies Catalyst's subquery DECORRELATION (the rewrite
+    to a left-anti self-join) end to end, not just the DataFrame API.
+
+    Scale shape: the anti side prunes to (custkey) rows below the
+    threshold at the scan (predicate pushdown), the anti join runs on
+    the customer key, and the rollup reuses that partitioning. Money
+    mins ride the DECIMAL(18,2) exact convention."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q105_orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS min_totalprice
+        FROM q105_orders o
+        WHERE NOT EXISTS (SELECT 1 FROM q105_orders i
+                          WHERE i.o_custkey = o.o_custkey
+                            AND i.o_totalprice < 100000)
+        GROUP BY o.o_custkey
+        HAVING COUNT(*) >= 2
+        """
+    )
+
+
+Q105_SQL = """
+SELECT o.o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS min_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM orders i
+                  WHERE i.o_custkey = o.o_custkey
+                    AND i.o_totalprice < 100000)
+GROUP BY o.o_custkey
+HAVING COUNT(*) >= 2
+"""
+
+
+def q106_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length percentile within its source — percent_rank
+    and cume_dist, the two rank-normalizing window functions a
+    length-balanced sampler keys on. The ORDER BY carries doc_id so
+    ranks are tie-free: both functions reduce to divisions of the SAME
+    integers in both engines ((rank−1)/(n−1), i/n), bit-identical.
+
+    Scale shape: ONE exchange on source + a per-partition sort; no
+    global sort, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(w).alias("length_pctile"),
+        F.cume_dist().over(w).alias("length_cume"),
+    )
+
+
+Q106_SQL = """
+SELECT doc_id, source, n_chars,
+       PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+         AS length_pctile,
+       CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+         AS length_cume
+FROM documents
+"""
+
+
+def q107_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for every user who ever purchased, which
+    event type opened their stream — the channel-credit table (and on
+    transcripts, the which-entry-point-produces-converting-conversations
+    lens). Share is the one final division over exact counts.
+
+    Scale shape: ONE exchange on user_id (the row_number window); the
+    purchaser semi-join is user-keyed on the reduced first-event
+    relation; the rollup output is ≤n_types rows, share via a window
+    over that tiny relation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    counts = (
+        firsts.join(purchasers, "user_id", "semi")
+        .groupBy(F.col("event_type").alias("first_type"))
+        .agg(F.count("*").cast("long").alias("n_purchasers"))
+    )
+    return counts.select(
+        "first_type",
+        "n_purchasers",
+        (
+            F.col("n_purchasers").cast("double")
+            / F.sum("n_purchasers").over(Window.partitionBy()).cast("double")
+        ).alias("share"),
+    )
+
+
+Q107_SQL = """
+WITH firsts AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), counts AS (
+  SELECT f.event_type AS first_type, CAST(COUNT(*) AS BIGINT) AS n_purchasers
+  FROM firsts f
+  WHERE f.rn = 1
+    AND EXISTS (SELECT 1 FROM events p
+                WHERE p.user_id = f.user_id AND p.event_type = 'purchase')
+  GROUP BY 1
+)
+SELECT first_type, n_purchasers,
+       CAST(n_purchasers AS DOUBLE)
+         / CAST(SUM(n_purchasers) OVER () AS DOUBLE) AS share
+FROM counts
+"""
+
+
+def q108_quantity_bucket_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing profile by quantity decade: line items bucketed by
+    quantity (1-10, 11-20, …), with exact DECIMAL revenue (the q01
+    discount convention) and mean discount — the volume-discount
+    effectiveness table. Buckets are integer floor arithmetic; the mean
+    is one final division of an exact decimal sum.
+
+    Scale shape: ONE partial-aggregated exchange over ≤5 bucket keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (F.col("l_quantity").cast("long") - 1) - (
+        (F.col("l_quantity").cast("long") - 1) % 10
+    )
+    return (
+        li.groupBy((bucket + 1).alias("qty_lo"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).cast("double").alias("revenue"),
+            (
+                F.sum(F.col("l_discount").cast(DEC)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_discount"),
+        )
+    )
+
+
+Q108_SQL = """
+SELECT (CAST(l_quantity AS BIGINT) - 1)
+         - ((CAST(l_quantity AS BIGINT) - 1) % 10) + 1 AS qty_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_discount
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -6309,6 +6532,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_corpus_marginals": q101_corpus_marginals,
     "q102_user_simpson_diversity": q102_user_simpson_diversity,
     "q103_day_volume_spikes": q103_day_volume_spikes,
+    "q104_view_purchase_pairs": q104_view_purchase_pairs,
+    "q105_strict_big_spenders": q105_strict_big_spenders,
+    "q106_doc_length_percentiles": q106_doc_length_percentiles,
+    "q107_first_touch_attribution": q107_first_touch_attribution,
+    "q108_quantity_bucket_pricing": q108_quantity_bucket_pricing,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6417,4 +6645,9 @@ ORACLE_SQL: dict[str, str] = {
     "q101_corpus_marginals": Q101_SQL,
     "q102_user_simpson_diversity": Q102_SQL,
     "q103_day_volume_spikes": Q103_SQL,
+    "q104_view_purchase_pairs": Q104_SQL,
+    "q105_strict_big_spenders": Q105_SQL,
+    "q106_doc_length_percentiles": Q106_SQL,
+    "q107_first_touch_attribution": Q107_SQL,
+    "q108_quantity_bucket_pricing": Q108_SQL,
 }

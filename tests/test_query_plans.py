@@ -545,3 +545,55 @@ def test_q103_spikes_broadcast_median(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q104_interval_join_never_cartesian(spark):
+    """Static interval join: an EQUI-join on user_id carrying the range
+    predicate as a filter — never a cartesian/nested-loop expansion."""
+    df = QUERIES["q104_view_purchase_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q105_not_exists_decorrelates_to_anti(spark):
+    """spark.sql correlated NOT EXISTS must decorrelate to an anti join
+    with the threshold predicate PUSHED to the inner scan — never a
+    per-row subquery or cartesian."""
+    df = QUERIES["q105_strict_big_spenders"](spark, SF)
+    plan = _plan(df)
+    assert "Anti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "PushedFilters: [IsNotNull(o_totalprice)" in plan or \
+        "LessThan(o_totalprice" in plan, plan
+
+
+def test_q106_percentiles_one_exchange(spark):
+    """Length percentiles: ONE exchange on source + per-partition sort;
+    no global sort, no joins, no Python."""
+    df = QUERIES["q106_doc_length_percentiles"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q107_first_touch_semi_join(spark):
+    """First-touch attribution: the purchaser filter must plan as a SEMI
+    join on the reduced first-event relation — no cartesian, no Python."""
+    df = QUERIES["q107_first_touch_attribution"](spark, SF)
+    plan = _plan(df)
+    assert "Semi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q108_bucket_pricing_single_exchange(spark):
+    """Quantity-bucket pricing: bucket arithmetic in codegen on the scan,
+    ONE partial-aggregated exchange over ≤5 keys."""
+    df = QUERIES["q108_quantity_bucket_pricing"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
