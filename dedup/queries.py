@@ -6428,6 +6428,222 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q109_top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 spenders per nation with DENSE_RANK tie semantics — equal
+    spend totals share a rank and ALL tied customers survive the cut
+    (row_number would drop arbitrary ties; rank would burn rank slots).
+    Spend totals are exact BIGINT cents, so ties are exact and both
+    engines rank identically.
+
+    Scale shape: one partial-aggregated exchange to per-customer cents,
+    nation names attach by BROADCAST, and the rank window partitions on
+    nation over the customers-sized relation — no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("long").alias("spend_cents")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend_cents"))
+    return (
+        spend.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("o_custkey").alias("custkey"),
+            "spend_cents",
+            F.dense_rank().over(w).alias("spend_rank"),
+        )
+        .filter(F.col("spend_rank") <= 3)
+    )
+
+
+Q109_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT n.n_name, s.o_custkey AS custkey, s.spend_cents,
+         DENSE_RANK() OVER (PARTITION BY n.n_name
+                            ORDER BY s.spend_cents DESC) AS spend_rank
+  FROM spend s
+  JOIN customer c ON c.c_custkey = s.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT n_name, custkey, spend_cents, spend_rank
+FROM ranked WHERE spend_rank <= 3
+"""
+
+
+def q110_behavior_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset behavior churn via EXCEPT ALL: (user, type) occurrences
+    in the first half of the month NOT covered one-for-one by the
+    second half — true bag semantics (a user who clicked 5× then 2×
+    churns 3 clicks; plain EXCEPT, q55's operator, would report zero).
+    The lost bag is then re-aggregated per (user, type).
+
+    Scale shape: exceptAll compiles to a count-compare aggregation on
+    the (user, type) key — one exchange per side sharing the key, never
+    a row-by-row pairing; the final rollup reuses the key."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.col("ts") < F.lit("2024-01-16")
+    b1 = ev.filter(split).select("user_id", "event_type")
+    b2 = ev.filter(~split).select("user_id", "event_type")
+    return (
+        b1.exceptAll(b2)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("n_lost"))
+    )
+
+
+Q110_SQL = """
+WITH lost AS (
+  SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-16'
+  EXCEPT ALL
+  SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+)
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_lost
+FROM lost GROUP BY 1, 2
+"""
+
+
+def q111_source_stats_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): per-source corpus stats computed as
+    three wide columns, then melted to (source, metric, value) — the
+    long form a metrics store or plotting layer ingests. Exercises the
+    unpivot operator end to end with exact BIGINT values.
+
+    Scale shape: one partial-aggregated exchange to the sources-sized
+    wide relation; melt is a zero-shuffle Expand (×3) over it."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return wide.melt(
+        ids=["source"],
+        values=["n_docs", "total_chars", "n_langs"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+Q111_SQL = """
+WITH wide AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY source
+)
+SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+UNION ALL
+SELECT source, 'total_chars', total_chars FROM wide
+UNION ALL
+SELECT source, 'n_langs', n_langs FROM wide
+"""
+
+
+def q112_hourly_purchase_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly purchase series: a calendar spine generated
+    with sequence() over the observed [min, max] hour range,
+    left-joined to hourly counts, zeros filled — the dense time series
+    every forecasting/alerting consumer requires (a missing hour and a
+    zero hour are different facts; this query materializes the
+    difference via the `was_empty` flag).
+
+    Scale shape: ONE corpus exchange to hourly counts; the spine
+    explodes from a 1-row min/max aggregate and joins the counts
+    relation (span-sized) — at 100 TB the spine is still just
+    hours-in-range rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hour = F.date_trunc("hour", "ts")
+    hourly = ev.groupBy(hour.alias("hour")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    spine = (
+        ev.agg(
+            F.min(hour).alias("lo"),
+            F.max(hour).alias("hi"),
+        )
+        .select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+                "hour"
+            )
+        )
+    )
+    return spine.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_purchases"),
+        F.col("n").isNull().alias("was_empty"),
+    )
+
+
+Q112_SQL = """
+WITH p AS (
+  SELECT date_trunc('hour', ts) AS hour FROM events
+  WHERE event_type = 'purchase'
+), hourly AS (
+  SELECT hour, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY hour
+), spine AS (
+  SELECT unnest(generate_series((SELECT MIN(hour) FROM p),
+                                (SELECT MAX(hour) FROM p),
+                                INTERVAL 1 HOUR)) AS hour
+)
+SELECT s.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_purchases,
+       h.n IS NULL AS was_empty
+FROM spine s LEFT JOIN hourly h USING (hour)
+"""
+
+
+def q113_dominant_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dominant event type via MAX_BY with an explicit
+    composite tie-break — the ordering key is lpad(count)|type, a
+    single sortable string, so equal counts resolve to the
+    lexicographically larger type IDENTICALLY in both engines (bare
+    max_by/arg_max tie behavior is engine-arbitrary; the encoded key
+    removes the freedom). Dominance share is the one final division.
+
+    Scale shape: (user, type) partial agg, then ONE user-keyed
+    aggregate carrying max_by + sums over the ≤n_types-rows-per-user
+    relation."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    per = c.groupBy("user_id").agg(
+        F.expr(
+            "max_by(event_type, concat(lpad(cast(c as string), 12, '0'),"
+            " '|', event_type))"
+        ).alias("dominant_type"),
+        F.max("c").cast("long").alias("n_dominant"),
+        F.sum("c").cast("long").alias("n_events"),
+    )
+    return per.select(
+        "user_id",
+        "dominant_type",
+        "n_dominant",
+        "n_events",
+        (
+            F.col("n_dominant").cast("double") / F.col("n_events").cast("double")
+        ).alias("dominance"),
+    )
+
+
+Q113_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       arg_max(event_type, concat(lpad(CAST(c AS VARCHAR), 12, '0'), '|',
+                                  event_type)) AS dominant_type,
+       CAST(MAX(c) AS BIGINT) AS n_dominant,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dominance
+FROM c GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -6537,6 +6753,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_doc_length_percentiles": q106_doc_length_percentiles,
     "q107_first_touch_attribution": q107_first_touch_attribution,
     "q108_quantity_bucket_pricing": q108_quantity_bucket_pricing,
+    "q109_top_spenders_per_nation": q109_top_spenders_per_nation,
+    "q110_behavior_churn": q110_behavior_churn,
+    "q111_source_stats_long": q111_source_stats_long,
+    "q112_hourly_purchase_gapfill": q112_hourly_purchase_gapfill,
+    "q113_dominant_user_type": q113_dominant_user_type,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6650,4 +6871,9 @@ ORACLE_SQL: dict[str, str] = {
     "q106_doc_length_percentiles": Q106_SQL,
     "q107_first_touch_attribution": Q107_SQL,
     "q108_quantity_bucket_pricing": Q108_SQL,
+    "q109_top_spenders_per_nation": Q109_SQL,
+    "q110_behavior_churn": Q110_SQL,
+    "q111_source_stats_long": Q111_SQL,
+    "q112_hourly_purchase_gapfill": Q112_SQL,
+    "q113_dominant_user_type": Q113_SQL,
 }

@@ -597,3 +597,57 @@ def test_q108_bucket_pricing_single_exchange(spark):
     assert _n_exchanges(df) == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q109_dense_rank_broadcast_dims(spark):
+    """Top spenders: per-customer cents at one partial agg; customer and
+    nation dims attach by BROADCAST; the rank window partitions on
+    nation — no sort-merge join, no global sort."""
+    df = QUERIES["q109_top_spenders_per_nation"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) <= 2, plan
+
+
+def test_q110_except_all_single_exchange(spark):
+    """EXCEPT ALL compiles to a count-compare aggregation sharing ONE
+    exchange on the (user, type) key — never a row-pairing join."""
+    df = QUERIES["q110_behavior_churn"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q111_melt_zero_extra_shuffle(spark):
+    """Unpivot: the melt is an Expand over the sources-sized wide
+    relation — it must not add a corpus-scale shuffle beyond the two
+    aggregation exchanges (count-distinct plans an Expand + 2 rounds)."""
+    df = QUERIES["q111_source_stats_long"](spark, SF)
+    plan = _plan(df)
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    assert _n_exchanges(df) <= 2, plan
+
+
+def test_q112_gapfill_broadcast_spine(spark):
+    """Gap fill: the sequence() spine explodes from a 1-row aggregate
+    and joins hourly counts by BROADCAST — never a sort-merge join or
+    second corpus pass."""
+    df = QUERIES["q112_hourly_purchase_gapfill"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q113_max_by_two_reducing_exchanges(spark):
+    """Dominant type: (user, type) partial agg then ONE user-keyed
+    max_by/sum aggregate — no joins, no Python, no window."""
+    df = QUERIES["q113_dominant_user_type"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) == 2, plan
