@@ -111,6 +111,13 @@ def main() -> None:
     marginals = QUERIES["q101_corpus_marginals"](spark, SF)
     simpson = QUERIES["q102_user_simpson_diversity"](spark, SF)
     spikes = QUERIES["q103_day_volume_spikes"](spark, SF)
+    attribution = QUERIES["q104_view_purchase_pairs"](spark, SF)
+    notexists = QUERIES["q105_strict_big_spenders"](spark, SF)
+    firsttouch = QUERIES["q107_first_touch_attribution"](spark, SF)
+    churn = QUERIES["q110_behavior_churn"](spark, SF)
+    meltstats = QUERIES["q111_source_stats_long"](spark, SF)
+    gapfill = QUERIES["q112_hourly_purchase_gapfill"](spark, SF)
+    dominant = QUERIES["q113_dominant_user_type"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -451,6 +458,41 @@ def main() -> None:
             "q103 day spikes: day totals at ONE corpus exchange; 1-row "
             "exact median broadcast back",
             spikes,
+        ),
+        (
+            "q104 interval attribution: EQUI-join on user_id carrying the "
+            "range predicate as a filter — never cartesian",
+            attribution,
+        ),
+        (
+            "q105 spark.sql NOT EXISTS: Catalyst decorrelates to an anti "
+            "join; threshold predicate PUSHED to the inner scan",
+            notexists,
+        ),
+        (
+            "q107 first touch: ONE Exchange(user_id) window; purchaser "
+            "SEMI join on the reduced first-event relation",
+            firsttouch,
+        ),
+        (
+            "q110 EXCEPT ALL churn: count-compare aggregation on ONE "
+            "(user, type) exchange — bag semantics without a join",
+            churn,
+        ),
+        (
+            "q111 melt: Expand over the sources-sized wide relation — "
+            "unpivot adds zero corpus shuffles",
+            meltstats,
+        ),
+        (
+            "q112 gap fill: sequence() spine off a 1-row aggregate, "
+            "BROADCAST join to hourly counts",
+            gapfill,
+        ),
+        (
+            "q113 max_by dominant type: two reducing exchanges, composite "
+            "string tie-break evaluated in codegen",
+            dominant,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
