@@ -6644,6 +6644,225 @@ FROM c GROUP BY user_id
 """
 
 
+def q114_active_days_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity as a BIT-OR aggregated day bitmask — the
+    compressed presence encoding a retention system stores (one BIGINT
+    replaces up to 64 day rows), with the active-day count recovered by
+    bit_count. Exercises the bitwise aggregate + popcount pair end to
+    end; every value is an exact integer.
+
+    Scale shape: ONE partial-aggregated exchange on user_id — bit_or
+    combines map-side like any semigroup; day indexes are integer
+    floor-div off epoch-microseconds (the q82 grid)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    epoch0 = ev.agg(F.min(day).alias("d0"))
+    masked = ev.crossJoin(F.broadcast(epoch0)).select(
+        "user_id",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " CAST(unix_micros(cast(ts as timestamp)) div 86400000000 - d0"
+            " AS INT))"
+        ).alias("bit"),
+    )
+    return masked.groupBy("user_id").agg(
+        F.expr("bit_or(bit)").cast("long").alias("day_mask"),
+        F.expr("bit_count(bit_or(bit))").cast("long").alias("n_active_days"),
+    )
+
+
+Q114_SQL = """
+WITH d0 AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events
+), bits AS (
+  SELECT user_id,
+         1::BIGINT << CAST(epoch_us(ts) // 86400000000 - d0.d0 AS INT) AS bit
+  FROM events CROSS JOIN d0
+)
+SELECT user_id, CAST(bit_or(bit) AS BIGINT) AS day_mask,
+       CAST(bit_count(bit_or(bit)) AS BIGINT) AS n_active_days
+FROM bits GROUP BY user_id
+"""
+
+
+def q115_sentence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence profile via explode_outer: documents are
+    split on '.' into non-empty trimmed sentences, and a document with
+    ZERO sentences still yields its row (n_sentences = 0) — the outer
+    explode semantics a naive explode silently drops, which would make
+    corpus stats over-count quality. Counts and char sums are exact
+    BIGINTs; the mean is the final division (NULL for zero-sentence
+    docs, by IEEE/SQL convention in both engines).
+
+    Scale shape: the split/filter runs in codegen on the scan;
+    explode_outer + ONE partial-aggregated exchange on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    sentences = F.expr(
+        "filter(transform(split(text, '\\\\.'), s -> trim(s)),"
+        " s -> length(s) > 0)"
+    )
+    ex = docs.select(
+        "doc_id", F.explode_outer(sentences).alias("sentence")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count("sentence").cast("long").alias("n_sentences"),
+        F.coalesce(F.sum(F.length("sentence")), F.lit(0))
+        .cast("long")
+        .alias("sentence_chars"),
+        (
+            F.sum(F.length("sentence")).cast("double")
+            / F.count("sentence").cast("double")
+        ).alias("mean_sentence_len"),
+    )
+
+
+Q115_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(string_split(text, '.'),
+                                           s -> trim(s)),
+                            s -> length(s) > 0)) AS sentence
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(e.sentence) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(SUM(length(e.sentence)), 0) AS BIGINT)
+         AS sentence_chars,
+       CAST(SUM(length(e.sentence)) AS DOUBLE)
+         / CAST(COUNT(e.sentence) AS DOUBLE) AS mean_sentence_len
+FROM documents d LEFT JOIN ex e USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+def q116_token_class_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-class census via anchored regexp: each
+    normalized token classified as numeric / alphabetic / mixed-other,
+    with class shares — the OCR-garbage and boilerplate-table signal
+    (a source whose token stream is 30% numeric is tables, not prose).
+    Counts are exact; shares are final divisions.
+
+    Scale shape: classification is rlike in codegen on the exploded
+    scan; ONE partial-aggregated exchange on the source key."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    t = docs.select(
+        "source",
+        F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("tok"),
+    )
+    is_num = F.col("tok").rlike("^[0-9]+$")
+    is_alpha = F.col("tok").rlike("^[a-z]+$")
+    agg = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(is_num.cast("long")).cast("long").alias("n_numeric"),
+        F.sum(is_alpha.cast("long")).cast("long").alias("n_alpha"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_numeric",
+        "n_alpha",
+        (F.col("n_numeric").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("numeric_share"),
+        (F.col("n_alpha").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("alpha_share"),
+    )
+
+
+Q116_SQL = f"""
+WITH t AS (
+  SELECT source, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN regexp_matches(tok, '^[0-9]+$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+         CAST(SUM(CASE WHEN regexp_matches(tok, '^[a-z]+$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+  FROM t GROUP BY source
+)
+SELECT source, n_tokens, n_numeric, n_alpha,
+       CAST(n_numeric AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS numeric_share,
+       CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS alpha_share
+FROM agg
+"""
+
+
+def q117_typed_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing via from_json with an explicit schema (q08
+    uses the untyped get_json_object path; this is the schema'd parser
+    a production pipeline prefers — malformed payloads become NULL, not
+    exceptions) — profiled as (event_type, k mod 7) residue counts, all
+    exact integers.
+
+    Scale shape: parse + residue in codegen on the scan; ONE
+    partial-aggregated exchange over ≤|types|×7 keys."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k LONG").getField("k")
+    return (
+        ev.select("event_type", (k % 7).alias("k_mod7"))
+        .filter(F.col("k_mod7").isNotNull())
+        .groupBy("event_type", "k_mod7")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+Q117_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q118_longest_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands pattern (island key = day − row_number over
+    ordered distinct days; consecutive days share the key), pure
+    integer arithmetic end to end.
+
+    Scale shape: distinct (user, day) collapses map-side at the corpus
+    exchange; the row_number window takes one more exchange on user_id
+    — but over the users×days REDUCED relation, and the island rollup
+    and per-user max then reuse that partitioning (subset-key
+    clustering). The corpus is never re-scanned."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak").cast("long").alias("n_active_days"),
+        F.max("streak").cast("long").alias("longest_streak"),
+    )
+
+
+Q118_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), islands AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM ud
+), streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_active_days,
+       CAST(MAX(streak) AS BIGINT) AS longest_streak
+FROM streaks GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -6758,6 +6977,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_source_stats_long": q111_source_stats_long,
     "q112_hourly_purchase_gapfill": q112_hourly_purchase_gapfill,
     "q113_dominant_user_type": q113_dominant_user_type,
+    "q114_active_days_bitmap": q114_active_days_bitmap,
+    "q115_sentence_profile": q115_sentence_profile,
+    "q116_token_class_shares": q116_token_class_shares,
+    "q117_typed_props_profile": q117_typed_props_profile,
+    "q118_longest_active_streak": q118_longest_active_streak,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6876,4 +7100,9 @@ ORACLE_SQL: dict[str, str] = {
     "q111_source_stats_long": Q111_SQL,
     "q112_hourly_purchase_gapfill": Q112_SQL,
     "q113_dominant_user_type": Q113_SQL,
+    "q114_active_days_bitmap": Q114_SQL,
+    "q115_sentence_profile": Q115_SQL,
+    "q116_token_class_shares": Q116_SQL,
+    "q117_typed_props_profile": Q117_SQL,
+    "q118_longest_active_streak": Q118_SQL,
 }

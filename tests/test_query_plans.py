@@ -651,3 +651,54 @@ def test_q113_max_by_two_reducing_exchanges(spark):
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     assert _n_exchanges(df) == 2, plan
+
+
+def test_q114_bitmap_partial_agg(spark):
+    """Day bitmap: bit_or combines map-side at ONE user-keyed corpus
+    exchange; the 1-row epoch anchor attaches by broadcast."""
+    df = QUERIES["q114_active_days_bitmap"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(df) <= 2, plan
+
+
+def test_q115_explode_outer_one_exchange(spark):
+    """Sentence profile: split/filter in codegen, explode_outer
+    (Generate) on the scan, ONE doc-keyed partial-agg exchange."""
+    df = QUERIES["q115_sentence_profile"](spark, SF)
+    plan = _plan(df)
+    assert "Generate" in plan, plan
+    assert _n_exchanges(df) == 1, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q116_token_classes_one_exchange(spark):
+    """Token classes: rlike classification rides the exploded scan; ONE
+    source-keyed partial-agg exchange, no joins."""
+    df = QUERIES["q116_token_class_shares"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q117_from_json_one_exchange(spark):
+    """Typed JSON profile: from_json + residue in codegen, ONE
+    partial-agg exchange over the tiny key space."""
+    df = QUERIES["q117_typed_props_profile"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q118_islands_reduced_second_exchange(spark):
+    """Gaps-and-islands: corpus collapses at the (user, day) distinct;
+    the window pays one more exchange over the REDUCED relation and the
+    rollups reuse it — exactly two exchanges, no joins."""
+    df = QUERIES["q118_longest_active_streak"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
