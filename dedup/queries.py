@@ -6863,6 +6863,223 @@ FROM streaks GROUP BY user_id
 """
 
 
+def q119_day_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of daily value concentration — the q94 Gini's
+    exposition: days ranked by total (desc), each row reporting the
+    cumulative share of corpus value captured by the top-k days. Every
+    share is an independent division of exact BIGINT cents (cumulative
+    sums are integer windows; no running double accumulation), so the
+    curve is bit-deterministic.
+
+    Scale shape: ONE corpus exchange to day totals; rank/cumsum windows
+    and the 1-row grand total all run on the span-sized day relation."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents).cast("long").alias("day_cents")
+    )
+    w = Window.orderBy(F.desc("day_cents"), F.asc("day"))
+    cum = Window.orderBy(F.desc("day_cents"), F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return daily.select(
+        F.row_number().over(w).alias("day_rank"),
+        "day",
+        "day_cents",
+        F.sum("day_cents").over(cum).cast("long").alias("cum_cents"),
+        (
+            F.sum("day_cents").over(cum).cast("double")
+            / F.sum("day_cents").over(tot).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+Q119_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY 1
+)
+SELECT ROW_NUMBER() OVER (ORDER BY day_cents DESC, day) AS day_rank,
+       day, day_cents,
+       CAST(SUM(day_cents) OVER (ORDER BY day_cents DESC, day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_cents,
+       CAST(SUM(day_cents) OVER (ORDER BY day_cents DESC, day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(day_cents) OVER () AS DOUBLE) AS cum_share
+FROM daily
+"""
+
+
+def q120_behavior_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral archetypes: each user's FULL ordered event-type
+    signature (the q83 prefix idea extended to the whole stream, i.e.
+    DuckDB's ordered string_agg re-expressed as the engine's
+    sort-structs-inside-one-aggregation operator), md5-fingerprinted —
+    scripted account farms collapse to one shared fingerprint. Every
+    user row ships, so each full ordered concatenation is value-checked
+    against DuckDB's ORDER BY string_agg: a whole-stream parity proof
+    of the ordered-aggregation operator itself.
+
+    Scale shape: ONE Exchange(user_id) builds signatures inside the
+    aggregation (the sort is per-group over the collected array, never
+    a global sort); md5 runs in codegen on one row per user."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.md5(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            )
+        ).alias("signature_fp"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+Q120_SQL = """
+SELECT user_id,
+       md5(string_agg(event_type, '>' ORDER BY ts, event_id))
+         AS signature_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q121_minmax_scaled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type min-max feature scaling: every event's value normalized
+    to [0,1] within its event type — the preprocessing step a
+    downstream model applies, kept bit-deterministic by scaling exact
+    cents: (v−min)/(max−min) is ONE division of two BIGINTs per row.
+
+    Scale shape: per-type min/max is a tiny partial-aggregated rollup
+    BROADCAST back onto the scan — the corpus is read once and never
+    shuffled (the output keeps the input's partitioning)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ranges = ev.groupBy("event_type").agg(
+        F.min(cents).alias("lo"),
+        F.max(cents).alias("hi"),
+    )
+    return (
+        ev.select("event_id", "event_type", cents.alias("cents"))
+        .join(F.broadcast(ranges), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (
+                (F.col("cents") - F.col("lo")).cast("double")
+                / (F.col("hi") - F.col("lo")).cast("double")
+            ).alias("scaled"),
+        )
+    )
+
+
+Q121_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranges AS (
+  SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi FROM c GROUP BY 1
+)
+SELECT c.event_id, c.event_type,
+       CAST(c.cents - r.lo AS DOUBLE) / CAST(r.hi - r.lo AS DOUBLE)
+         AS scaled
+FROM c JOIN ranges r USING (event_type)
+"""
+
+
+def q122_duplicate_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-row audit over the event stream (the q87/q26
+    zero-row-invariant family): full-row groups with multiplicity > 1
+    are redelivered or double-ingested events the pipeline must not
+    double-count. Green at 0 rows value-checks ingest exactness; when
+    rows appear, they carry the multiplicity for the dedup ledger.
+
+    Scale shape: ONE partial-aggregated exchange on the full-row key —
+    the exact-dup hash-groupBy (A7) applied to the events table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+        .filter(F.col("multiplicity") > 1)
+        .select("event_id", "multiplicity")
+    )
+
+
+Q122_SQL = """
+SELECT event_id, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM events
+GROUP BY event_id, ts, user_id, event_type, value, props
+HAVING COUNT(*) > 1
+"""
+
+
+def q123_lang_source_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang × source contingency deviations: observed cell counts vs the
+    independence expectation row_total·col_total/grand_total, plus the
+    chi-square cell contribution (o−e)²/e — the census that says which
+    source is over-feeding which language. Totals are exact BIGINTs;
+    expected/contrib derive from one division each, evaluated from
+    identical integers in both engines.
+
+    Scale shape: ONE corpus exchange to the |lang×source| cell relation;
+    row/col/grand totals are window sums over that tiny relation."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    roww = Window.partitionBy("lang")
+    colw = Window.partitionBy("source")
+    allw = Window.partitionBy()
+    expected = (
+        F.sum("observed").over(roww) * F.sum("observed").over(colw)
+    ).cast("double") / F.sum("observed").over(allw).cast("double")
+    out = cells.select("lang", "source", "observed", expected.alias("expected"))
+    return out.select(
+        "lang",
+        "source",
+        "observed",
+        "expected",
+        (
+            (F.col("observed") - F.col("expected"))
+            * (F.col("observed") - F.col("expected"))
+            / F.col("expected")
+        ).alias("chi2_contrib"),
+    )
+
+
+Q123_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+), ex AS (
+  SELECT lang, source, observed,
+         CAST(SUM(observed) OVER (PARTITION BY lang)
+              * SUM(observed) OVER (PARTITION BY source) AS DOUBLE)
+           / CAST(SUM(observed) OVER () AS DOUBLE) AS expected
+  FROM cells
+)
+SELECT lang, source, observed, expected,
+       (observed - expected) * (observed - expected) / expected
+         AS chi2_contrib
+FROM ex
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -6982,6 +7199,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_token_class_shares": q116_token_class_shares,
     "q117_typed_props_profile": q117_typed_props_profile,
     "q118_longest_active_streak": q118_longest_active_streak,
+    "q119_day_value_lorenz": q119_day_value_lorenz,
+    "q120_behavior_signatures": q120_behavior_signatures,
+    "q121_minmax_scaled_values": q121_minmax_scaled_values,
+    "q122_duplicate_event_audit": q122_duplicate_event_audit,
+    "q123_lang_source_deviation": q123_lang_source_deviation,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7105,4 +7327,9 @@ ORACLE_SQL: dict[str, str] = {
     "q116_token_class_shares": Q116_SQL,
     "q117_typed_props_profile": Q117_SQL,
     "q118_longest_active_streak": Q118_SQL,
+    "q119_day_value_lorenz": Q119_SQL,
+    "q120_behavior_signatures": Q120_SQL,
+    "q121_minmax_scaled_values": Q121_SQL,
+    "q122_duplicate_event_audit": Q122_SQL,
+    "q123_lang_source_deviation": Q123_SQL,
 }

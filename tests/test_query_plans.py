@@ -702,3 +702,52 @@ def test_q118_islands_reduced_second_exchange(spark):
     assert _n_exchanges(df) == 2, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q119_lorenz_reduced_windows(spark):
+    """Lorenz curve: ONE corpus exchange to day totals; the rank/cumsum
+    windows run on the span-sized relation (one more tiny exchange)."""
+    df = QUERIES["q119_day_value_lorenz"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q120_signatures_no_global_sort(spark):
+    """Behavior signatures: ONE Exchange(user_id); ordering happens
+    per-group inside sort_array, NEVER as a global Sort node."""
+    df = QUERIES["q120_behavior_signatures"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Sort " not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q121_minmax_broadcast_ranges(spark):
+    """Min-max scaling: per-type ranges BROADCAST back onto the scan —
+    the corpus is read once and never shuffled."""
+    df = QUERIES["q121_minmax_scaled_values"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_exchanges(df) <= 1, plan
+
+
+def test_q122_dup_audit_single_exchange(spark):
+    """Duplicate audit: the exact-dup hash-groupBy applied to events —
+    ONE full-row-keyed partial-agg exchange, post-agg filter."""
+    df = QUERIES["q122_duplicate_event_audit"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q123_contingency_tiny_windows(spark):
+    """Contingency deviations: ONE corpus exchange to cells; the three
+    marginal windows run over the |lang x source| relation only."""
+    df = QUERIES["q123_lang_source_deviation"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
