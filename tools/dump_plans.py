@@ -118,6 +118,13 @@ def main() -> None:
     meltstats = QUERIES["q111_source_stats_long"](spark, SF)
     gapfill = QUERIES["q112_hourly_purchase_gapfill"](spark, SF)
     dominant = QUERIES["q113_dominant_user_type"](spark, SF)
+    bitmap = QUERIES["q114_active_days_bitmap"](spark, SF)
+    sentences = QUERIES["q115_sentence_profile"](spark, SF)
+    streaks = QUERIES["q118_longest_active_streak"](spark, SF)
+    lorenz = QUERIES["q119_day_value_lorenz"](spark, SF)
+    signatures = QUERIES["q120_behavior_signatures"](spark, SF)
+    minmax = QUERIES["q121_minmax_scaled_values"](spark, SF)
+    contingency = QUERIES["q123_lang_source_deviation"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -493,6 +500,42 @@ def main() -> None:
             "q113 max_by dominant type: two reducing exchanges, composite "
             "string tie-break evaluated in codegen",
             dominant,
+        ),
+        (
+            "q114 day bitmap: bit_or combines map-side at ONE user-keyed "
+            "exchange; 1-row epoch anchor broadcast",
+            bitmap,
+        ),
+        (
+            "q115 sentence profile: codegen split/filter + explode_outer "
+            "(Generate) + ONE doc-keyed partial agg",
+            sentences,
+        ),
+        (
+            "q118 gaps-and-islands: corpus collapses at distinct(user, "
+            "day); window exchange runs on the reduced relation; rollups "
+            "reuse its partitioning",
+            streaks,
+        ),
+        (
+            "q119 Lorenz: day totals at ONE corpus exchange; rank/cumsum "
+            "windows on the span-sized relation",
+            lorenz,
+        ),
+        (
+            "q120 behavior signatures: ONE Exchange(user_id), per-group "
+            "sort_array (no global Sort node), md5 in codegen",
+            signatures,
+        ),
+        (
+            "q121 min-max scaling: per-type ranges BROADCAST back onto "
+            "the scan — corpus read once, never shuffled",
+            minmax,
+        ),
+        (
+            "q123 contingency deviations: ONE corpus exchange to cells; "
+            "marginal windows on the |lang×source| relation",
+            contingency,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
