@@ -7080,6 +7080,166 @@ FROM ex
 """
 
 
+def q124_shipdate_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table temporal-integrity violation census: line items whose
+    ship date precedes their order's order date — physically impossible
+    rows a corrupted backfill or timezone-mangled ingest creates. (The
+    synthetic corpus draws ship dates independently of order dates, so
+    violations EXIST here by construction — the green oracle row
+    certifies the detector finds exactly the true violation set, the
+    q22 style of evidence rather than the q26 zero-row style.)
+
+    Scale shape: an equi-join on the order key (both sides shuffle on
+    it once) with the violation predicate as a post-join codegen
+    filter; output is the violation relation."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+    )
+
+
+Q124_SQL = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+"""
+
+
+def q125_referential_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census via both anti-join directions in one
+    labelled relation: line items whose order key has no order row
+    (orphan children) and orders with no line items (childless parents)
+    — the FK health check a warehouse runs before trusting joins.
+    Each violation class reports its key count; an empty result is the
+    healthy state, and the labels make a non-empty one actionable.
+
+    Scale shape: two LEFT ANTI joins sharing the order-key partitioning
+    (each side aggregated to distinct keys first, so the anti joins run
+    on reduced relations), unioned and rolled up to ≤2 rows."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    orphans = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey"), "anti"
+    ).select(F.lit("lineitem_without_order").alias("violation"))
+    childless = orders.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"), "anti"
+    ).select(F.lit("order_without_lineitem").alias("violation"))
+    return (
+        orphans.unionByName(childless)
+        .groupBy("violation")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+    )
+
+
+Q125_SQL = """
+WITH o AS (SELECT DISTINCT o_orderkey FROM orders),
+     l AS (SELECT DISTINCT l_orderkey FROM lineitem),
+     v AS (
+  SELECT 'lineitem_without_order' AS violation
+  FROM l WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'order_without_lineitem'
+  FROM o WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.l_orderkey = o.o_orderkey)
+)
+SELECT violation, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM v GROUP BY violation
+"""
+
+
+def q126_behavior_set_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavior-set drift between month halves via ARRAY set
+    algebra: the Jaccard of each user's first-half vs second-half
+    event-type SETS, computed with array_intersect/array_union on
+    sorted collect_sets — the set-valued complement of q110's multiset
+    churn. Integers until the one final division; users active in only
+    one half report 0.0 by the |∩|/|∪| convention.
+
+    Scale shape: ONE Exchange(user_id) carrying BOTH conditional
+    collect_sets (each half a filtered aggregate in the same pass —
+    never two scans); the array ops run per-row in codegen."""
+    ev = _t(spark, sf_dir, "events")
+    first_half = F.col("ts") < F.lit("2024-01-16")
+    sets = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_set(F.when(first_half, F.col("event_type")))
+        ).alias("h1"),
+        F.sort_array(
+            F.collect_set(F.when(~first_half, F.col("event_type")))
+        ).alias("h2"),
+    )
+    inter = F.size(F.array_intersect("h1", "h2"))
+    union = F.size(F.array_union("h1", "h2"))
+    return sets.select(
+        "user_id",
+        inter.cast("long").alias("n_common"),
+        union.cast("long").alias("n_total"),
+        (inter.cast("double") / union.cast("double")).alias("type_jaccard"),
+    )
+
+
+Q126_SQL = """
+WITH sets AS (
+  SELECT user_id,
+         list_sort(list_distinct(list_filter(
+           list(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN event_type END),
+           x -> x IS NOT NULL))) AS h1,
+         list_sort(list_distinct(list_filter(
+           list(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN event_type END),
+           x -> x IS NOT NULL))) AS h2
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(list_intersect(h1, h2)) AS BIGINT) AS n_common,
+       CAST(len(list_distinct(list_concat(h1, h2))) AS BIGINT) AS n_total,
+       CAST(len(list_intersect(h1, h2)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(h1, h2))) AS DOUBLE)
+         AS type_jaccard
+FROM sets
+"""
+
+
+def q127_filtered_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct aggregation: per source, the distinct
+    language count among LONG documents vs among SHORT ones in one pass
+    (count_distinct over a CASE — SQL's FILTER clause semantics) — the
+    does-my-long-tail-cover-all-languages check, without scanning the
+    corpus twice.
+
+    Scale shape: one Expand for the multiple distincts + ONE
+    source-keyed exchange; both conditions ride the same scan."""
+    docs = _t(spark, sf_dir, "documents")
+    long_doc = F.col("n_chars") >= 400
+    return docs.groupBy("source").agg(
+        F.countDistinct(F.when(long_doc, F.col("lang")))
+        .cast("long")
+        .alias("langs_long"),
+        F.countDistinct(F.when(~long_doc, F.col("lang")))
+        .cast("long")
+        .alias("langs_short"),
+        F.sum(long_doc.cast("long")).cast("long").alias("n_long"),
+        F.sum((~long_doc).cast("long")).cast("long").alias("n_short"),
+    )
+
+
+Q127_SQL = """
+SELECT source,
+       CAST(COUNT(DISTINCT CASE WHEN n_chars >= 400 THEN lang END)
+            AS BIGINT) AS langs_long,
+       CAST(COUNT(DISTINCT CASE WHEN n_chars < 400 THEN lang END)
+            AS BIGINT) AS langs_short,
+       CAST(SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long,
+       CAST(SUM(CASE WHEN n_chars < 400 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short
+FROM documents GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -7204,6 +7364,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_minmax_scaled_values": q121_minmax_scaled_values,
     "q122_duplicate_event_audit": q122_duplicate_event_audit,
     "q123_lang_source_deviation": q123_lang_source_deviation,
+    "q124_shipdate_integrity_audit": q124_shipdate_integrity_audit,
+    "q125_referential_orphan_census": q125_referential_orphan_census,
+    "q126_behavior_set_drift": q126_behavior_set_drift,
+    "q127_filtered_distincts": q127_filtered_distincts,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7332,4 +7496,8 @@ ORACLE_SQL: dict[str, str] = {
     "q121_minmax_scaled_values": Q121_SQL,
     "q122_duplicate_event_audit": Q122_SQL,
     "q123_lang_source_deviation": Q123_SQL,
+    "q124_shipdate_integrity_audit": Q124_SQL,
+    "q125_referential_orphan_census": Q125_SQL,
+    "q126_behavior_set_drift": Q126_SQL,
+    "q127_filtered_distincts": Q127_SQL,
 }

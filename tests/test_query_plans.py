@@ -751,3 +751,44 @@ def test_q123_contingency_tiny_windows(spark):
     assert _n_exchanges(df) == 2, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q124_integrity_equi_join(spark):
+    """Ship-date integrity: equi-join on the order key with the
+    violation predicate as a filter — never cartesian, no Python."""
+    df = QUERIES["q124_shipdate_integrity_audit"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q125_orphan_census_anti_joins(spark):
+    """Referential census: both directions plan as ANTI joins over
+    distinct-key reduced relations — never full-row pairing."""
+    df = QUERIES["q125_referential_orphan_census"](spark, SF)
+    plan = _plan(df)
+    assert "Anti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q126_set_drift_single_pass(spark):
+    """Behavior-set drift: BOTH half-sets are conditional collect_sets
+    in ONE user-keyed aggregation pass — one exchange, no joins, no
+    second scan; array algebra in codegen."""
+    df = QUERIES["q126_behavior_set_drift"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q127_filtered_distincts_one_scan(spark):
+    """Filtered distincts: both conditional distincts share one Expand +
+    source-keyed exchange — the corpus is scanned once."""
+    df = QUERIES["q127_filtered_distincts"](spark, SF)
+    plan = _plan(df)
+    assert "Expand" in plan, plan
+    assert _n_exchanges(df) <= 2, plan
+    assert "Join" not in plan, plan
