@@ -125,6 +125,8 @@ def main() -> None:
     signatures = QUERIES["q120_behavior_signatures"](spark, SF)
     minmax = QUERIES["q121_minmax_scaled_values"](spark, SF)
     contingency = QUERIES["q123_lang_source_deviation"](spark, SF)
+    orphans = QUERIES["q125_referential_orphan_census"](spark, SF)
+    setdrift = QUERIES["q126_behavior_set_drift"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -536,6 +538,17 @@ def main() -> None:
             "q123 contingency deviations: ONE corpus exchange to cells; "
             "marginal windows on the |lang×source| relation",
             contingency,
+        ),
+        (
+            "q125 orphan census: dual ANTI joins over distinct-key "
+            "reduced relations, ≤2-row rollup",
+            orphans,
+        ),
+        (
+            "q126 behavior-set drift: BOTH half-sets as conditional "
+            "collect_sets in ONE aggregation pass; array algebra in "
+            "codegen",
+            setdrift,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
