@@ -7240,6 +7240,202 @@ FROM documents GROUP BY source
 """
 
 
+def q128_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED average price per return flag — the weighted
+    mean Σ(p·q)/Σq, which the plain AVG (q01 family) gets wrong
+    whenever price correlates with lot size. Both sums are exact
+    (price·quantity in DECIMAL, quantity integral), the division is
+    final, so the weighted mean is bit-deterministic.
+
+    Scale shape: ONE partial-aggregated exchange over the 3-value key."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    pq = F.col("l_extendedprice").cast(DEC) * qty.cast(DEC)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(qty).cast("long").alias("total_qty"),
+        (
+            F.sum(pq).cast("double") / F.sum(qty).cast("double")
+        ).alias("weighted_avg_price"),
+        (
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("plain_avg_price"),
+    )
+
+
+Q128_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,2)))
+            AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         AS weighted_avg_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS plain_avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q129_lang_source_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete lang × source grid with zero-filled counts — the 2-D
+    companion of q112's hourly gap-fill: the spine is the DELIBERATE
+    cross join of the two distinct dimension relations (tiny × tiny is
+    the one place a cartesian is the right plan), left-joined to
+    observed cells so absent combinations surface as explicit zeros.
+
+    Scale shape: ONE corpus exchange to cells; both dimension distincts
+    derive from the cells relation (never a second corpus scan); the
+    dim × dim cross join and the cell join are broadcast-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    langs = cells.select("lang").distinct()
+    sources = cells.select("source").distinct()
+    spine = langs.crossJoin(sources)
+    return spine.join(cells, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_docs"),
+        F.col("n").isNull().alias("was_absent"),
+    )
+
+
+Q129_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), spine AS (
+  SELECT l.lang, s.source
+  FROM (SELECT DISTINCT lang FROM cells) l
+  CROSS JOIN (SELECT DISTINCT source FROM cells) s
+)
+SELECT sp.lang, sp.source,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs,
+       c.n IS NULL AS was_absent
+FROM spine sp LEFT JOIN cells c USING (lang, source)
+"""
+
+
+def q130_time_since_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event recency feature: microseconds since the user's most
+    recent PRIOR purchase at every event — the conditional running max
+    over an EXCLUSIVE frame (unbounded preceding to 1 preceding; the
+    current row must not see itself, or every purchase would report 0).
+    NULL before the first purchase, exact integer gaps after.
+
+    Scale shape: ONE Exchange(user_id) for the frame window; the
+    conditional max rides the same sort — no join against a purchases
+    subset, no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", us)
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (us - last_purchase).alias("us_since_purchase"),
+    )
+
+
+Q130_SQL = """
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) - MAX(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS us_since_purchase
+FROM events
+"""
+
+
+def q131_lineitem_pk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key multiplicity census: (l_orderkey, l_linenumber)
+    pairs appearing more than once — a double-applied backfill's
+    signature. (The synthetic lineitem generator does NOT enforce this
+    key, so violations exist by construction here; like q124, the green
+    oracle row certifies the detector recovers the exact violation set
+    — q22-style evidence. On a real warehouse this is the zero-row
+    audit.)
+
+    Scale shape: ONE partial-aggregated exchange on the composite key;
+    post-aggregate multiplicity filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+        .filter(F.col("multiplicity") > 1)
+    )
+
+
+Q131_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
+def q132_cumulative_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique-user reach by hour — how many distinct users
+    the stream has EVER seen as of each hour (the growth curve a launch
+    dashboard plots; per-period distinct counts q07-style can't be
+    summed into it because users repeat). First-seen hour per user,
+    then a cumulative window over the span-sized hour relation — exact
+    BIGINTs and one final share division against the 1-row grand total.
+
+    Scale shape: ONE corpus exchange to per-user minima, an hour-keyed
+    rollup, cumulative/total windows over ≤span rows."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    first = ev.groupBy("user_id").agg(F.min(hour).alias("hour"))
+    per_hour = first.groupBy("hour").agg(
+        F.count("*").cast("long").alias("n_new_users")
+    )
+    cum = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return per_hour.select(
+        "hour",
+        "n_new_users",
+        F.sum("n_new_users").over(cum).cast("long").alias("reach"),
+        (
+            F.sum("n_new_users").over(cum).cast("double")
+            / F.sum("n_new_users").over(tot).cast("double")
+        ).alias("reach_share"),
+    )
+
+
+Q132_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('hour', ts)) AS hour
+  FROM events GROUP BY user_id
+), per_hour AS (
+  SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_new_users
+  FROM first GROUP BY hour
+)
+SELECT hour, n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS reach,
+       CAST(SUM(n_new_users) OVER (ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(n_new_users) OVER () AS DOUBLE) AS reach_share
+FROM per_hour
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -7368,6 +7564,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_referential_orphan_census": q125_referential_orphan_census,
     "q126_behavior_set_drift": q126_behavior_set_drift,
     "q127_filtered_distincts": q127_filtered_distincts,
+    "q128_weighted_avg_price": q128_weighted_avg_price,
+    "q129_lang_source_grid": q129_lang_source_grid,
+    "q130_time_since_last_purchase": q130_time_since_last_purchase,
+    "q131_lineitem_pk_audit": q131_lineitem_pk_audit,
+    "q132_cumulative_user_reach": q132_cumulative_user_reach,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7500,4 +7701,9 @@ ORACLE_SQL: dict[str, str] = {
     "q125_referential_orphan_census": Q125_SQL,
     "q126_behavior_set_drift": Q126_SQL,
     "q127_filtered_distincts": Q127_SQL,
+    "q128_weighted_avg_price": Q128_SQL,
+    "q129_lang_source_grid": Q129_SQL,
+    "q130_time_since_last_purchase": Q130_SQL,
+    "q131_lineitem_pk_audit": Q131_SQL,
+    "q132_cumulative_user_reach": Q132_SQL,
 }

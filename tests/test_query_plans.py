@@ -792,3 +792,55 @@ def test_q127_filtered_distincts_one_scan(spark):
     assert "Expand" in plan, plan
     assert _n_exchanges(df) <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_q128_weighted_avg_single_exchange(spark):
+    """Weighted mean: both sums ride ONE partial-agg exchange over the
+    3-value key; no joins, no Python."""
+    df = QUERIES["q128_weighted_avg_price"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q129_grid_dims_from_cells(spark):
+    """2-D grid: the dim x dim cross join is INTENTIONAL (tiny x tiny)
+    and both dimension distincts derive from the checkpointed cells —
+    the corpus parquet is scanned exactly once, upstream of the
+    checkpoint."""
+    df = QUERIES["q129_lang_source_grid"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q130_recency_one_exchange(spark):
+    """Recency feature: the conditional running max over the exclusive
+    frame rides ONE Exchange(user_id) — never a join against a
+    purchases subset."""
+    df = QUERIES["q130_time_since_last_purchase"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q131_pk_audit_single_exchange(spark):
+    """PK census: ONE composite-key partial-agg exchange, post-agg
+    multiplicity filter."""
+    df = QUERIES["q131_lineitem_pk_audit"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q132_reach_reduced_windows(spark):
+    """Reach curve: corpus collapses at per-user minima; hour rollup and
+    cumulative/total windows run on span-sized relations."""
+    df = QUERIES["q132_cumulative_user_reach"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 3, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
