@@ -127,6 +127,9 @@ def main() -> None:
     contingency = QUERIES["q123_lang_source_deviation"](spark, SF)
     orphans = QUERIES["q125_referential_orphan_census"](spark, SF)
     setdrift = QUERIES["q126_behavior_set_drift"](spark, SF)
+    grid2d = QUERIES["q129_lang_source_grid"](spark, SF)
+    recency = QUERIES["q130_time_since_last_purchase"](spark, SF)
+    reach = QUERIES["q132_cumulative_user_reach"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -549,6 +552,21 @@ def main() -> None:
             "collect_sets in ONE aggregation pass; array algebra in "
             "codegen",
             setdrift,
+        ),
+        (
+            "q129 2-D grid: dims derived from checkpointed cells "
+            "(corpus scanned once); intentional tiny×tiny cross join",
+            grid2d,
+        ),
+        (
+            "q130 recency feature: conditional running max over an "
+            "exclusive frame on ONE Exchange(user_id)",
+            recency,
+        ),
+        (
+            "q132 reach curve: per-user minima at the corpus exchange; "
+            "cumulative/total windows on span-sized relations",
+            reach,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
