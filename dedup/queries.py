@@ -7436,6 +7436,185 @@ FROM per_hour
 """
 
 
+def q133_user_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→purchase conversion with NULL-SAFE division: the
+    rate is purchases / NULLIF(views, 0), so a user with purchases but
+    no views reports NULL (unknown denominator) instead of a crash or a
+    fake infinity — the SQL null-propagation semantics a ratio table
+    must get right. Counts are exact; the one division only fires on
+    non-NULL denominators identically in both engines.
+
+    Scale shape: both conditional counts ride ONE user-keyed
+    partial-agg exchange; NULLIF is codegen."""
+    ev = _t(spark, sf_dir, "events")
+    views = F.sum((F.col("event_type") == "view").cast("long"))
+    purchases = F.sum((F.col("event_type") == "purchase").cast("long"))
+    return ev.groupBy("user_id").agg(
+        views.cast("long").alias("n_views"),
+        purchases.cast("long").alias("n_purchases"),
+        (
+            purchases.cast("double")
+            / F.nullif(views, F.lit(0)).cast("double")
+        ).alias("conversion"),
+    )
+
+
+Q133_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / CAST(NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+                       0) AS DOUBLE) AS conversion
+FROM events GROUP BY user_id
+"""
+
+
+def q134_punctuation_strip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source punctuation-and-digit load via regexp_replace length
+    deltas — how many characters normalization would strip (the
+    markup/table-heavy-source signal, and the size estimate for the
+    normalize stage's output). Identical anchored character classes on
+    both engines; all counts exact BIGINTs, shares final divisions.
+
+    Scale shape: two regexp_replace + length in codegen on the scan;
+    ONE source-keyed partial-agg exchange."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    n_chars = F.length("text")
+    no_punct = F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    no_digit = F.length(F.regexp_replace("text", "[0-9]", ""))
+    agg = docs.groupBy("source").agg(
+        F.sum(n_chars).cast("long").alias("chars_total"),
+        F.sum(n_chars - no_punct).cast("long").alias("chars_punct"),
+        F.sum(n_chars - no_digit).cast("long").alias("chars_digit"),
+    )
+    return agg.select(
+        "source",
+        "chars_total",
+        "chars_punct",
+        "chars_digit",
+        (F.col("chars_punct").cast("double") / F.col("chars_total").cast("double"))
+        .alias("punct_share"),
+        (F.col("chars_digit").cast("double") / F.col("chars_total").cast("double"))
+        .alias("digit_share"),
+    )
+
+
+Q134_SQL = """
+WITH per AS (
+  SELECT source, length(text) AS n,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '',
+                                              'g')) AS p,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS d
+  FROM documents
+), agg AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS chars_total,
+         CAST(SUM(p) AS BIGINT) AS chars_punct,
+         CAST(SUM(d) AS BIGINT) AS chars_digit
+  FROM per GROUP BY source
+)
+SELECT source, chars_total, chars_punct, chars_digit,
+       CAST(chars_punct AS DOUBLE) / CAST(chars_total AS DOUBLE)
+         AS punct_share,
+       CAST(chars_digit AS DOUBLE) / CAST(chars_total AS DOUBLE)
+         AS digit_share
+FROM agg
+"""
+
+
+def q135_purchase_position_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE in the stream do purchases happen: each purchase's relative
+    position within its user's ordered stream, bucketed into integer
+    deciles via (pos·10) div (n−1) — early-funnel vs end-of-session
+    buying shape. Pure integer arithmetic (single-event streams pin to
+    bucket 0 via the max(n−1, 1) guard); deterministic by the total
+    (ts, event_id) order.
+
+    Scale shape: ONE Exchange(user_id) carries both the row_number and
+    the count window; the histogram is a ≤11-row rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = Window.partitionBy("user_id")
+    pos = (
+        ev.select(
+            "event_type",
+            (F.row_number().over(w) - 1).alias("pos"),
+            (F.count("*").over(cnt) - 1).alias("last"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    bucket = F.expr("(pos * 10) div greatest(last, 1)")
+    return pos.groupBy(bucket.alias("decile")).agg(
+        F.count("*").cast("long").alias("n_purchases")
+    )
+
+
+Q135_SQL = """
+WITH pos AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS pos,
+         COUNT(*) OVER (PARTITION BY user_id) - 1 AS last
+  FROM events
+)
+SELECT (pos * 10) // greatest(last, 1) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM pos WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
+def q136_type_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length burstiness per user: how many consecutive same-type
+    RUNS the stream compresses to, and the mean run length — scripted
+    repetition shows up as few long runs, organic interleaving as many
+    short ones (the stream-shape cousin of q32's duplicate-token share).
+    A run starts wherever the lagged type differs; counts exact, the
+    mean one final division.
+
+    Scale shape: ONE Exchange(user_id) for the lag window; the rollup
+    reuses its partitioning (subset-key clustering) — no second corpus
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = ev.select(
+        "user_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    return starts.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_start").cast("long").alias("n_runs"),
+        (
+            F.count("*").cast("double") / F.sum("is_start").cast("double")
+        ).alias("mean_run_len"),
+    )
+
+
+Q136_SQL = """
+WITH starts AS (
+  SELECT user_id,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_start) AS BIGINT) AS n_runs,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(is_start) AS DOUBLE)
+         AS mean_run_len
+FROM starts GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -7569,6 +7748,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_time_since_last_purchase": q130_time_since_last_purchase,
     "q131_lineitem_pk_audit": q131_lineitem_pk_audit,
     "q132_cumulative_user_reach": q132_cumulative_user_reach,
+    "q133_user_conversion_rates": q133_user_conversion_rates,
+    "q134_punctuation_strip_census": q134_punctuation_strip_census,
+    "q135_purchase_position_histogram": q135_purchase_position_histogram,
+    "q136_type_run_lengths": q136_type_run_lengths,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7706,4 +7889,8 @@ ORACLE_SQL: dict[str, str] = {
     "q130_time_since_last_purchase": Q130_SQL,
     "q131_lineitem_pk_audit": Q131_SQL,
     "q132_cumulative_user_reach": Q132_SQL,
+    "q133_user_conversion_rates": Q133_SQL,
+    "q134_punctuation_strip_census": Q134_SQL,
+    "q135_purchase_position_histogram": Q135_SQL,
+    "q136_type_run_lengths": Q136_SQL,
 }

@@ -844,3 +844,43 @@ def test_q132_reach_reduced_windows(spark):
     assert _n_exchanges(df) == 3, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q133_conversion_single_exchange(spark):
+    """Null-safe conversion: both conditional counts and NULLIF ride ONE
+    user-keyed partial-agg exchange."""
+    df = QUERIES["q133_user_conversion_rates"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q134_strip_census_single_exchange(spark):
+    """Strip census: regexp_replace length deltas in codegen on the
+    scan; ONE source-keyed exchange."""
+    df = QUERIES["q134_punctuation_strip_census"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q135_position_shared_window_exchange(spark):
+    """Position histogram: row_number and count windows share ONE
+    Exchange(user_id); the decile rollup is a ≤11-row second exchange."""
+    df = QUERIES["q135_purchase_position_histogram"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q136_run_lengths_reuse_partitioning(spark):
+    """Run lengths: the user-keyed rollup reuses the lag window's
+    partitioning — exactly ONE exchange end to end."""
+    df = QUERIES["q136_type_run_lengths"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
