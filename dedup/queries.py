@@ -7615,6 +7615,310 @@ FROM starts GROUP BY user_id
 """
 
 
+def q137_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape through the spark.sql surface: forgone revenue
+    from lineitems ordering LESS THAN 20% of their part's average
+    quantity, for two brands — the CORRELATED SCALAR-AGGREGATE subquery
+    Catalyst decorrelates into a per-partkey aggregate joined back on
+    the correlation key (the scalar cousin of q105's NOT EXISTS
+    decorrelation). The 0.2·avg threshold is spelled as the exact
+    integer cross-multiplication 5·qty·cnt < sum_qty (quantities are
+    integral longs), so the verdict bit never touches a double; the
+    forgone revenue rides the DECIMAL(18,2) exact-money convention.
+
+    Scale shape: both correlated scalars are aggregates over lineitem
+    grouped by the equality-correlated part key — the decorrelated plan
+    is ONE per-partkey aggregate + a key join, never a per-row re-scan;
+    the brand filter prunes the probe side at the broadcast part dim."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q137_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q137_part")
+    return spark.sql(
+        """
+        SELECT p.p_brand AS p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS forgone_revenue
+        FROM q137_lineitem l JOIN q137_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#3')
+          AND 5 * CAST(l.l_quantity AS BIGINT)
+                * (SELECT COUNT(*) FROM q137_lineitem l2
+                   WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT SUM(CAST(l3.l_quantity AS BIGINT))
+                 FROM q137_lineitem l3
+                 WHERE l3.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+Q137_SQL = """
+SELECT p.p_brand AS p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS forgone_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand IN ('Brand#1', 'Brand#3')
+  AND 5 * CAST(l.l_quantity AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l3.l_quantity AS BIGINT))
+         FROM lineitem l3
+         WHERE l3.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+
+
+def q138_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume-shipping shape: revenue flowing between a pair
+    of nations (supplier side vs customer side, both directions) per
+    ship year — the SAME dimension table joined TWICE under different
+    roles, which exercises self-aliased broadcast dims and the
+    disjunctive cross-pair predicate.
+
+    Scale shape: nation/supplier/customer broadcast into the lineitem
+    scan; orders joins on the order key; the only corpus-sized exchange
+    is the final 4-key rollup. Revenue rides the DECIMAL(18,2) exact
+    convention; the year is integer-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(rev.alias("revenue"), F.count("*").cast("long").alias("n_items"))
+    )
+
+
+Q138_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q139_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 market-share shape: within ASIA-region customers'
+    orders, the fraction of per-order-year revenue supplied by
+    NATION_2 suppliers — a two-level conditional-share aggregation
+    (numerator = CASE-gated sum, denominator = total sum) with the
+    nation dim again in both the supplier and customer roles.
+
+    Scale shape: every dim broadcasts; both sums ride ONE order-year
+    partial-agg exchange. Both totals are exact DECIMAL(18,2) sums cast
+    to double; the share is ONE double division so the hash match is
+    engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    rev_dec = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    total = F.sum(rev_dec).cast("double")
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", rev_dec).otherwise(
+            F.lit(0).cast(DEC)
+        )
+    ).cast("double")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            total.alias("total_rev"),
+            nat.alias("nation_rev"),
+            (nat / total).alias("mkt_share"),
+        )
+    )
+
+
+Q139_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS total_rev,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS nation_rev,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q140_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape with a dormancy twist (every customer here has
+    SOME order, so the classic no-orders prospect set is empty):
+    customers whose balance strictly exceeds the positive-balance
+    average AND who placed no order in 2001 — an UNCORRELATED scalar
+    average feeding the filter, plus an anti join against the recent
+    orders. The average test is the exact integer cross-multiplication
+    cents·cnt > sum_cents (balances are 2-decimal, so cents are exact
+    longs) — never a double average.
+
+    Scale shape: the (sum, count) scalar is a 1-row aggregate broadcast
+    into the customer scan (BroadcastNestedLoopJoin, the q60/q64
+    convention); the anti side prunes to 2001 orders at the scan; the
+    rollup is nation-dimension-sized."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("_sum_cents"), F.count("*").alias("_cnt")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2001-01-01").select(
+        "o_custkey"
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(cents * F.col("_cnt") > F.col("_sum_cents"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_dormant"),
+            F.sum(cents).cast("long").alias("total_bal_cents"),
+        )
+    )
+
+
+Q140_SQL = """
+WITH pos AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+         COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_dormant,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_bal_cents
+FROM customer, pos
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.cnt > pos.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q141_last_purchase_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward-fill (last observation carried forward) over each
+    user's event stream: every event carries the cents value of the
+    most recent purchase at-or-before it — Spark's last(ignorenulls)
+    over an UNBOUNDED PRECEDING..CURRENT ROW frame, the telemetry
+    gap-fill primitive q112's calendar spine does not cover (the fill
+    here is sparse-event-driven, not grid-driven). The per-user rollup
+    (events carrying a fill, exact bigint sum of carried cents) pins
+    every row's carried value: any mis-fill shifts the sum.
+
+    Scale shape: ONE Exchange(user_id) for the running frame; the
+    rollup reuses the window's partitioning — no second corpus
+    shuffle. Cents are exact longs end to end."""
+    ev = _t(spark, sf_dir, "events")
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "user_id", F.last(purchase_cents, ignorenulls=True).over(w).alias("carry")
+    )
+    return carried.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("carry").cast("long").alias("n_carrying"),
+        F.sum("carry").cast("long").alias("carry_sum_cents"),
+    )
+
+
+Q141_SQL = """
+WITH c AS (
+  SELECT user_id,
+         LAST_VALUE(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(value * 100) AS BIGINT) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(carry) AS BIGINT) AS n_carrying,
+       CAST(SUM(carry) AS BIGINT) AS carry_sum_cents
+FROM c GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -7752,6 +8056,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_punctuation_strip_census": q134_punctuation_strip_census,
     "q135_purchase_position_histogram": q135_purchase_position_histogram,
     "q136_type_run_lengths": q136_type_run_lengths,
+    "q137_small_quantity_revenue": q137_small_quantity_revenue,
+    "q138_nation_pair_volume": q138_nation_pair_volume,
+    "q139_region_market_share": q139_region_market_share,
+    "q140_dormant_high_balance": q140_dormant_high_balance,
+    "q141_last_purchase_carry": q141_last_purchase_carry,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7893,4 +8202,9 @@ ORACLE_SQL: dict[str, str] = {
     "q134_punctuation_strip_census": Q134_SQL,
     "q135_purchase_position_histogram": Q135_SQL,
     "q136_type_run_lengths": Q136_SQL,
+    "q137_small_quantity_revenue": Q137_SQL,
+    "q138_nation_pair_volume": Q138_SQL,
+    "q139_region_market_share": Q139_SQL,
+    "q140_dormant_high_balance": Q140_SQL,
+    "q141_last_purchase_carry": Q141_SQL,
 }

@@ -884,3 +884,59 @@ def test_q136_run_lengths_reuse_partitioning(spark):
     assert _n_exchanges(df) == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q137_scalar_subqueries_decorrelate(spark):
+    """Q17 shape: both correlated scalar aggregates decorrelate to
+    per-partkey aggregate joins — never a per-row re-scan (no nested
+    loop, no cartesian), and everything stays JVM-side."""
+    df = QUERIES["q137_small_quantity_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _n_exchanges(df) == 3, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q138_nation_pair_broadcast_dims(spark):
+    """Q7 shape: every dimension (supplier/customer/nation x2)
+    broadcasts into the fact scan; the only shuffle is the final
+    4-key rollup."""
+    df = QUERIES["q138_nation_pair_volume"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q139_market_share_single_rollup(spark):
+    """Q8 shape: numerator and denominator ride the SAME order-year
+    partial-agg exchange (one shuffle), dims broadcast."""
+    df = QUERIES["q139_region_market_share"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q140_scalar_broadcast_and_anti(spark):
+    """Q22 shape: the (sum, count) scalar is a 1-row BNLJ broadcast;
+    the recency anti join is a broadcast hash join with the 2001
+    predicate pushed to the orders scan."""
+    df = QUERIES["q140_dormant_high_balance"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "PushedFilters" in plan or "o_orderdate" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q141_locf_reuses_window_partitioning(spark):
+    """LOCF carry: the per-user rollup reuses the running frame's
+    Exchange(user_id) — exactly ONE shuffle, zero joins."""
+    df = QUERIES["q141_last_purchase_carry"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
