@@ -7919,6 +7919,353 @@ FROM c GROUP BY user_id
 """
 
 
+def q142_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (Church & Hanks '90, the PMI family):
+    the 20 adjacent-token bigrams most over-represented vs the
+    independence assumption, ranked by lift = P(ab)/(P(a)·P(b)) =
+    c_ab·N_tok² / (N_bg·c_a·c_b). Numerator and denominator are exact
+    bigint products surfaced as columns (at sf0.01 they stay < 2^45;
+    at 10^12-token scale the bigints overflow and the one-line swap is
+    the double log-PMI form — the ORDER is what matters there), and
+    the lift itself is ONE double division so the top-20 cutoff is
+    engine-exact; ties break on the bigram text.
+
+    Scale shape: token lists materialize ONCE (localCheckpoint, q74
+    convention) and feed both the bigram and unigram wordcounts; the
+    two totals are 1-row broadcasts; the unigram re-attach is a key
+    equi-join on the token; top-20 is TakeOrdered (never a global
+    sort)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(normalize_sql(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    lists = docs.select(toks.alias("l")).localCheckpoint()
+    pairs = F.zip_with(
+        F.slice("l", 1, F.size("l") - 1),
+        F.slice("l", 2, F.size("l") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bgc = (
+        lists.filter(F.size("l") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    uni = (
+        lists.select(F.explode("l").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n_u"))
+    totbg = bgc.agg(F.sum("c_ab").cast("long").alias("n_bg"))
+    u1 = uni.select(F.col("token").alias("_t1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("token").alias("_t2"), F.col("c").alias("c_b"))
+    num = F.col("c_ab") * F.col("n_u") * F.col("n_u")
+    den = F.col("n_bg") * F.col("c_a") * F.col("c_b")
+    return (
+        bgc.filter(F.col("c_ab") >= 5)
+        .join(u1, F.col("w1") == F.col("_t1"))
+        .join(u2, F.col("w2") == F.col("_t2"))
+        .join(F.broadcast(tot))
+        .join(F.broadcast(totbg))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            num.cast("long").alias("lift_num"),
+            den.cast("long").alias("lift_den"),
+            (num.cast("double") / den.cast("double")).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )
+
+
+Q142_SQL = f"""
+WITH lists AS (
+  SELECT list_filter(string_split({NORMALIZE_DUCKDB_SQL.format(col='text')}, ' '),
+                     x -> length(x) > 0) AS l
+  FROM documents
+), idx AS (
+  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM lists
+), bgc AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS c_ab FROM idx GROUP BY 1, 2
+), uni AS (
+  SELECT t.token, COUNT(*) AS c
+  FROM (SELECT unnest(l) AS token FROM lists) t GROUP BY 1
+), tot AS (SELECT SUM(c) AS n_u FROM uni),
+totbg AS (SELECT SUM(c_ab) AS n_bg FROM bgc)
+SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+       CAST(u1.c AS BIGINT) AS c_a, CAST(u2.c AS BIGINT) AS c_b,
+       CAST(b.c_ab * n_u * n_u AS BIGINT) AS lift_num,
+       CAST(n_bg * u1.c * u2.c AS BIGINT) AS lift_den,
+       CAST(b.c_ab * n_u * n_u AS DOUBLE)
+         / CAST(n_bg * u1.c * u2.c AS DOUBLE) AS lift
+FROM bgc b JOIN uni u1 ON b.w1 = u1.token JOIN uni u2 ON b.w2 = u2.token,
+     tot, totbg
+WHERE b.c_ab >= 5
+ORDER BY lift DESC, b.w1, b.w2 LIMIT 20
+"""
+
+
+def q143_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrently-open orders per month (open = order date through
+    its last lineitem ship date) — the interval-overlap maximum done as
+    a SWEEP LINE, never an interval self-join or a per-day explode: each
+    span contributes +1 at its start day and −1 at the day after its
+    end, deltas collapse to day grain (bounded by the calendar, not the
+    corpus), and a running sum over that day relation reads off the
+    concurrency. All arithmetic is integer epoch-day floor division.
+
+    Scale shape: one order-key exchange for the span agg, one day-grain
+    partial-agg exchange; the running window and month rollup run on
+    the ≤|days| relation (the q132 reduce-then-window convention).
+    Output covers months containing a delta (every month with order
+    flow)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("_ship_end"))
+        .select(
+            # cast("timestamp") is the no-op NTZ reinterpretation (UTC
+            # session) unix_micros requires
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("start_day"),
+            F.expr(
+                "unix_micros(cast(_ship_end as timestamp)) div 86400000000"
+            ).alias("end_day"),
+        )
+    )
+    # one explode instead of a self-union: a union would re-derive the
+    # span join per branch (two corpus scans)
+    deltas = (
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start_day").alias("day"), F.lit(1).alias("d")
+                    ),
+                    F.struct(
+                        (F.col("end_day") + 1).alias("day"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.day", "e.d")
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    running = deltas.withColumn(
+        "open",
+        F.sum("delta")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long"),
+    )
+    the_date = F.expr("date_add(date'1970-01-01', cast(day as int))")
+    return (
+        running.groupBy(
+            (F.year(the_date) * 100 + F.month(the_date)).cast("int").alias("ym")
+        )
+        .agg(
+            F.max("open").cast("long").alias("max_open"),
+            F.count("*").cast("long").alias("n_change_days"),
+        )
+    )
+
+
+Q143_SQL = """
+WITH spans AS (
+  SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+           AS start_day,
+         CAST(floor(epoch_us(MAX(l_shipdate)) / 86400000000) AS BIGINT)
+           AS end_day
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate
+), deltas AS (
+  SELECT day, SUM(d) AS delta FROM (
+    SELECT start_day AS day, 1 AS d FROM spans
+    UNION ALL SELECT end_day + 1, -1 FROM spans
+  ) GROUP BY day
+), running AS (
+  SELECT day, CAST(SUM(delta) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open
+  FROM deltas
+)
+SELECT CAST(EXTRACT(year FROM DATE '1970-01-01'
+                    + CAST(day AS INTEGER) * INTERVAL 1 DAY) * 100
+          + EXTRACT(month FROM DATE '1970-01-01'
+                    + CAST(day AS INTEGER) * INTERVAL 1 DAY) AS INTEGER) AS ym,
+       CAST(MAX(open) AS BIGINT) AS max_open,
+       CAST(COUNT(*) AS BIGINT) AS n_change_days
+FROM running GROUP BY 1
+"""
+
+
+def q144_transition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix with ROLLUP subtotals AND GROUPING()
+    disambiguation: prev_type is NULL for genuine stream starts, so a
+    plain rollup output is ambiguous — (NULL, 'view') could be a
+    stream-start cell or the per-view subtotal. GROUPING(prev_type) /
+    GROUPING(event_type) bits resolve it, the one grouping-sets surface
+    q39/q54/q101 left unexercised. Counts exact.
+
+    Scale shape: ONE Exchange(user_id) for the lag window, one Expand
+    ×3 + partial-agg exchange for the rollup (cardinality-bounded
+    map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    )
+    return seq.rollup("prev_type", "event_type").agg(
+        F.grouping("prev_type").cast("int").alias("g_prev"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+Q144_SQL = """
+WITH seq AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events
+)
+SELECT prev_type, event_type,
+       CAST(GROUPING(prev_type) AS INTEGER) AS g_prev,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq GROUP BY ROLLUP(prev_type, event_type)
+"""
+
+
+def q145_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-each-side trimmed mean of event value per type — the
+    robust location estimate between q77's median/MAD gate and a plain
+    average: rank rows per type, drop the bottom and top k = n div 10,
+    average the middle exactly. Everything before the final division is
+    integer (cents, ranks, floor-div trim counts), so the verdict of
+    WHICH rows are trimmed is bit-deterministic; the mean is ONE
+    long→double division.
+
+    Scale shape: ONE Exchange(event_type) carries both windows (rank +
+    group count) and the rollup reuses the same partitioning — a single
+    corpus shuffle end to end. NULL values are excluded at the scan."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    v = ev.select("event_type", cents.alias("cents"), "event_id")
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n div 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr("max(n) div 10").cast("long").alias("k"),
+        F.count("*").cast("long").alias("trimmed_n"),
+        F.sum("cents").cast("long").alias("trimmed_sum_cents"),
+        (F.sum("cents").cast("double") / F.count("*").cast("double")).alias(
+            "trimmed_mean_cents"
+        ),
+    )
+
+
+Q145_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(n) // 10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS trimmed_n,
+       CAST(SUM(cents) AS BIGINT) AS trimmed_sum_cents,
+       CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS trimmed_mean_cents
+FROM ranked WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY event_type
+"""
+
+
+def q146_activity_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each user's first-half and
+    second-half activity (split at the corpus midpoint) — the
+    engagement-consistency diagnostic: rho near 1 means the same users
+    dominate both halves, near 0 means churn in who is active. Ranks
+    are row_number with the user id as the total-order tie-break, so
+    Σd² is an exact bigint and rho = 1 − 6Σd²/(n(n²−1)) is one double
+    division + one subtraction — identical IEEE ops both engines.
+
+    Scale shape: the corpus collapses to per-user conditional counts in
+    ONE partial-agg exchange; both rank windows and the final 1-row agg
+    run on the |users|-sized relation (q94's exact-rank convention)."""
+    ev = _t(spark, sf_dir, "events")
+    mid = "2024-01-16"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("ts") < mid).cast("long")).alias("a"),
+        F.sum((F.col("ts") >= mid).cast("long")).alias("b"),
+    )
+    ranked = per_user.select(
+        F.row_number().over(Window.orderBy("a", "user_id")).alias("ra"),
+        F.row_number().over(Window.orderBy("b", "user_id")).alias("rb"),
+    )
+    d2 = F.sum(
+        (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    ).cast("long")
+    n = F.count("*").cast("long")
+    return ranked.agg(
+        n.alias("n_users"),
+        d2.alias("sum_d2"),
+        (
+            F.lit(1)
+            - (F.lit(6) * d2).cast("double") / (n * (n * n - 1)).cast("double")
+        ).alias("rho"),
+    )
+
+
+Q146_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY a, user_id) AS ra,
+         ROW_NUMBER() OVER (ORDER BY b, user_id) AS rb
+  FROM per_user
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+       1 - CAST(6 * SUM((ra - rb) * (ra - rb)) AS DOUBLE)
+         / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) AS rho
+FROM ranked
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -8061,6 +8408,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_region_market_share": q139_region_market_share,
     "q140_dormant_high_balance": q140_dormant_high_balance,
     "q141_last_purchase_carry": q141_last_purchase_carry,
+    "q142_bigram_collocations": q142_bigram_collocations,
+    "q143_order_concurrency": q143_order_concurrency,
+    "q144_transition_rollup": q144_transition_rollup,
+    "q145_trimmed_mean": q145_trimmed_mean,
+    "q146_activity_rank_correlation": q146_activity_rank_correlation,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8207,4 +8559,9 @@ ORACLE_SQL: dict[str, str] = {
     "q139_region_market_share": Q139_SQL,
     "q140_dormant_high_balance": Q140_SQL,
     "q141_last_purchase_carry": Q141_SQL,
+    "q142_bigram_collocations": Q142_SQL,
+    "q143_order_concurrency": Q143_SQL,
+    "q144_transition_rollup": Q144_SQL,
+    "q145_trimmed_mean": Q145_SQL,
+    "q146_activity_rank_correlation": Q146_SQL,
 }

@@ -940,3 +940,60 @@ def test_q141_locf_reuses_window_partitioning(spark):
     assert _n_exchanges(df) == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q142_collocations_takeordered(spark):
+    """PMI collocations: top-20 is TakeOrdered (never a global sort);
+    totals are broadcast; token lists materialize once via
+    localCheckpoint so the corpus parquet is not re-scanned per
+    branch."""
+    df = QUERIES["q142_bigram_collocations"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q143_sweepline_no_interval_join(spark):
+    """Order concurrency: sweep line — one span join, one explode, day
+    and month partial aggs; never an interval self-join (exactly one
+    join, two scans: orders + lineitem)."""
+    df = QUERIES["q143_order_concurrency"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Join") <= 2, plan  # one join node (+AQE echo)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q144_rollup_single_expand(spark):
+    """Transition rollup: lag window rides ONE Exchange(user_id); the
+    rollup is one Expand + one partial-agg exchange."""
+    df = QUERIES["q144_transition_rollup"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert plan.count("Expand") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q145_trimmed_mean_single_exchange(spark):
+    """Trimmed mean: rank + count windows and the rollup all share ONE
+    Exchange(event_type)."""
+    df = QUERIES["q145_trimmed_mean"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q146_spearman_reduced_windows(spark):
+    """Spearman: corpus collapses to per-user counts in one hash
+    exchange; rank windows run on the reduced relation (one single
+    exchange), zero joins."""
+    df = QUERIES["q146_activity_rank_correlation"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
