@@ -130,6 +130,10 @@ def main() -> None:
     grid2d = QUERIES["q129_lang_source_grid"](spark, SF)
     recency = QUERIES["q130_time_since_last_purchase"](spark, SF)
     reach = QUERIES["q132_cumulative_user_reach"](spark, SF)
+    scalarsub = QUERIES["q137_small_quantity_revenue"](spark, SF)
+    dormant = QUERIES["q140_dormant_high_balance"](spark, SF)
+    colloc = QUERIES["q142_bigram_collocations"](spark, SF)
+    sweep = QUERIES["q143_order_concurrency"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -567,6 +571,27 @@ def main() -> None:
             "q132 reach curve: per-user minima at the corpus exchange; "
             "cumulative/total windows on span-sized relations",
             reach,
+        ),
+        (
+            "q137 Q17 shape: correlated scalar-aggregate subqueries "
+            "decorrelated to per-partkey aggregate joins (no per-row "
+            "re-scan)",
+            scalarsub,
+        ),
+        (
+            "q140 Q22 shape: 1-row (sum,count) scalar BNLJ broadcast + "
+            "anti join with the 2001 predicate pushed to the orders scan",
+            dormant,
+        ),
+        (
+            "q142 collocations: single-materialization token lists, "
+            "broadcast totals, TakeOrdered top-20 (no global sort)",
+            colloc,
+        ),
+        (
+            "q143 sweep line: one span join + explode deltas; running "
+            "window and month rollup on the calendar-sized relation",
+            sweep,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
