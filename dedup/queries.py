@@ -8266,6 +8266,262 @@ FROM ranked
 """
 
 
+def q147_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-profit shape: revenue by SUPPLIER nation and
+    order year for a LIKE-filtered part family — the widest dim fan of
+    the classic suite (part + supplier + nation + orders all joined
+    into one lineitem scan), with the substring filter applied at the
+    broadcast part dim so the probe side prunes before the fact join.
+
+    Scale shape: all three dims and orders' (key, date) projection
+    broadcast; the single corpus-sized exchange is the final
+    (nation, year) rollup. Revenue rides the DECIMAL(18,2) exact-money
+    convention; the year is integer-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(rev.alias("profit"), F.count("*").cast("long").alias("n_items"))
+    )
+
+
+Q147_SQL = """
+SELECT n_name AS supp_nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q148_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 value-concentration shape: parts whose stocked value
+    exceeds a FRACTION OF THE GLOBAL TOTAL — the HAVING-against-a-
+    scalar-subquery-over-the-same-aggregate pattern (q140's scalar
+    broadcast gated base rows; here it gates aggregated GROUPS). The
+    keep test is the exact integer cross-multiplication
+    value·4·n_parts > total·5 (strictly above 1.25× the MEAN part
+    value — a scale-invariant threshold, where Q11's fraction-of-total
+    would degenerate to the empty set as the part count grows), so the
+    verdict bit never touches a double; value units are cents·quantity
+    exact bigints. The reported share is ONE double division.
+
+    Scale shape: one per-partkey partial-agg exchange; per_part is
+    localCheckpointed so the corpus parquet is scanned exactly ONCE
+    (Catalyst re-derives the aggregate per consumer otherwise); the
+    (total, count) scalar is a 1-row aggregate broadcast back over the
+    part-sized relation via BroadcastNestedLoopJoin."""
+    li = _t(spark, sf_dir, "lineitem")
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(units).alias("value_units"))
+        .localCheckpoint()
+    )
+    total = per_part.agg(
+        F.sum("value_units").alias("_total"), F.count("*").alias("_n")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_units") * 4 * F.col("_n") > F.col("_total") * 5)
+        .select(
+            "l_partkey",
+            F.col("value_units").cast("long").alias("value_units"),
+            (
+                F.col("value_units").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+Q148_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_units
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(SUM(value_units) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n FROM per_part
+)
+SELECT l_partkey, value_units,
+       CAST(value_units AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM per_part, tot
+WHERE value_units * 4 * n > total * 5
+"""
+
+
+def q149_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 distribution-of-distributions shape: how many
+    customers placed exactly k urgent orders, INCLUDING k = 0 — the
+    left outer join that must preserve no-match customers feeding two
+    cascaded aggregations (per-customer count, then histogram of
+    counts). q06's anti join only finds the zero bucket; this shape
+    produces the whole curve in one pass.
+
+    Scale shape: the priority filter prunes orders at the scan before
+    a broadcast left join; exchange #1 is the per-customer count,
+    exchange #2 runs on the |customers|-sized relation. COUNT(column)
+    null-skipping is what turns no-match rows into the zero bucket —
+    no CASE needed."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+Q149_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q150_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top-supplier shape: the supplier(s) with maximum
+    revenue over a ship quarter, TIES PRESERVED — global argmax done as
+    aggregate → 1-row MAX scalar → broadcast equality join back, never
+    a LIMIT 1 (which drops ties) and never a global sort. Revenue is
+    kept in cents·(100−disc%) exact bigint units so the equality-to-max
+    test is bit-deterministic; the readable revenue is ONE division by
+    the exact constant 10000.
+
+    Scale shape: quarter predicate pushed to the lineitem scan; ONE
+    per-supplier partial-agg exchange, localCheckpointed so the corpus
+    is scanned exactly once across the max and join consumers; max
+    scalar and the supplier dim both broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(units).alias("rev_units"))
+        .localCheckpoint()
+    )
+    mx = per_supp.agg(F.max("rev_units").alias("_mx"))
+    return (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("rev_units") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_units").cast("long").alias("rev_units"),
+            (F.col("rev_units").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+Q150_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+), mx AS (
+  SELECT MAX(rev_units) AS _mx FROM per_supp
+)
+SELECT s_suppkey, s_name, rev_units,
+       CAST(rev_units AS DOUBLE) / 10000.0 AS total_revenue
+FROM per_supp, mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_units = _mx
+"""
+
+
+def q151_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier-census shape through the spark.sql surface:
+    distinct suppliers per (part type, size class), EXCLUDING suppliers
+    named by a NOT IN subquery — the null-aware anti join Catalyst
+    plans for NOT IN (different null semantics from q105's NOT EXISTS
+    and q06/q125's left_anti: one NULL in the subquery would empty the
+    result, so the planner must prove null-safety). lineitem is the
+    part↔supplier bridge (this corpus has no partsupp).
+
+    Scale shape: the exclusion list is a broadcast null-aware anti
+    join; part broadcasts with the brand filter applied dim-side;
+    COUNT(DISTINCT) runs as the standard two-phase distinct aggregate
+    over (type, size class, suppkey) — all exchanges strictly
+    reducing."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q151_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q151_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("q151_supplier")
+    return spark.sql(
+        """
+        SELECT p.p_type AS p_type,
+               CAST(p.p_size % 5 AS INT) AS size_class,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM q151_lineitem l JOIN q151_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM q151_supplier
+                                  WHERE s_acctbal < 2000)
+        GROUP BY 1, 2
+        """
+    )
+
+
+Q151_SQL = """
+SELECT p.p_type AS p_type,
+       CAST(p.p_size % 5 AS INTEGER) AS size_class,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 2000)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -8413,6 +8669,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q144_transition_rollup": q144_transition_rollup,
     "q145_trimmed_mean": q145_trimmed_mean,
     "q146_activity_rank_correlation": q146_activity_rank_correlation,
+    "q147_nation_year_profit": q147_nation_year_profit,
+    "q148_important_parts": q148_important_parts,
+    "q149_order_count_distribution": q149_order_count_distribution,
+    "q150_top_revenue_supplier": q150_top_revenue_supplier,
+    "q151_supplier_census": q151_supplier_census,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8564,4 +8825,9 @@ ORACLE_SQL: dict[str, str] = {
     "q144_transition_rollup": Q144_SQL,
     "q145_trimmed_mean": Q145_SQL,
     "q146_activity_rank_correlation": Q146_SQL,
+    "q147_nation_year_profit": Q147_SQL,
+    "q148_important_parts": Q148_SQL,
+    "q149_order_count_distribution": Q149_SQL,
+    "q150_top_revenue_supplier": Q150_SQL,
+    "q151_supplier_census": Q151_SQL,
 }

@@ -997,3 +997,67 @@ def test_q146_spearman_reduced_windows(spark):
     assert _n_exchanges(df) == 2, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q147_profit_single_rollup_exchange(spark):
+    """Q9 shape: part (LIKE-filtered dim-side), supplier, nation, and
+    orders all broadcast into the lineitem scan; the only shuffle is
+    the final (nation, year) rollup."""
+    df = QUERIES["q147_nation_year_profit"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q148_single_corpus_scan_scalar_broadcast(spark):
+    """Q11 shape: per_part localCheckpoints so the corpus parquet is
+    scanned exactly once; the (total, n) scalar rides a 1-row BNLJ
+    broadcast; the keep test is integer-only."""
+    df = QUERIES["q148_important_parts"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q149_distribution_two_reducing_exchanges(spark):
+    """Q13 shape: priority filter pushed to the orders scan, broadcast
+    LEFT join preserving no-match customers, then per-customer count
+    (exchange #1) and the histogram over the customer-sized relation
+    (exchange #2)."""
+    df = QUERIES["q149_order_count_distribution"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "1-URGENT" in plan, plan  # filter reached the scan side
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q150_argmax_no_sort_no_rescan(spark):
+    """Q15 shape: global argmax via scalar-max broadcast equality join
+    — no global Sort, no TakeOrdered/LIMIT, and the corpus aggregate is
+    localCheckpointed (only the supplier dim parquet appears in the
+    final plan)."""
+    df = QUERIES["q150_top_revenue_supplier"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "TakeOrdered" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q151_null_aware_anti_join(spark):
+    """Q16 shape: NOT IN plans as a broadcast null-aware LeftAnti (not
+    a cartesian fallback); part broadcasts with the brand filter
+    dim-side; COUNT(DISTINCT) is the standard two-phase distinct
+    aggregate (two reducing exchanges)."""
+    df = QUERIES["q151_supplier_census"](spark, SF)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_exchanges(df) == 2, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

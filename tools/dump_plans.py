@@ -134,6 +134,9 @@ def main() -> None:
     dormant = QUERIES["q140_dormant_high_balance"](spark, SF)
     colloc = QUERIES["q142_bigram_collocations"](spark, SF)
     sweep = QUERIES["q143_order_concurrency"](spark, SF)
+    profit = QUERIES["q147_nation_year_profit"](spark, SF)
+    important = QUERIES["q148_important_parts"](spark, SF)
+    census = QUERIES["q151_supplier_census"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -592,6 +595,21 @@ def main() -> None:
             "q143 sweep line: one span join + explode deltas; running "
             "window and month rollup on the calendar-sized relation",
             sweep,
+        ),
+        (
+            "q147 Q9 shape: part/supplier/nation/orders all broadcast "
+            "into the lineitem scan; ONE rollup exchange",
+            profit,
+        ),
+        (
+            "q148 Q11 shape: per_part localCheckpointed (single corpus "
+            "scan); (total, n) scalar BNLJ broadcast; integer keep test",
+            important,
+        ),
+        (
+            "q151 Q16 shape: NOT IN as broadcast null-aware LeftAnti; "
+            "two-phase COUNT(DISTINCT)",
+            census,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
