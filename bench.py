@@ -40,6 +40,27 @@ def ensure_corpus(spark, n_convs: int, seed: int = 42) -> str:
     return path
 
 
+def ensure_corpus_slice(spark, start: int, count: int, seed: int = 42) -> str:
+    """Materialize conversations with ids [start, start+count) — id-disjoint
+    from ensure_corpus(n) whenever start >= n — for the streaming
+    trigger-size study's incremental deltas. Cached like ensure_corpus."""
+    from pyspark.sql import functions as F
+
+    from dedup.fixtures import gen_transcripts
+
+    path = (
+        f"{tempfile.gettempdir()}/dedup_bench_slice_{start}_{count}_s{seed}"
+    )
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        gen_transcripts(
+            spark, start + count, seed=seed, partitions=max(16, (start + count) // 500)
+        ).filter(F.col("conv_id") >= f"c{start:08d}").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def _probe_effective_cores(n: int = 16) -> float:
     """How many cores the time-shared host grants right now (spin-burn in a
     process pool; see BENCH/run_scaling.py)."""
@@ -307,6 +328,55 @@ def main() -> None:
         extras["stream_incr_turns"] = incr_turns
         extras["stream_incr_turns_per_sec"] = round(incr_turns / incr_walls[1], 1)
         extras["stream_n_clusters"] = n_stream_clusters
+
+        # --- trigger-size study (VERDICT r4 #2): the same-sized delta
+        # drained as 8 micro-batches (maxFilesPerTrigger=1 over 8 files)
+        # vs ONE micro-batch (maxFilesPerTrigger=8), so the per-micro-batch
+        # fixed cost (planning + per-trigger state part reads) is on record
+        # next to the merge's O(delta) compute. One bootstrap per rep, two
+        # fresh same-generator deltas per rep; which delta gets which
+        # trigger size alternates across reps so the (tiny) corpus-growth
+        # bias between first and second drain cancels in the medians. ---
+        mft_walls: dict[int, list[float]] = {1: [], 8: []}
+        extra_a = ensure_corpus_slice(spark, n_convs, n_convs // 20)
+        extra_b = ensure_corpus_slice(
+            spark, n_convs + n_convs // 20, n_convs // 20
+        )
+        mft_turns = {
+            1: spark.read.parquet(extra_a).count(),
+            8: spark.read.parquet(extra_b).count(),
+        }
+        for rep in range(3):
+            sdir = tempfile.mkdtemp(prefix="dedup_bench_mft_", dir=state_dir)
+            in_dir = tempfile.mkdtemp(prefix="dedup_bench_mftin_", dir=state_dir)
+            boot.repartition(8, "conv_id").write.mode("append").parquet(in_dir)
+            stream_dedup(spark, in_dir, sdir, cfg)  # untimed bootstrap
+            order = [(1, extra_a), (8, extra_b)] if rep % 2 == 0 else [
+                (8, extra_b), (1, extra_a)
+            ]
+            for mft, delta_path in order:
+                spark.read.parquet(delta_path).repartition(
+                    8, "conv_id"
+                ).write.mode("append").parquet(in_dir)
+                t0 = time.monotonic()
+                stream_dedup(spark, in_dir, sdir, cfg, max_files_per_trigger=mft)
+                mft_walls[mft].append(time.monotonic() - t0)
+            shutil.rmtree(sdir, ignore_errors=True)
+            shutil.rmtree(in_dir, ignore_errors=True)
+        for mft in (1, 8):
+            mft_walls[mft].sort()
+            wall = mft_walls[mft][1]
+            queries[f"stream_drain_mft{mft}"] = round(wall, 3)
+            extras[f"stream_drain_mft{mft}_turns_per_sec"] = round(
+                mft_turns[mft] / wall, 1
+            )
+        # 8 triggers vs 1 trigger over the same-sized delta -> 7 extra
+        # micro-batch fixed costs
+        extras["stream_per_batch_fixed_sec"] = round(
+            max(queries["stream_drain_mft1"] - queries["stream_drain_mft8"], 0.0)
+            / 7,
+            3,
+        )
 
     # --- representative relational/operator queries ---
     # median of 3 runs each: single runs on this time-shared host swing

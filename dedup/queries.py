@@ -8290,7 +8290,13 @@ def q147_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        # ADVICE r4: broadcast the (key, date) projection explicitly — at
+        # tiny SFs auto-broadcast hid that the docstring's claim wasn't in
+        # the code, and at real scale this join silently became a shuffle
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy(
             F.col("n_name").alias("supp_nation"),
             F.year("o_orderdate").cast("int").alias("order_year"),
@@ -8326,7 +8332,17 @@ def q148_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     value — a scale-invariant threshold, where Q11's fraction-of-total
     would degenerate to the empty set as the part count grows), so the
     verdict bit never touches a double; value units are cents·quantity
-    exact bigints. The reported share is ONE double division.
+    exact bigints, and the cross-multiplication is widened to
+    DECIMAL(38,0) / HUGEINT so it stays exact where three-BIGINT
+    products would wrap int64 at large SFs (ADVICE r4: Spark non-ANSI
+    wraps silently while DuckDB raises — the engines would diverge).
+    The reported share is ONE double division.
+
+    NOTE (ADVICE r4): the .localCheckpoint() single-scan pin executes
+    the per-part aggregation EAGERLY at DataFrame-construction time —
+    a benchmark must time the builder call, not just actions on the
+    returned frame (bench.py's headline set doesn't include q148/q150;
+    see BENCH/NOTES.md).
 
     Scale shape: one per-partkey partial-agg exchange; per_part is
     localCheckpointed so the corpus parquet is scanned exactly ONCE
@@ -8348,7 +8364,10 @@ def q148_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value_units") * 4 * F.col("_n") > F.col("_total") * 5)
+        .filter(
+            F.col("value_units").cast("decimal(38,0)") * 4 * F.col("_n")
+            > F.col("_total").cast("decimal(38,0)") * 5
+        )
         .select(
             "l_partkey",
             F.col("value_units").cast("long").alias("value_units"),
@@ -8372,8 +8391,8 @@ WITH per_part AS (
 )
 SELECT l_partkey, value_units,
        CAST(value_units AS DOUBLE) / CAST(total AS DOUBLE) AS share
-FROM per_part, tot
-WHERE value_units * 4 * n > total * 5
+FROM per_part CROSS JOIN tot
+WHERE CAST(value_units AS HUGEINT) * 4 * n > CAST(total AS HUGEINT) * 5
 """
 
 
@@ -8429,7 +8448,13 @@ def q150_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: quarter predicate pushed to the lineitem scan; ONE
     per-supplier partial-agg exchange, localCheckpointed so the corpus
     is scanned exactly once across the max and join consumers; max
-    scalar and the supplier dim both broadcast."""
+    scalar and the supplier dim both broadcast.
+
+    NOTE (ADVICE r4): the .localCheckpoint() single-scan pin executes
+    the per-supplier aggregation EAGERLY at DataFrame-construction time
+    — a benchmark must time the builder call, not just actions on the
+    returned frame (bench.py's headline set doesn't include q148/q150;
+    see BENCH/NOTES.md)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -8473,8 +8498,9 @@ WITH per_supp AS (
 )
 SELECT s_suppkey, s_name, rev_units,
        CAST(rev_units AS DOUBLE) / 10000.0 AS total_revenue
-FROM per_supp, mx
+FROM per_supp
 JOIN supplier ON l_suppkey = s_suppkey
+CROSS JOIN mx
 WHERE rev_units = _mx
 """
 

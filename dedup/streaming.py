@@ -492,6 +492,55 @@ def dirty_conversations(spark: SparkSession, stream_dir: str) -> DataFrame:
     return _read_parts(spark, parts).distinct()
 
 
+def _multiplicity_turns(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Re-read the input directory with delivery duplicates collapsed.
+
+    The stream is at-least-once: a redelivered file leaves byte-identical
+    rows in the input dir. Those are delivery duplicates and must collapse
+    — but only ACROSS files: byte-identical duplicate rows WITHIN one file
+    are the W2 duplicate-turn ambiguity (a micro-batch sees them as two
+    rows and quarantines the conversation), so compaction must reproduce
+    each row at its maximum per-file multiplicity, not at 1 (ADVICE r3: a
+    blanket dropDuplicates() silently re-clustered such conversations,
+    breaking one-shot equivalence).
+
+    SCALE CONTRACT (VERDICT r4 #1): the two multiplicity aggregations here
+    group on the FULL input, and `compact_reopen(scope="dirty")`'s O(dirty)
+    claim holds only because Catalyst's PushDownLeftSemiAntiJoin pushes the
+    downstream conv_id semi-join (see `_scope_to`) below BOTH aggregates —
+    the grouping keys contain conv_id, so the rewrite is legal and the
+    exchange carries only the scoped conversations' rows. That property is
+    pinned by tests/test_compact_scale.py (plan shape + flat shuffle-record
+    counts under a 4x input history); keep conv_id in every grouping set
+    here or the dirty scope silently regresses to an O(input-history)
+    shuffle per compaction.
+    """
+    raw = (
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("_f", F.input_file_name())
+    )
+    cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    turns = (
+        raw.groupBy(*cols, "_f")
+        .agg(F.count("*").alias("_m_file"))
+        .groupBy(*cols)
+        .agg(F.max("_m_file").alias("_m"))
+        .select(*cols, F.explode(F.expr("sequence(1, _m)")).alias("_i"))
+        .drop("_i")
+    )
+    return turns.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
+
+
+def _scope_to(turns: DataFrame, conv_ids: DataFrame) -> DataFrame:
+    """Restrict the multiplicity-collapsed turn view to a (small) conv_id
+    set via a broadcast semi-join — written so the optimizer pushes it
+    below `_multiplicity_turns`' aggregates (see that docstring)."""
+    return turns.join(F.broadcast(conv_ids), "conv_id", "left_semi")
+
+
 def compact_reopen(
     spark: SparkSession,
     input_dir: str,
@@ -532,38 +581,14 @@ def compact_reopen(
         return 0
     prior = _prior_state(spark, manifest)
 
-    # The stream is at-least-once: a redelivered file leaves byte-identical
-    # rows in the input dir. Those are delivery duplicates and must collapse
-    # — but only ACROSS files: byte-identical duplicate rows WITHIN one file
-    # are the W2 duplicate-turn ambiguity (a micro-batch sees them as two
-    # rows and quarantines the conversation), so compaction must reproduce
-    # each row at its maximum per-file multiplicity, not at 1 (ADVICE r3: a
-    # blanket dropDuplicates() silently re-clustered such conversations,
-    # breaking one-shot equivalence).
-    raw = (
-        spark.read.schema(TRANSCRIPT_SCHEMA)
-        .parquet(input_dir)
-        .withColumn("_f", F.input_file_name())
-    )
-    cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
-    turns = (
-        raw.groupBy(*cols, "_f")
-        .agg(F.count("*").alias("_m_file"))
-        .groupBy(*cols)
-        .agg(F.max("_m_file").alias("_m"))
-        .select(*cols, F.explode(F.expr("sequence(1, _m)")).alias("_i"))
-        .drop("_i")
-    )
-    nullsafe = turns.filter(
-        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
-    )
+    nullsafe = _multiplicity_turns(spark, input_dir)
     # the hash probe reads only the candidate scope; the re-ingest below
     # must stay unrestricted (a touched cluster member need not be dirty)
     probe = nullsafe
     prior_h = prior.docs.select("conv_id", F.xxhash64("doc_text").alias("_h_old"))
     if scope == "dirty":
         dirty_ids = _read_parts(spark, dirty_parts).distinct()
-        probe = nullsafe.join(F.broadcast(dirty_ids), "conv_id", "left_semi")
+        probe = _scope_to(nullsafe, dirty_ids)
         # the hash diff then compares dirty-sized sets on both sides — the
         # promoted docs are scanned with a broadcast probe, not shuffled
         prior_h = prior_h.join(F.broadcast(dirty_ids), "conv_id", "left_semi")
@@ -608,7 +633,7 @@ def compact_reopen(
     )
     out = merge_with_prior(
         spark,
-        nullsafe.join(reopen, "conv_id", "left_semi"),
+        _scope_to(nullsafe, reopen),
         view,
         config,
         stream_dir,

@@ -428,6 +428,23 @@ def test_stream_config_binding_in_manifest(spark):
     # original config still works
     assert current_clusters(spark, stream_dir).count() == 40
 
+    # the stream_dedup entry point itself must refuse too (VERDICT r4 #6):
+    # the drain surfaces the foreachBatch refusal via awaitTermination, and
+    # the failed micro-batch's offset stays uncommitted, so the original
+    # config can still drain the same file afterwards
+    more = (
+        gen_transcripts(spark, 60, seed=41, partitions=2, edge_rows=False)
+        .filter(F.col("conv_id") >= "c00000040")
+        .localCheckpoint()
+    )
+    more.coalesce(1).write.mode("append").parquet(tmp)
+    with pytest.raises(Exception, match="config-bound"):
+        stream_dedup(spark, tmp, stream_dir, cfg_b)
+    stream_dedup(spark, tmp, stream_dir, cfg_a)
+    after = current_clusters(spark, stream_dir)
+    assert after.filter(F.col("conv_id") >= "c00000040").count() > 0
+    assert after.count() >= 40
+
 
 def test_compact_preserves_intra_file_duplicate_quarantine(spark):
     """ADVICE r3: a byte-identical duplicate (conv_id, turn_idx) row WITHIN
