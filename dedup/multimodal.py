@@ -7,9 +7,9 @@ mapInPandas.
 coverage (color types 0/2/3/4/6, depths 1/2/4/8/16, sequential and Adam7
 interlaced — stdlib zlib inflate + the five public scanline filters),
 baseline and progressive JPEG (dedup/jpeg.py), GIF87a/89a (dedup/gif.py),
-and lossless WebP/VP8L (dedup/webp.py). Only lossy-WebP/VP8 remains a
-guarded NotImplementedError; a deterministic fake decoder stays available
-for synthetic fixtures. The Spark-side plumbing — schema, partitioning,
+lossless WebP/VP8L (dedup/webp.py), and lossy WebP/VP8 keyframes
+(dedup/vp8.py, bit-exact YUV vs the system libwebp). A deterministic fake
+decoder stays available for synthetic fixtures. The Spark-side plumbing — schema, partitioning,
 UDF signatures, batch shapes — is real and tested
 (tests/test_multimodal.py): swapping in a codec library is a one-function
 change that does not touch the distributed plan.
@@ -376,14 +376,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         from .webp import decode_webp
 
-        # pure-stdlib/numpy VP8L decoder (webp.py, RFC 9649): full
-        # lossless stream (transforms/cache/meta-Huffman/2D-LZ77);
-        # lossy VP8 raises inside (a full video codec is out of scope)
+        # pure-stdlib/numpy decoders: VP8L (webp.py, RFC 9649 — full
+        # lossless stream) and lossy VP8 keyframes (vp8.py, RFC 6386 —
+        # YUV surface verified bit-exact against the system libwebp)
         return decode_webp(b)[:, :, :3]
     raise NotImplementedError(
         "remaining formats require PIL/cv2 (unavailable in this "
         "container); supported here: PPM, BMP, PNG (all static variants), "
-        "baseline/progressive JPEG, GIF, lossless WebP (VP8L)"
+        "baseline/progressive JPEG, GIF, WebP (lossless VP8L and lossy VP8)"
     )
 
 

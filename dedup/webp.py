@@ -5,8 +5,9 @@ Closes the WebP seam of the multimodal path: VP8L is Huffman + 2D-LZ77 +
 reversible pixel transforms, so — like the PNG, GIF, baseline-JPEG and
 FLAC codecs in this repo — it decodes for real inside ``featurize_media``
 without PIL/cv2. Lossy WebP (VP8 intra-frame coding: boolean arithmetic
-coder + DCT + loop filter) stays behind the guarded NotImplementedError in
-multimodal.py — that is a different, far larger codec.
+coder + DCT + loop filter) is decoded by dedup/vp8.py (RFC 6386 keyframe
+decoder, verified bit-exact at the YUV surface against the system libwebp)
+and dispatched from ``decode_webp`` below.
 
 Decoder implements the full still-image stream: all four transforms
 (predictor with its 14 modes, color, subtract-green, color-indexing with
@@ -510,11 +511,14 @@ def decode_webp(data: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8 intra-frame: boolean coder + DCT) requires "
-                "a full video-codec implementation; lossless VP8L is "
-                "supported here"
-            )
+            from .vp8 import decode_vp8, yuv_to_rgb
+
+            y, u, v = decode_vp8(payload)
+            rgb = yuv_to_rgb(y, u, v)
+            rgba = np.empty((*y.shape, 4), np.uint8)
+            rgba[:, :, :3] = rgb
+            rgba[:, :, 3] = 255
+            return rgba
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L/VP8 chunk in WebP container")
 

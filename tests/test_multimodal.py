@@ -22,10 +22,10 @@ from dedup.multimodal import (
 
 
 def test_decode_unknown_format_raises():
-    # lossy VP8 (well-formed chunk) is the one WebP flavor still needing a
-    # real video codec; lossless VP8L decodes (test_webp.py)
+    # lossy VP8 dispatches to the RFC 6386 decoder (test_vp8.py); a
+    # truncated chunk is a clean error, not a misparse
     lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="truncated VP8"):
         decode_image(lossy)
     # a WebP container with no image chunk at all is malformed, not a stub
     with pytest.raises(ValueError, match="no VP8L/VP8 chunk"):

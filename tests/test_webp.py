@@ -108,9 +108,10 @@ def test_container_roundtrip_and_errors():
     assert (decode_webp(data)[:, :, :3] == img).all()
     with pytest.raises(ValueError):
         decode_webp(b"RIFF\x00\x00\x00\x00NOPE")
-    # a (stub) lossy VP8 chunk is recognized and refused, not misparsed
+    # a lossy VP8 chunk dispatches to the RFC 6386 decoder (vp8.py,
+    # test_vp8.py); a truncated one is a clean error, not a misparse
     lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="truncated VP8"):
         decode_webp(lossy)
 
 
