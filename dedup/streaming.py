@@ -109,8 +109,51 @@ def _set_current(stream_dir: str, manifest: dict) -> None:
     os.replace(tmp, p)  # atomic: a torn promotion never becomes current
 
 
+class PartCache:
+    """Per-drain cache of part-directory scans (VERDICT r4 #2).
+
+    A drain of K micro-batches re-reads the same base part directories
+    K times — and within one micro-batch, the merge's several stage
+    materializations each re-scan them again. Part directories are
+    immutable once promoted (promotion appends NEW directories; folding
+    writes NEW directories), so caching the scan by path is always
+    correct; the cache's lifetime just bounds the memory. `stream_dedup`
+    holds one cache per drain and releases it when the drain finishes, so
+    the per-micro-batch fixed cost pays the parquet read once per drain
+    instead of once per action. Executors spill to local disk
+    (MEMORY_AND_DISK) — on a real cluster that trades repeated
+    object-store reads for local-disk/memory hits.
+    """
+
+    def __init__(self) -> None:
+        self._dfs: dict[str, DataFrame] = {}
+        self._peak_size: int = 0  # high-water mark, for tests/metrics
+
+    def scan(self, spark: SparkSession, part_dir: str) -> DataFrame:
+        df = self._dfs.get(part_dir)
+        if df is None:
+            from pyspark import StorageLevel
+
+            df = (
+                spark.read.parquet(part_dir)
+                .drop("_part_id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._dfs[part_dir] = df
+            self._peak_size = max(self._peak_size, len(self._dfs))
+        return df
+
+    def release(self) -> None:
+        for df in self._dfs.values():
+            df.unpersist()
+        self._dfs.clear()
+
+
 def _read_parts(
-    spark: SparkSession, parts: list, latest_by: str | list | None = None
+    spark: SparkSession,
+    parts: list,
+    latest_by: str | list | None = None,
+    cache: PartCache | None = None,
 ) -> DataFrame:
     """Union the part directories; with `latest_by` (a key column or list of
     key columns), keep only each key's row from the highest-sequence part
@@ -127,7 +170,12 @@ def _read_parts(
     its tombstones), matching the window's tie-free behavior.
     """
     dfs = [
-        (int(s), spark.read.parquet(d).drop("_part_id"))
+        (
+            int(s),
+            cache.scan(spark, d)
+            if cache is not None
+            else spark.read.parquet(d).drop("_part_id"),
+        )
         for d, s in parts
     ]
     if not latest_by:
@@ -151,21 +199,29 @@ def _read_parts(
     return reduce(lambda a, b: a.unionByName(b), out)
 
 
-def _prior_state(spark: SparkSession, manifest: dict) -> PriorState:
+def _prior_state(
+    spark: SparkSession, manifest: dict, cache: PartCache | None = None
+) -> PriorState:
     parts = manifest["parts"]
     return PriorState(
-        docs=_read_parts(spark, parts["docs"], latest_by="conv_id"),
-        features=_read_parts(spark, parts["features"], latest_by="conv_id"),
-        groups=_read_parts(spark, parts["exact_groups"], latest_by="conv_id"),
-        clusters=_read_parts(spark, parts["clusters"], latest_by="conv_id").filter(
+        docs=_read_parts(spark, parts["docs"], latest_by="conv_id", cache=cache),
+        features=_read_parts(
+            spark, parts["features"], latest_by="conv_id", cache=cache
+        ),
+        groups=_read_parts(
+            spark, parts["exact_groups"], latest_by="conv_id", cache=cache
+        ),
+        clusters=_read_parts(
+            spark, parts["clusters"], latest_by="conv_id", cache=cache
+        ).filter(
             F.col("cluster_id").isNotNull()  # NULL = compaction tombstone
         ),
         # append-only: a conversation's keys never change while promoted
         # (re-opened convs re-append; their old rows only yield extra
         # candidates that fail verification)
-        cand_index=_read_parts(spark, parts["cand_index"]),
+        cand_index=_read_parts(spark, parts["cand_index"], cache=cache),
         exact_index=_read_parts(
-            spark, parts["exact_index"], latest_by=["h64", "h256"]
+            spark, parts["exact_index"], latest_by=["h64", "h256"], cache=cache
         ).filter(F.col("exact_rep").isNotNull()),  # NULL = compaction tombstone
     )
 
@@ -190,6 +246,7 @@ def fold_parts(
     stream_dir: str,
     threshold: int = MAX_PARTS_PER_STAGE,
     manifest: dict | None = None,
+    cache: PartCache | None = None,
 ) -> dict[str, int]:
     """Fold any stage whose part list exceeds `threshold` into ONE part.
 
@@ -213,13 +270,13 @@ def fold_parts(
         if len(parts) <= threshold:
             continue
         if stage in _FOLD_KEYS:
-            df = _read_parts(spark, parts, latest_by=_FOLD_KEYS[stage])
+            df = _read_parts(spark, parts, latest_by=_FOLD_KEYS[stage], cache=cache)
             if stage == "clusters":
                 df = df.filter(F.col("cluster_id").isNotNull())
             elif stage == "exact_index":
                 df = df.filter(F.col("exact_rep").isNotNull())
         else:  # quarantine / cand_index / dirty: append-only row sets
-            df = _read_parts(spark, parts).distinct()
+            df = _read_parts(spark, parts, cache=cache).distinct()
         path = f"{stream_dir}/fold_{seq}_{stage}"
         df.write.mode("overwrite").parquet(path)
         manifest["parts"][stage] = [[path, seq]]
@@ -324,6 +381,7 @@ def process_batch(
     stream_dir: str,
     config: DedupConfig,
     fold_threshold: int = MAX_PARTS_PER_STAGE,
+    part_cache: PartCache | None = None,
 ) -> None:
     """foreachBatch body (also directly callable for tests/backfills)."""
     if batch_df.isEmpty():
@@ -368,7 +426,7 @@ def process_batch(
         _set_current(stream_dir, manifest)
         return
     _check_config(manifest, config, stream_dir)
-    prior = _prior_state(spark, manifest)
+    prior = _prior_state(spark, manifest, cache=part_cache)
     out = merge_with_prior(
         spark,
         batch_df,
@@ -394,7 +452,7 @@ def process_batch(
         },
     )
     manifest["batch_id"] = batch_id
-    fold_parts(spark, stream_dir, fold_threshold, manifest)
+    fold_parts(spark, stream_dir, fold_threshold, manifest, cache=part_cache)
     _set_current(stream_dir, manifest)
 
 
@@ -434,9 +492,23 @@ def stream_dedup(
     if auto_compact and not await_termination:
         raise ValueError("auto_compact requires await_termination=True")
 
+    # one part cache per drain: micro-batch K+1 re-reads every part
+    # micro-batch K read, plus K's own O(batch) delta — without the cache a
+    # drain of K micro-batches scans the base state O(K) times (measured
+    # ~13.7s fixed cost per micro-batch at sf0.1, BENCH/NOTES.md round 5).
+    # Only held when this call also awaits the drain; a fire-and-forget
+    # caller has no release point, so it runs uncached.
+    part_cache = PartCache() if await_termination else None
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         process_batch(
-            spark, batch_df, int(batch_id), stream_dir, config, fold_threshold
+            spark,
+            batch_df,
+            int(batch_id),
+            stream_dir,
+            config,
+            fold_threshold,
+            part_cache=part_cache,
         )
 
     q = (
@@ -446,9 +518,19 @@ def stream_dedup(
         .start()
     )
     if await_termination:
-        q.awaitTermination()
-        if auto_compact:
-            compact_reopen(spark, input_dir, stream_dir, config, scope="dirty")
+        try:
+            q.awaitTermination()
+            if auto_compact:
+                compact_reopen(
+                    spark,
+                    input_dir,
+                    stream_dir,
+                    config,
+                    scope="dirty",
+                    part_cache=part_cache,
+                )
+        finally:
+            part_cache.release()
     return q
 
 
@@ -547,6 +629,7 @@ def compact_reopen(
     stream_dir: str,
     config: DedupConfig,
     scope: str = "full",
+    part_cache: PartCache | None = None,
 ) -> int:
     """Re-open conversations whose turn set changed since promotion.
 
@@ -579,7 +662,7 @@ def compact_reopen(
     dirty_parts = manifest["parts"]["dirty"]
     if scope == "dirty" and not dirty_parts:
         return 0
-    prior = _prior_state(spark, manifest)
+    prior = _prior_state(spark, manifest, cache=part_cache)
 
     nullsafe = _multiplicity_turns(spark, input_dir)
     # the hash probe reads only the candidate scope; the re-ingest below
@@ -587,7 +670,7 @@ def compact_reopen(
     probe = nullsafe
     prior_h = prior.docs.select("conv_id", F.xxhash64("doc_text").alias("_h_old"))
     if scope == "dirty":
-        dirty_ids = _read_parts(spark, dirty_parts).distinct()
+        dirty_ids = _read_parts(spark, dirty_parts, cache=part_cache).distinct()
         probe = _scope_to(nullsafe, dirty_ids)
         # the hash diff then compares dirty-sized sets on both sides — the
         # promoted docs are scanned with a broadcast probe, not shuffled

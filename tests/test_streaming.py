@@ -74,6 +74,64 @@ def test_stream_matches_one_shot_pipeline(spark):
     assert _clusters_canonical(streamed) == _clusters_canonical(ref)
 
 
+def test_drain_part_cache_reused_and_released(spark, monkeypatch):
+    """VERDICT r4 #2: a drain holds ONE PartCache — part scans are persisted
+    on first read, reused across micro-batches (same DataFrame object per
+    part directory), and the cache is released when the drain returns, so a
+    long-lived session never accumulates drain-cache blocks. (The pipeline's
+    own per-round localCheckpoint blocks stay pinned until GC by design, so
+    the assertions target exactly what the cache created — not a global
+    "no persistent RDDs" claim.)"""
+    import dedup.streaming as streaming_mod
+    from dedup.streaming import PartCache, _read_parts
+
+    def persistent_ids(spark) -> set[int]:
+        return {
+            int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        }
+
+    # capture the cache stream_dedup builds for the drain
+    captured: list[PartCache] = []
+    real_init = PartCache.__init__
+
+    def spy_init(self) -> None:
+        real_init(self)
+        captured.append(self)
+
+    monkeypatch.setattr(streaming_mod.PartCache, "__init__", spy_init)
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    corpus = gen_transcripts(
+        spark, 80, seed=71, partitions=4, edge_rows=False
+    ).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="stream_in_pc_")
+    stream_dir = tempfile.mkdtemp(prefix="stream_state_pc_")
+    corpus.repartition(4, "conv_id").write.mode("append").parquet(tmp)
+
+    # 4 files, 1 per trigger: bootstrap + 3 incremental micro-batches all
+    # share the drain's cache
+    stream_dedup(spark, tmp, stream_dir, cfg, max_files_per_trigger=1)
+    assert len(captured) == 1, "one drain = one PartCache"
+    assert captured[0]._peak_size > 0, "the incremental batches must hit the cache"
+    assert captured[0]._dfs == {}, "stream_dedup must release its drain cache"
+    assert current_clusters(spark, stream_dir).count() == 80
+
+    # unit-level reuse: same part dir -> same cached DataFrame object, and
+    # release() unpersists exactly the blocks the cache created (baseline
+    # taken AFTER the drain, so pipeline checkpoint blocks are excluded)
+    manifest = current_state(stream_dir)
+    base = persistent_ids(spark)
+    cache = PartCache()
+    a = _read_parts(spark, manifest["parts"]["docs"], cache=cache)
+    b = _read_parts(spark, manifest["parts"]["docs"], cache=cache)
+    assert a.count() == b.count() == 80
+    assert len(cache._dfs) == len(manifest["parts"]["docs"])
+    mid = persistent_ids(spark)
+    assert mid - base, "cache.scan must persist the part scans"
+    cache.release()
+    assert persistent_ids(spark) - base == set()
+
+
 def test_stream_promotion_is_delta_sized(spark):
     """Bytes written per micro-batch must scale with the batch, not the
     corpus (VERDICT r2 #2: the old promotion rewrote docs/features/
