@@ -40,27 +40,6 @@ def ensure_corpus(spark, n_convs: int, seed: int = 42) -> str:
     return path
 
 
-def ensure_corpus_slice(spark, start: int, count: int, seed: int = 42) -> str:
-    """Materialize conversations with ids [start, start+count) — id-disjoint
-    from ensure_corpus(n) whenever start >= n — for the streaming
-    trigger-size study's incremental deltas. Cached like ensure_corpus."""
-    from pyspark.sql import functions as F
-
-    from dedup.fixtures import gen_transcripts
-
-    path = (
-        f"{tempfile.gettempdir()}/dedup_bench_slice_{start}_{count}_s{seed}"
-    )
-    marker = f"{path}/_SUCCESS"
-    if not os.path.exists(marker):
-        gen_transcripts(
-            spark, start + count, seed=seed, partitions=max(16, (start + count) // 500)
-        ).filter(F.col("conv_id") >= f"c{start:08d}").write.mode(
-            "overwrite"
-        ).parquet(path)
-    return path
-
-
 def _probe_effective_cores(n: int = 16) -> float:
     """How many cores the time-shared host grants right now (spin-burn in a
     process pool; see BENCH/run_scaling.py)."""
@@ -333,31 +312,27 @@ def main() -> None:
         # drained as 8 micro-batches (maxFilesPerTrigger=1 over 8 files)
         # vs ONE micro-batch (maxFilesPerTrigger=8), so the per-micro-batch
         # fixed cost (planning + per-trigger state part reads) is on record
-        # next to the merge's O(delta) compute. One bootstrap per rep, two
-        # fresh same-generator deltas per rep; which delta gets which
-        # trigger size alternates across reps so the (tiny) corpus-growth
-        # bias between first and second drain cancels in the medians. ---
+        # next to the merge's O(delta) compute. Deltas are two disjoint
+        # crc32 buckets of the full corpus (same family mix and size as the
+        # incr study's delta — an id-range slice would fall entirely in the
+        # generator's single-turn flood band and measure a degenerate
+        # batch); the pairing delta<->trigger size is fixed, and the DRAIN
+        # ORDER alternates across reps so the (tiny) corpus-growth bias
+        # between first and second drain cancels in the medians. ---
         mft_walls: dict[int, list[float]] = {1: [], 8: []}
-        extra_a = ensure_corpus_slice(spark, n_convs, n_convs // 20)
-        extra_b = ensure_corpus_slice(
-            spark, n_convs + n_convs // 20, n_convs // 20
-        )
-        mft_turns = {
-            1: spark.read.parquet(extra_a).count(),
-            8: spark.read.parquet(extra_b).count(),
-        }
+        mft_boot = turns.filter(bucket >= 2)
+        mft_delta = {1: inc, 8: turns.filter(bucket == 1)}
+        mft_turns = {m: d.count() for m, d in mft_delta.items()}
         for rep in range(3):
             sdir = tempfile.mkdtemp(prefix="dedup_bench_mft_", dir=state_dir)
             in_dir = tempfile.mkdtemp(prefix="dedup_bench_mftin_", dir=state_dir)
-            boot.repartition(8, "conv_id").write.mode("append").parquet(in_dir)
+            mft_boot.repartition(8, "conv_id").write.mode("append").parquet(in_dir)
             stream_dedup(spark, in_dir, sdir, cfg)  # untimed bootstrap
-            order = [(1, extra_a), (8, extra_b)] if rep % 2 == 0 else [
-                (8, extra_b), (1, extra_a)
-            ]
-            for mft, delta_path in order:
-                spark.read.parquet(delta_path).repartition(
-                    8, "conv_id"
-                ).write.mode("append").parquet(in_dir)
+            order = [1, 8] if rep % 2 == 0 else [8, 1]
+            for mft in order:
+                mft_delta[mft].repartition(8, "conv_id").write.mode(
+                    "append"
+                ).parquet(in_dir)
                 t0 = time.monotonic()
                 stream_dedup(spark, in_dir, sdir, cfg, max_files_per_trigger=mft)
                 mft_walls[mft].append(time.monotonic() - t0)

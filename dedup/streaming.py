@@ -128,6 +128,8 @@ class PartCache:
     def __init__(self) -> None:
         self._dfs: dict[str, DataFrame] = {}
         self._peak_size: int = 0  # high-water mark, for tests/metrics
+        # stage -> (parts_key, df, checkpoint_rdd_id | None); see view()
+        self._views: dict[str, tuple] = {}
 
     def scan(self, spark: SparkSession, part_dir: str) -> DataFrame:
         df = self._dfs.get(part_dir)
@@ -143,10 +145,59 @@ class PartCache:
             self._peak_size = max(self._peak_size, len(self._dfs))
         return df
 
+    def view(self, stage: str, parts_key: tuple, build) -> DataFrame:
+        """Memoize a FLATTENED (localCheckpoint-ed) state view per batch.
+
+        A latest-by view is a window over the K-part union. Consumers that
+        probe it on the window's own partition key (conv_id) push their
+        broadcast semi-join below the window, so the scan is pruned to the
+        batch — cheap at any scale. But a consumer keyed on a DIFFERENT
+        column (the merge's touched-cluster lookup joins clusters on
+        cluster_id) cannot push below a conv_id-partitioned window, so
+        every such job re-evaluates the full union+window. Flattening the
+        view once per batch (lineage cut, blocks in the block store)
+        replaces several full-state window evaluations per micro-batch with
+        exactly one — strictly fewer O(state) passes at every scale. Keyed
+        by the part list: a new promotion invalidates (and unpersists) the
+        superseded view, so at most one copy per stage is ever held.
+        """
+        entry = self._views.get(stage)
+        if entry is not None and entry[0] == parts_key:
+            return entry[1]
+        if entry is not None:
+            self._unpersist_view(entry)
+        df = build().localCheckpoint(eager=True)
+        rdd_id = None
+        try:
+            # the persisted RDD is the analyzed plan's LogicalRDD (df.rdd
+            # would be a derived deserialization RDD) — same idiom as
+            # RunState._persist_stage
+            rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+        except Exception:
+            pass
+        self._views[stage] = (parts_key, df, rdd_id)
+        return df
+
+    @staticmethod
+    def _unpersist_view(entry: tuple) -> None:
+        _, df, rdd_id = entry
+        if rdd_id is None:
+            return
+        try:
+            jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            jrdd = jmap.get(rdd_id)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+
     def release(self) -> None:
         for df in self._dfs.values():
             df.unpersist()
         self._dfs.clear()
+        for entry in self._views.values():
+            self._unpersist_view(entry)
+        self._views.clear()
 
 
 def _read_parts(
@@ -203,6 +254,29 @@ def _prior_state(
     spark: SparkSession, manifest: dict, cache: PartCache | None = None
 ) -> PriorState:
     parts = manifest["parts"]
+
+    def build_clusters() -> DataFrame:
+        return _read_parts(
+            spark, parts["clusters"], latest_by="conv_id", cache=cache
+        ).filter(
+            F.col("cluster_id").isNotNull()  # NULL = compaction tombstone
+        )
+
+    # clusters is the one view whose hot consumer joins on cluster_id — a
+    # key the conv_id-partitioned latest-by window can't let a semi-join
+    # push below — so without flattening, every touched-cluster lookup
+    # re-evaluates the full union+window (measured 10x the flattened cost
+    # at 9 parts). docs/features/exact_index are probed on their own window
+    # keys, so their scans stay pruned-by-pushdown and uncheckpointed.
+    clusters = (
+        cache.view(
+            "clusters",
+            tuple(tuple(p) for p in parts["clusters"]),
+            build_clusters,
+        )
+        if cache is not None
+        else build_clusters()
+    )
     return PriorState(
         docs=_read_parts(spark, parts["docs"], latest_by="conv_id", cache=cache),
         features=_read_parts(
@@ -211,11 +285,7 @@ def _prior_state(
         groups=_read_parts(
             spark, parts["exact_groups"], latest_by="conv_id", cache=cache
         ),
-        clusters=_read_parts(
-            spark, parts["clusters"], latest_by="conv_id", cache=cache
-        ).filter(
-            F.col("cluster_id").isNotNull()  # NULL = compaction tombstone
-        ),
+        clusters=clusters,
         # append-only: a conversation's keys never change while promoted
         # (re-opened convs re-append; their old rows only yield extra
         # candidates that fail verification)

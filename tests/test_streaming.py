@@ -114,6 +114,7 @@ def test_drain_part_cache_reused_and_released(spark, monkeypatch):
     assert len(captured) == 1, "one drain = one PartCache"
     assert captured[0]._peak_size > 0, "the incremental batches must hit the cache"
     assert captured[0]._dfs == {}, "stream_dedup must release its drain cache"
+    assert captured[0]._views == {}, "stream_dedup must release its state views"
     assert current_clusters(spark, stream_dir).count() == 80
 
     # unit-level reuse: same part dir -> same cached DataFrame object, and
@@ -128,6 +129,24 @@ def test_drain_part_cache_reused_and_released(spark, monkeypatch):
     assert len(cache._dfs) == len(manifest["parts"]["docs"])
     mid = persistent_ids(spark)
     assert mid - base, "cache.scan must persist the part scans"
+
+    # flattened state views: same parts key -> same checkpointed object; a
+    # NEW parts key (next batch's promotion) rebuilds and unpersists the
+    # superseded view, so at most one copy per stage is ever held
+    from dedup.streaming import _prior_state
+
+    v1 = _prior_state(spark, manifest, cache=cache).clusters
+    v2 = _prior_state(spark, manifest, cache=cache).clusters
+    assert v1 is v2, "same parts key must memoize the clusters view"
+    assert v1.count() == 80
+    old_entry = cache._views["clusters"]
+    grown = dict(manifest, parts=dict(manifest["parts"]))
+    grown["parts"]["clusters"] = manifest["parts"]["clusters"] * 2  # new key
+    v3 = _prior_state(spark, grown, cache=cache).clusters
+    assert v3 is not v1, "a new parts key must rebuild the view"
+    if old_entry[2] is not None:  # superseded view's blocks are freed
+        assert old_entry[2] not in persistent_ids(spark)
+
     cache.release()
     assert persistent_ids(spark) - base == set()
 
