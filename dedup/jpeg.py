@@ -6,12 +6,13 @@ fully decodable with stdlib + numpy — marker parse, canonical Huffman
 entropy decode (16-bit lookahead table), dequantize, separable 8x8 IDCT as
 two matrix multiplies, chroma upsampling, and JFIF YCbCr→RGB.
 
-Scope: baseline (SOF0), extended-sequential (SOF1), and progressive (SOF2)
-Huffman JPEGs with integer subsampling ratios and 8-bit precision — the
-overwhelming majority of real-world files. Progressive scans implement
-spectral selection, successive approximation, and EOB-run coding
-(ITU-T.81 G.2), accumulating coefficients across scans before one
-vectorized IDCT. Hierarchical and arithmetic-coded variants raise
+Scope: baseline (SOF0), extended-sequential (SOF1), progressive (SOF2),
+and arithmetic-coded (SOF9/SOF10, via dedup/jpeg_arith.py's QM coder)
+JPEGs with integer subsampling ratios and 8-bit precision — the
+overwhelming majority of real-world files plus the arithmetic long tail.
+Progressive scans implement spectral selection, successive approximation,
+and EOB-run coding (ITU-T.81 G.2), accumulating coefficients across scans
+before one vectorized IDCT. Hierarchical and lossless variants raise
 NotImplementedError at a single guarded branch, same policy as the other
 decoders in multimodal.py.
 """
@@ -260,11 +261,15 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xC2:  # SOF2: progressive Huffman — own scan loop
             return _decode_progressive(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC9, 0xCA):  # SOF9/SOF10: arithmetic — own scan loop
+            from dedup.jpeg_arith import decode_arith_jpeg
+
+            return decode_arith_jpeg(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline/extended-sequential/progressive Huffman JPEG "
-                f"is supported (SOF marker 0xFF{marker:02X}: hierarchical/"
-                "arithmetic variants need a codec library)"
+                f"only baseline/extended-sequential/progressive/arithmetic "
+                f"DCT JPEG is supported (SOF marker 0xFF{marker:02X}: "
+                "hierarchical/lossless variants need a codec library)"
             )
         elif marker == 0xC4:  # DHT
             p = 0

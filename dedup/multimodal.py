@@ -6,7 +6,8 @@ mapInPandas.
 (24/32-bit true color, 8-bit paletted plain or RLE8), PNG with full static
 coverage (color types 0/2/3/4/6, depths 1/2/4/8/16, sequential and Adam7
 interlaced — stdlib zlib inflate + the five public scanline filters),
-baseline and progressive JPEG (dedup/jpeg.py), GIF87a/89a (dedup/gif.py),
+baseline, progressive, and arithmetic-coded JPEG (dedup/jpeg.py +
+dedup/jpeg_arith.py), GIF87a/89a (dedup/gif.py),
 lossless WebP/VP8L (dedup/webp.py), and lossy WebP/VP8 keyframes
 (dedup/vp8.py, bit-exact YUV vs the system libwebp). A deterministic fake
 decoder stays available for synthetic fixtures. The Spark-side plumbing — schema, partitioning,
@@ -363,9 +364,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if b[:2] == b"\xff\xd8":
         from .jpeg import decode_baseline_jpeg
 
-        # pure-numpy decoder (jpeg.py), baseline AND progressive: agrees
+        # pure-numpy decoder (jpeg.py): baseline/progressive Huffman agrees
         # with the JVM ImageIO reference to <1 mean abs level on real
-        # photos; hierarchical/arithmetic variants raise inside
+        # photos; arithmetic (SOF9/SOF10) routes to jpeg_arith.py, verified
+        # coefficient-exact against libjpeg; hierarchical raises inside
         return decode_baseline_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
