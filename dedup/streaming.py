@@ -39,6 +39,7 @@ import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from .config import DedupConfig
 from .incremental import PriorState, merge_with_prior
@@ -210,15 +211,21 @@ def _read_parts(
     key columns), keep only each key's row from the highest-sequence part
     (later parts supersede earlier).
 
-    Precedence is applied WITHOUT a corpus-wide window: every part beyond
-    the base is a batch-sized delta (streaming promotes O(batch) parts), so
-    each part is anti-joined against the broadcast key set of all
-    higher-seq parts. That keeps reading the state shuffle-free — a
-    row_number window over the union would re-shuffle the full corpus on
-    every micro-batch's prior-state read, which at 10^12 turns is the
-    difference between a scan and a sort of the world. Parts sharing one
+    Precedence never shuffles the corpus: the lowest-seq group (the
+    corpus-sized base) takes ONE broadcast anti-join against the key union
+    of every delta part, and the deltas — all batch-sized by construction
+    (streaming promotes O(batch) parts) — are flattened with one row_number
+    window that exchanges only delta rows. A window over the whole union
+    would re-shuffle the full corpus on every micro-batch's prior-state
+    read, which at 10^12 turns is the difference between a scan and a sort
+    of the world. Equally important, the plan stays O(K) in the part count:
+    the previous per-level anti-join chain (each level anti-joined against
+    the accumulated distinct keys of all newer levels) built an O(K^2) plan
+    with K nested distinct exchanges, and Catalyst re-analysis of that
+    shape made per-micro-batch cost GROW with drain length — measured 10s
+    -> 55s per batch by part 9, flat after this rewrite. Parts sharing one
     seq are key-disjoint by construction (a compaction's merge delta and
-    its tombstones), matching the window's tie-free behavior.
+    its tombstones), so the window is tie-free.
     """
     dfs = [
         (
@@ -236,18 +243,23 @@ def _read_parts(
     for s, df in dfs:
         by_seq[s] = by_seq[s].unionByName(df) if s in by_seq else df
     seqs = sorted(by_seq)
-    out = []
-    newer_keys: DataFrame | None = None  # keys of all strictly-newer parts
-    for s in reversed(seqs):
-        df = by_seq[s]
-        if newer_keys is not None:
-            df = df.join(F.broadcast(newer_keys), keys, "left_anti")
-        out.append(df)
-        lvl_keys = by_seq[s].select(*keys)
-        newer_keys = (
-            lvl_keys if newer_keys is None else newer_keys.unionByName(lvl_keys)
-        ).distinct()
-    return reduce(lambda a, b: a.unionByName(b), out)
+    base = by_seq[seqs[0]]
+    if len(seqs) == 1:
+        return base
+    delta_union = reduce(
+        lambda a, b: a.unionByName(b),
+        [by_seq[s].withColumn("_seq", F.lit(s)) for s in seqs[1:]],
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("_seq").desc())
+    flat_deltas = (
+        delta_union.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+    )
+    live_base = base.join(
+        F.broadcast(delta_union.select(*keys)), keys, "left_anti"
+    )
+    return live_base.unionByName(flat_deltas)
 
 
 def _prior_state(
@@ -297,8 +309,9 @@ def _prior_state(
 
 
 # a stage's part list is folded into one part once it exceeds this many
-# entries: reads stay O(parts) broadcast anti-joins, so the list must not
-# grow unboundedly with drain count (VERDICT r3 #2)
+# entries: reads stay one base anti-join + one delta-sized window, but the
+# delta union (and the broadcast key set) must not grow unboundedly with
+# drain count (VERDICT r3 #2)
 MAX_PARTS_PER_STAGE = 16
 
 # per-stage latest-wins keys for folding (None = row-level dedup)

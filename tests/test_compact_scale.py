@@ -129,3 +129,70 @@ def test_dirty_compaction_shuffle_is_dirty_sized_not_history_sized(spark):
     # deltas scale ~4x.
     assert w_big < 1.8 * max(w_small, 1), (w_small, w_big)
     assert r_big < 1.8 * max(r_small, 1), (r_small, r_big)
+
+
+def _parts_read_plan(spark, tmp_path, k_deltas: int) -> str:
+    """Physical plan of a latest-by state read over base + k delta parts."""
+    from dedup.streaming import _read_parts
+
+    base = tmp_path / "base"
+    spark.createDataFrame(
+        [(f"c{i:05d}", f"cl{i % 7}") for i in range(200)],
+        "conv_id string, cluster_id string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(base))
+    parts = [[str(base), 0]]
+    for s in range(1, k_deltas + 1):
+        d = tmp_path / f"delta{s}"
+        spark.createDataFrame(
+            [(f"c{i:05d}", f"cl{s}x") for i in range(s, s + 5)],
+            "conv_id string, cluster_id string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(d))
+        parts.append([str(d), s])
+    df = _read_parts(spark, parts, latest_by="conv_id")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_read_parts_plan_is_linear_in_part_count(spark, tmp_path):
+    """The state read's plan must not GROW in exchange count with the part
+    list: the old per-level anti-join chain built K nested distinct
+    exchanges (O(K^2) plan nodes), which made per-micro-batch cost climb
+    with drain length — Catalyst re-analysis alone reached tens of seconds
+    by part 9. The rewritten shape is one broadcast anti-join on the base
+    plus one batch-scale window over the deltas, so the exchange count is
+    a constant, whatever the part count."""
+    p3 = _parts_read_plan(spark, tmp_path / "k3", 3)
+    p12 = _parts_read_plan(spark, tmp_path / "k12", 12)
+    assert p12.count("Exchange") == p3.count("Exchange"), (
+        p3.count("Exchange"),
+        p12.count("Exchange"),
+    )
+    # and the constant is small: the window's exchange + the broadcast
+    # (possibly reused); corpus-sized base rows are never hash-partitioned
+    assert p3.count("hashpartitioning") <= 2, p3
+
+
+def test_read_parts_precedence_latest_wins(spark, tmp_path):
+    """Value check for the rewritten read: highest-seq part wins per key,
+    same-seq parts are key-disjoint unions, base rows without a newer
+    version survive."""
+    from dedup.streaming import _read_parts
+
+    def write(name, rows):
+        d = tmp_path / name
+        spark.createDataFrame(
+            rows, "conv_id string, cluster_id string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(d))
+        return str(d)
+
+    parts = [
+        [write("b0", [("a", "base"), ("b", "base"), ("c", "base")]), 0],
+        [write("d1", [("b", "s1"), ("d", "s1")]), 1],
+        # two key-disjoint parts at one seq (compaction delta + tombstones)
+        [write("d2a", [("b", "s2"), ("e", "s2")]), 2],
+        [write("d2b", [("d", "s2b")]), 2],
+    ]
+    got = {
+        r.conv_id: r.cluster_id
+        for r in _read_parts(spark, parts, latest_by="conv_id").collect()
+    }
+    assert got == {"a": "base", "b": "s2", "c": "base", "d": "s2b", "e": "s2"}
