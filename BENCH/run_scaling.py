@@ -48,7 +48,7 @@ def effective_cores(n: int = 16) -> float:
     return round(sum(res) / max(res) / (wall / _BURN_SECS), 1)
 
 
-def run_once(cpus: int, sf_dir: str) -> dict:
+def run_once(cpus: int, sf_dir: str, pin_cores: bool = False) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -63,8 +63,21 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         # against parallel work, or N-vs-4N measures overhead, not scaling
         SPARK_GRAFT_BENCH_CONVS=os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"),
     )
+    # --pin-cores: bound the whole process tree (JVM, GC/JIT threads, Python
+    # UDF workers) to exactly `cpus` host CPUs via taskset, so "local[N]" is
+    # literally an N-core executor. Without pinning, a local[1] run on an
+    # idle host rides ~1.2-1.3 delivered cores of free auxiliary-thread
+    # parallelism, deflating the measured N-vs-4N wall ratio (it compares a
+    # 1.25-core baseline against a 4.3-core run, not 1 against 4). Affinity
+    # is inherited by every forked/exec'd child. CPUs are spread across the
+    # host's cache domains (stride) rather than packed.
+    argv = [sys.executable, str(REPO / "bench.py")]
+    if pin_cores:
+        stride = max(1, (os.cpu_count() or cpus) // cpus)
+        cpu_list = ",".join(str(i * stride) for i in range(cpus))
+        argv = ["taskset", "-c", cpu_list] + argv
     out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
+        argv,
         env=env,
         capture_output=True,
         text=True,
@@ -84,16 +97,23 @@ def main() -> None:
     # oversubscription, not scaling.
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
+    ap.add_argument(
+        "--pin-cores",
+        action="store_true",
+        help="taskset-pin each run's whole process tree to exactly N host "
+        "CPUs, making the N-vs-4N core ratio literal",
+    )
+    ap.add_argument("--out", default=str(Path(__file__).parent / "BASELINE.md"))
     args = ap.parse_args()
 
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
     # warm-up run (excluded): builds the cached bench corpus + JIT-independent
     # filesystem caches
-    run_once(args.high, args.sf_dir)
+    run_once(args.high, args.sf_dir, args.pin_cores)
     for rep in range(args.reps):
         for cpus in (args.low, args.high):
             avail = effective_cores()
-            r = run_once(cpus, args.sf_dir)
+            r = run_once(cpus, args.sf_dir, args.pin_cores)
             r["effective_cores_probe"] = avail
             results[cpus].append(r)
             print(
@@ -126,6 +146,7 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "turns": turns,
         "reps": args.reps,
+        "pin_cores": args.pin_cores,
         f"median_sec_local[{args.low}]": round(t_low, 2),
         f"median_sec_local[{args.high}]": round(t_high, 2),
         f"turns_per_sec_local[{args.low}]": tp_low,
@@ -135,7 +156,14 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
-    md = Path(__file__).parent / "BASELINE.md"
+    md = Path(args.out)
+    pin_line = (
+        "Runs are taskset-pinned: each run's whole process tree (JVM + GC/JIT\n"
+        "threads + Python workers) is bound to exactly N host CPUs, so the\n"
+        "N-vs-4N core ratio is literal.\n\n"
+        if args.pin_cores
+        else ""
+    )
     md.write_text(
         "# BENCH/BASELINE.md — scaling-efficiency evidence\n\n"
         "Adaptation of the N vs 4N executor criterion (BASELINE.json:2,14) per the\n"
@@ -143,7 +171,7 @@ def main() -> None:
         f"run, {args.reps} repetitions, warm-up excluded. Headline = median of\n"
         "per-rep paired ratios (each rep's two runs execute back-to-back, so they\n"
         "see correlated host-grant state; the grant drifts 2-4x across minutes —\n"
-        "see the per-rep probe values below and BENCH/NOTES.md).\n\n"
+        "see the per-rep probe values below and BENCH/NOTES.md).\n\n" + pin_line +
         f"- input: `{args.sf_dir}` synthetic transcript corpus, **{turns} turns**\n"
         f"- `local[{args.low}]`: median {t_low:.2f}s ({tp_low:.0f} turns/s)\n"
         f"- `local[{args.high}]`: median {t_high:.2f}s ({tp_high:.0f} turns/s)\n"

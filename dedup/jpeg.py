@@ -7,14 +7,15 @@ entropy decode (16-bit lookahead table), dequantize, separable 8x8 IDCT as
 two matrix multiplies, chroma upsampling, and JFIF YCbCr→RGB.
 
 Scope: baseline (SOF0), extended-sequential (SOF1), progressive (SOF2),
-and arithmetic-coded (SOF9/SOF10, via dedup/jpeg_arith.py's QM coder)
-JPEGs with integer subsampling ratios and 8-bit precision — the
-overwhelming majority of real-world files plus the arithmetic long tail.
-Progressive scans implement spectral selection, successive approximation,
-and EOB-run coding (ITU-T.81 G.2), accumulating coefficients across scans
-before one vectorized IDCT. Hierarchical and lossless variants raise
-NotImplementedError at a single guarded branch, same policy as the other
-decoders in multimodal.py.
+arithmetic-coded (SOF9/SOF10, via dedup/jpeg_arith.py's QM coder), and
+predictive lossless (SOF3, via dedup/jpeg_lossless.py) JPEGs with integer
+subsampling ratios — the overwhelming majority of real-world files plus
+the arithmetic and lossless long tails. Progressive scans implement
+spectral selection, successive approximation, and EOB-run coding
+(ITU-T.81 G.2), accumulating coefficients across scans before one
+vectorized IDCT. Hierarchical variants raise NotImplementedError at a
+single guarded branch, same policy as the other decoders in
+multimodal.py.
 """
 
 from __future__ import annotations
@@ -265,11 +266,25 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             from dedup.jpeg_arith import decode_arith_jpeg
 
             return decode_arith_jpeg(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3: predictive lossless — own scan loop
+            from dedup.jpeg_lossless import decode_lossless_jpeg
+
+            samples, prec = decode_lossless_jpeg(data)
+            if prec > 8:  # scale to 8-bit like the 16-bit PPM path
+                mx = (1 << prec) - 1
+                samples = (samples.astype(np.uint32) * 255 + mx // 2) // mx
+            px = samples.astype(np.uint8)
+            if px.shape[2] == 1:
+                return np.dstack([px[:, :, 0]] * 3)
+            # lossless JPEGs carry no JFIF color transform in practice
+            # (DNG/medical): 3 components are stored as-is, i.e. RGB
+            return px[:, :, :3]
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline/extended-sequential/progressive/arithmetic "
-                f"DCT JPEG is supported (SOF marker 0xFF{marker:02X}: "
-                "hierarchical/lossless variants need a codec library)"
+                f"only baseline/extended-sequential/progressive/arithmetic-"
+                f"DCT and sequential-lossless JPEG is supported (SOF marker "
+                f"0xFF{marker:02X}: hierarchical variants and arithmetic "
+                "lossless need a codec library)"
             )
         elif marker == 0xC4:  # DHT
             p = 0

@@ -102,9 +102,47 @@ def _bmp_rle8_rows(data: bytes, w: int, h: int) -> np.ndarray:
     return rows
 
 
+def _bmp_rle4_rows(data: bytes, w: int, h: int) -> np.ndarray:
+    """RLE4 escape-coded pixel stream -> (h, w) palette-index rows in
+    file (bottom-up) order. Same escape grammar as RLE8, but an encoded
+    run alternates the byte's two nibbles and absolute mode packs two
+    pixels per byte (then pads the byte count to a 16-bit boundary)."""
+    rows = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run: hi, lo, hi, lo, ...
+            end = min(x + cnt, w)
+            pair = np.array([val >> 4, val & 15], dtype=np.uint8)
+            rows[y, x:end] = np.tile(pair, (cnt + 1) // 2)[: end - x]
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal pixels, byte count word-padded
+            nbytes = (val + 1) // 2
+            packed = np.frombuffer(data, np.uint8, count=nbytes, offset=i)
+            nib = np.empty(nbytes * 2, dtype=np.uint8)
+            nib[0::2] = packed >> 4
+            nib[1::2] = packed & 15
+            end = min(x + val, w)
+            rows[y, x:end] = nib[: end - x]
+            x = end
+            i += nbytes + (nbytes & 1)
+    return rows
+
+
 def _decode_bmp(b: bytes) -> np.ndarray:
-    """BMP (BITMAPINFOHEADER, bottom-up or top-down): uncompressed 24/32-bit
-    true color, and 8-bit paletted — plain or RLE8-compressed."""
+    """BMP (BITMAPINFOHEADER, bottom-up or top-down): uncompressed
+    16/24/32-bit true color (16-bit as X1R5G5B5 or BI_BITFIELDS masks),
+    and 1/4/8-bit paletted — plain, RLE8-, or RLE4-compressed."""
     if len(b) < 54:
         raise ValueError("truncated BMP")
     off = int.from_bytes(b[10:14], "little")
@@ -114,20 +152,61 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     bpp = int.from_bytes(b[28:30], "little")
     comp = int.from_bytes(b[30:34], "little")
     ah = abs(h)
-    if bpp == 8 and comp in (0, 1):
-        n_colors = int.from_bytes(b[46:50], "little") or 256
+    if bpp in (1, 4, 8) and comp in (0, 1, 2):
+        n_colors = int.from_bytes(b[46:50], "little") or (1 << bpp)
         pal_off = 14 + hdr_size
         pal = np.frombuffer(
             b, np.uint8, count=n_colors * 4, offset=pal_off
         ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
         if comp == 1:  # RLE8 (always bottom-up)
+            if bpp != 8:
+                raise ValueError("BI_RLE8 requires 8-bit pixels")
             idx = _bmp_rle8_rows(b[off:], w, ah)
+        elif comp == 2:  # RLE4 (always bottom-up)
+            if bpp != 4:
+                raise ValueError("BI_RLE4 requires 4-bit pixels")
+            idx = _bmp_rle4_rows(b[off:], w, ah)
         else:
-            stride = ((w + 3) // 4) * 4
-            idx = np.frombuffer(b, np.uint8, count=stride * ah, offset=off).reshape(
-                ah, stride
-            )[:, :w]
+            stride = ((w * bpp + 31) // 32) * 4  # rows pad to 32 bits
+            rows = np.frombuffer(
+                b, np.uint8, count=stride * ah, offset=off
+            ).reshape(ah, stride)
+            if bpp == 8:
+                idx = rows[:, :w]
+            elif bpp == 4:
+                nib = np.empty((ah, stride * 2), dtype=np.uint8)
+                nib[:, 0::2] = rows >> 4
+                nib[:, 1::2] = rows & 15
+                idx = nib[:, :w]
+            else:  # 1-bit: MSB-first within each byte
+                idx = np.unpackbits(rows, axis=1)[:, :w]
         img = pal[idx]
+        return img[::-1] if h > 0 else img
+    if bpp == 16 and comp in (0, 3):
+        if comp == 3:  # BI_BITFIELDS: three LE masks follow the info header
+            masks = [
+                int.from_bytes(b[54 + 4 * i : 58 + 4 * i], "little") for i in range(3)
+            ]
+        else:  # default 16-bit layout is X1R5G5B5
+            masks = [0x7C00, 0x03E0, 0x001F]
+        stride = ((w * 2 + 3) // 4) * 4
+        rows = np.frombuffer(b, np.uint8, count=stride * ah, offset=off).reshape(
+            ah, stride
+        )
+        px = rows[:, : w * 2].reshape(ah, w, 2).astype(np.uint16)
+        v = px[..., 0] | (px[..., 1] << 8)  # little-endian 16-bit words
+        chans = []
+        for m in masks:
+            shift = (m & -m).bit_length() - 1 if m else 0
+            span = m >> shift
+            c = (v >> shift) & span
+            # scale to 0..255 with rounding; span==0 -> all-zero channel
+            chans.append(
+                ((c.astype(np.uint32) * 255 + span // 2) // span).astype(np.uint8)
+                if span
+                else np.zeros_like(v, dtype=np.uint8)
+            )
+        img = np.dstack(chans)
         return img[::-1] if h > 0 else img
     if bpp in (24, 32) and comp in (0, 3):
         nb = bpp // 8
@@ -138,8 +217,8 @@ def _decode_bmp(b: bytes) -> np.ndarray:
         img = rows.reshape(ah, w, nb)[..., :3][..., ::-1]  # BGR(A) -> RGB
         return img[::-1] if h > 0 else img
     raise NotImplementedError(
-        f"unsupported BMP variant (bpp={bpp}, comp={comp}): 1/4-bit palettes "
-        "and RLE4/bitfield exotics need a codec library"
+        f"unsupported BMP variant (bpp={bpp}, comp={comp}): JPEG/PNG-in-BMP "
+        "passthrough (BI_JPEG/BI_PNG) needs a codec library"
     )
 
 
@@ -385,7 +464,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     raise NotImplementedError(
         "remaining formats require PIL/cv2 (unavailable in this "
         "container); supported here: PPM, BMP, PNG (all static variants), "
-        "baseline/progressive JPEG, GIF, WebP (lossless VP8L and lossy VP8)"
+        "JPEG (baseline/progressive/arithmetic/lossless), GIF, WebP "
+        "(lossless VP8L and lossy VP8)"
     )
 
 

@@ -923,3 +923,88 @@ def test_decode_bmp_32bit():
     data = _bmp_header(2, 2, 32, 0, len(raster), 0)
     assert np.array_equal(decode_image(data + raster), img)
 
+
+
+def test_decode_bmp_1bit_palette():
+    """1-bit paletted BMP: MSB-first bit unpacking, 32-bit row padding,
+    bottom-up flip."""
+    pal = [(255, 255, 255), (10, 20, 30)]
+    pal_bytes = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+    idx = np.array(
+        [[0, 1, 0, 1, 1, 0, 0, 1, 1, 0], [1, 1, 1, 1, 0, 0, 0, 0, 1, 1]],
+        dtype=np.uint8,
+    )  # w=10: 2 bytes of bits, padded to 4-byte stride
+    raster = b""
+    for row in idx[::-1]:
+        packed = np.packbits(row).tobytes()
+        raster += packed + b"\x00" * (4 - len(packed))
+    data = _bmp_header(10, 2, 1, 0, len(raster), 2) + pal_bytes + raster
+    want = np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(decode_image(data), want)
+
+
+def test_decode_bmp_4bit_palette():
+    """4-bit paletted BMP with odd width: the trailing nibble of the last
+    byte is padding and must be ignored."""
+    pal = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    pal_bytes = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+    idx = np.array([[0, 15, 7], [3, 9, 12]], dtype=np.uint8)
+    raster = b""
+    for row in idx[::-1]:
+        raster += bytes([(row[0] << 4) | row[1], row[2] << 4]) + b"\x00\x00"
+    data = _bmp_header(3, 2, 4, 0, len(raster), 16) + pal_bytes + raster
+    want = np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(decode_image(data), want)
+
+
+def test_decode_bmp_rle4():
+    """RLE4: encoded runs alternate the byte's nibbles; absolute mode packs
+    two pixels per byte and word-pads the byte count; delta/EOL/EOF as in
+    RLE8."""
+    pal_bytes = b"".join(bytes([i * 16, i * 16, i * 16, 0]) for i in range(16))
+    rle = (
+        b"\x05\xab"              # run of 5: a b a b a
+        + b"\x00\x03\xcd\xe0"    # absolute 3 px: c d e (2 bytes, already word-even)
+        + b"\x00\x00"            # EOL
+        + b"\x02\x99"            # run: 9 9
+        + b"\x00\x02\x02\x00"    # delta: skip 2 right
+        + b"\x04\x12"            # run: 1 2 1 2
+        + b"\x00\x00"            # EOL
+        + b"\x08\xff"            # full row of f
+        + b"\x00\x01"            # EOF
+    )
+    data = _bmp_header(8, 3, 4, 2, len(rle), 16) + pal_bytes + rle
+    got = decode_image(data)
+    file_rows = np.array(
+        [
+            [0xA, 0xB, 0xA, 0xB, 0xA, 0xC, 0xD, 0xE],
+            [9, 9, 0, 0, 1, 2, 1, 2],  # delta leaves zeros
+            [0xF] * 8,
+        ],
+        dtype=np.uint8,
+    )
+    want = np.stack([file_rows * 16] * 3, axis=-1)[::-1]
+    assert np.array_equal(got, want)
+
+
+def test_decode_bmp_16bit_555_and_bitfields_565():
+    """16-bit BMP: default X1R5G5B5, and BI_BITFIELDS with 565 masks; both
+    scale channels to 0..255 with rounding."""
+    # one pixel per word, w=1 so stride pads 2 -> 4 bytes
+    # 555: R=31, G=0, B=16 -> (255, 0, round(16*255/31)=132)
+    word555 = (31 << 10) | (0 << 5) | 16
+    raster = word555.to_bytes(2, "little") + b"\x00\x00"
+    data = _bmp_header(1, 1, 16, 0, len(raster), 0) + raster
+    assert decode_image(data).tolist() == [[[255, 0, 132]]]
+
+    # 565 via BI_BITFIELDS: masks follow the 40-byte info header
+    word565 = (10 << 11) | (63 << 5) | 1  # R=10/31, G=63/63, B=1/31
+    raster = word565.to_bytes(2, "little") + b"\x00\x00"
+    hdr = _bmp_header(1, 1, 16, 3, len(raster), 0)
+    masks = (0xF800).to_bytes(4, "little") + (0x07E0).to_bytes(4, "little") + (
+        0x001F
+    ).to_bytes(4, "little")
+    # masks live between header and raster; pixel-data offset must include them
+    data = hdr[:10] + (54 + 12).to_bytes(4, "little") + hdr[14:] + masks + raster
+    got = decode_image(data)
+    assert got.tolist() == [[[(10 * 255 + 15) // 31, 255, (1 * 255 + 15) // 31]]]
