@@ -37,7 +37,7 @@ _FEATURES_SCHEMA = (
     "peak double"
 )
 
-_INT_RANGE = {1: 128.0, 2: 32768.0, 4: 2147483648.0}
+_INT_RANGE = {1: 128.0, 2: 32768.0, 3: 8388608.0, 4: 2147483648.0}
 
 
 def _riff_chunks(b: bytes) -> dict[bytes, bytes]:
@@ -161,7 +161,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (float samples in [-1, 1] shaped (n, channels),
     sample_rate).
 
-    Real decode paths, all pure stdlib/numpy: integer PCM (8/16/32-bit),
+    Real decode paths, all pure stdlib/numpy: integer PCM (8/16/24/32-bit),
     IEEE float (format 3), G.711 mu-law (7) and A-law (6), and IMA/DVI
     ADPCM (0x11) including multi-channel block interleave — i.e. the
     compressed WAV variants actually seen in telephony/telemetry dumps.
@@ -182,6 +182,11 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(f"{width * 8}-bit PCM not supported")
         if width == 1:  # WAV 8-bit is unsigned
             x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        elif width == 3:  # 24-bit packed little-endian signed
+            u = np.frombuffer(raw, dtype=np.uint8)
+            u = u[: len(u) - len(u) % 3].reshape(-1, 3).astype(np.int32)
+            v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+            x = (v - ((v & 0x800000) << 1)).astype(np.float64)  # sign-extend
         else:
             dt = np.int16 if width == 2 else np.int32
             x = np.frombuffer(raw, dtype=dt).astype(np.float64)

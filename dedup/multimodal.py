@@ -142,7 +142,9 @@ def _bmp_rle4_rows(data: bytes, w: int, h: int) -> np.ndarray:
 def _decode_bmp(b: bytes) -> np.ndarray:
     """BMP (BITMAPINFOHEADER, bottom-up or top-down): uncompressed
     16/24/32-bit true color (16-bit as X1R5G5B5 or BI_BITFIELDS masks),
-    and 1/4/8-bit paletted — plain, RLE8-, or RLE4-compressed."""
+    1/4/8-bit paletted — plain, RLE8-, or RLE4-compressed — and
+    BI_JPEG/BI_PNG passthrough (the pixel-data region is a complete
+    embedded JPEG/PNG stream, decoded by this repo's own codecs)."""
     if len(b) < 54:
         raise ValueError("truncated BMP")
     off = int.from_bytes(b[10:14], "little")
@@ -152,6 +154,18 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     bpp = int.from_bytes(b[28:30], "little")
     comp = int.from_bytes(b[30:34], "little")
     ah = abs(h)
+    if comp in (4, 5):  # BI_JPEG / BI_PNG: pixel data IS an embedded stream
+        # Per the public BITMAPINFOHEADER contract these exist for
+        # passthrough; biSizeImage holds the stream length (0 -> rest of
+        # file). The embedded image carries its own orientation, so no
+        # bottom-up flip applies.
+        size_image = int.from_bytes(b[34:38], "little")
+        stream = bytes(b[off : off + size_image] if size_image else b[off:])
+        if comp == 4:
+            from .jpeg import decode_baseline_jpeg
+
+            return decode_baseline_jpeg(stream)
+        return _decode_png(stream)
     if bpp in (1, 4, 8) and comp in (0, 1, 2):
         n_colors = int.from_bytes(b[46:50], "little") or (1 << bpp)
         pal_off = 14 + hdr_size
@@ -216,10 +230,7 @@ def _decode_bmp(b: bytes) -> np.ndarray:
         )[:, : w * nb]
         img = rows.reshape(ah, w, nb)[..., :3][..., ::-1]  # BGR(A) -> RGB
         return img[::-1] if h > 0 else img
-    raise NotImplementedError(
-        f"unsupported BMP variant (bpp={bpp}, comp={comp}): JPEG/PNG-in-BMP "
-        "passthrough (BI_JPEG/BI_PNG) needs a codec library"
-    )
+    raise NotImplementedError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
 
 
 def _png_chunks(b: bytes):

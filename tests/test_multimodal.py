@@ -13,6 +13,7 @@ from dedup.multimodal import (
     MEDIA_SCHEMA,
     FEATURE_DIM,
     decode_image,
+    encode_png,
     encode_ppm,
     exact_media_dedup,
     extract_feature,
@@ -1008,3 +1009,67 @@ def test_decode_bmp_16bit_555_and_bitfields_565():
     data = hdr[:10] + (54 + 12).to_bytes(4, "little") + hdr[14:] + masks + raster
     got = decode_image(data)
     assert got.tolist() == [[[(10 * 255 + 15) // 31, 255, (1 * 255 + 15) // 31]]]
+
+
+def test_decode_bmp_bi_png_passthrough():
+    """BI_PNG (comp=5): the pixel-data region is a complete embedded PNG
+    stream; the decode must equal decoding that stream directly, with no
+    bottom-up flip (the embedded image carries its own orientation)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    png = encode_png(img)
+    data = _bmp_header(3, 5, 0, 5, len(png), 0) + png
+    assert np.array_equal(decode_image(data), img)
+    # biSizeImage=0 -> stream runs to end of file
+    hdr = _bmp_header(3, 5, 0, 5, len(png), 0)
+    data0 = hdr[:34] + (0).to_bytes(4, "little") + hdr[38:] + png
+    assert np.array_equal(decode_image(data0), img)
+
+
+def test_decode_bmp_bi_jpeg_passthrough():
+    """BI_JPEG (comp=4): embedded baseline-JPEG stream decoded by the
+    repo's own codec — equal to decoding the stream directly."""
+    from dedup.jpeg import decode_baseline_jpeg, encode_baseline_jpeg
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)  # 16x16 smooth
+    jpg = encode_baseline_jpeg(img, quality=95)
+    data = _bmp_header(16, 16, 0, 4, len(jpg), 0) + jpg
+    assert np.array_equal(decode_image(data), decode_baseline_jpeg(jpg))
+
+
+def test_wav_24bit_pcm_decode():
+    """24-bit PCM (sampwidth=3, packed little-endian signed): hand-packed
+    known samples, mono and stereo interleave, full-scale normalization."""
+    import wave as wave_mod
+    import io as io_mod
+
+    from dedup.audio import decode_wav
+
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    raw = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    buf = io_mod.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(48000)
+        w.writeframes(raw)
+    x, rate = decode_wav(buf.getvalue())
+    assert rate == 48000 and x.shape == (len(vals), 1)
+    assert np.allclose(x[:, 0], np.array(vals) / 8388608.0)
+
+    # stereo: L/R interleave must land in separate columns
+    pairs = [(1000, -1000), (-8388608, 8388607)]
+    raw2 = b"".join(
+        l.to_bytes(3, "little", signed=True) + r.to_bytes(3, "little", signed=True)
+        for l, r in pairs
+    )
+    buf2 = io_mod.BytesIO()
+    with wave_mod.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(3)
+        w.setframerate(16000)
+        w.writeframes(raw2)
+    x2, _ = decode_wav(buf2.getvalue())
+    assert np.allclose(x2, np.array(pairs) / 8388608.0)
