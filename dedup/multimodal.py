@@ -436,9 +436,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an encoded image payload to an HxWx3 uint8 array.
 
     Real decode paths (all pure numpy/stdlib — see the module docstring for
-    the per-format variant matrix): PPM, BMP, PNG, JPEG, GIF, lossless
-    WebP. ``fake=True`` derives deterministic pixels from the payload hash
-    for synthetic fixtures whose payloads are not real images.
+    the per-format variant matrix): PPM, BMP, PNG, JPEG, GIF, WebP
+    (lossless and lossy), TIFF. ``fake=True`` derives deterministic pixels
+    from the payload hash for synthetic fixtures whose payloads are not
+    real images.
     """
     if fake:
         seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "little")
@@ -472,11 +473,18 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         # lossless stream) and lossy VP8 keyframes (vp8.py, RFC 6386 —
         # YUV surface verified bit-exact against the system libwebp)
         return decode_webp(b)[:, :, :3]
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        # pure-stdlib/numpy baseline-TIFF decoder (tiff.py): strips/tiles,
+        # chunky/planar, none/LZW/Deflate/PackBits + predictor, verified
+        # both ways against the JVM ImageIO TIFF plugin
+        return decode_tiff(b)
     raise NotImplementedError(
         "remaining formats require PIL/cv2 (unavailable in this "
         "container); supported here: PPM, BMP, PNG (all static variants), "
         "JPEG (baseline/progressive/arithmetic/lossless), GIF, WebP "
-        "(lossless VP8L and lossy VP8)"
+        "(lossless VP8L and lossy VP8), TIFF (baseline)"
     )
 
 
