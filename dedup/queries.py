@@ -7629,12 +7629,15 @@ def q137_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both correlated scalars are aggregates over lineitem
     grouped by the equality-correlated part key — the decorrelated plan
     is ONE per-partkey aggregate + a key join, never a per-row re-scan;
-    the brand filter prunes the probe side at the broadcast part dim."""
+    the brand filter prunes the probe side at the part dim, which is
+    pinned broadcast with an explicit hint (the 2-of-25-brands slice of
+    part stays dimension-sized at any SF, so the hint holds at scale —
+    no reliance on the auto-broadcast threshold)."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q137_lineitem")
     _t(spark, sf_dir, "part").createOrReplaceTempView("q137_part")
     return spark.sql(
         """
-        SELECT p.p_brand AS p_brand,
+        SELECT /*+ BROADCAST(p) */ p.p_brand AS p_brand,
                CAST(COUNT(*) AS BIGINT) AS n_small,
                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
                     AS DOUBLE) AS forgone_revenue
@@ -8405,10 +8408,13 @@ def q149_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     produces the whole curve in one pass.
 
     Scale shape: the priority filter prunes orders at the scan before
-    a broadcast left join; exchange #1 is the per-customer count,
-    exchange #2 runs on the |customers|-sized relation. COUNT(column)
-    null-skipping is what turns no-match rows into the zero bucket —
-    no CASE needed."""
+    the left join (filtered orders is fact-sized, so at real scale
+    this is a custkey shuffle join — the plan test pins the small-SF
+    auto-broadcast shape only); the per-customer count groups on the
+    same custkey, so Catalyst reuses the join-side partitioning rather
+    than adding a third corpus exchange, and the final histogram runs
+    on the |customers|-sized relation. COUNT(column) null-skipping is
+    what turns no-match rows into the zero bucket — no CASE needed."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"

@@ -1024,10 +1024,11 @@ def test_q148_single_corpus_scan_scalar_broadcast(spark):
 
 
 def test_q149_distribution_two_reducing_exchanges(spark):
-    """Q13 shape: priority filter pushed to the orders scan, broadcast
-    LEFT join preserving no-match customers, then per-customer count
-    (exchange #1) and the histogram over the customer-sized relation
-    (exchange #2)."""
+    """Q13 shape: priority filter pushed to the orders scan, LEFT join
+    preserving no-match customers (auto-broadcast at this SF — at real
+    scale it becomes a custkey shuffle join whose partitioning the
+    per-customer count reuses), then per-customer count (exchange #1)
+    and the histogram over the customer-sized relation (exchange #2)."""
     df = QUERIES["q149_order_count_distribution"](spark, SF)
     plan = _plan(df)
     assert _n_exchanges(df) == 2, plan
