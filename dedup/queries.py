@@ -8554,6 +8554,392 @@ GROUP BY 1, 2
 """
 
 
+def q152_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume shape: revenue per nation for
+    order lines where the CUSTOMER and the line's SUPPLIER share a
+    nation inside one region — the classic 6-way join whose defining
+    edge is the non-hierarchical c_nationkey = s_nationkey equality
+    (q03 rolls up the customer side of the geography only; this closes
+    the loop through the supplier). Year window on o_orderdate.
+
+    Scale shape: the region prune is applied DIM-SIDE — supplier is
+    joined to nation+region (all broadcast) before it ever meets the
+    fact, so non-ASIA suppliers never enter the probe. lineitem⋈orders
+    and ⋈customer are the only corpus-sized exchanges (both strictly
+    reducing equi-joins); the c_nationkey = s_nationkey equality rides
+    the broadcast supplier join's condition, costing no exchange; the
+    final rollup is nation-cardinality. Revenue rides the
+    DECIMAL(18,2) exact-money convention."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup_geo = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(sup_geo),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (cust.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"), F.count("*").cast("long").alias("n_items"))
+    )
+
+
+Q152_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q153_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item ranking shape: the top-20 customers by
+    revenue lost to returns (l_returnflag = 'R') over a half-year
+    order window, with full customer + nation detail attached AFTER
+    the top-k — never before it. Revenue accumulates in
+    cents·(100−disc%) exact bigint units so the ordering (and the
+    tie-break on c_custkey) is bit-deterministic across engines; the
+    readable revenue is ONE double division.
+
+    Scale shape: the per-customer rollup is the single corpus-sized
+    exchange; the global top-20 compiles to TakeOrderedAndProject
+    (per-partition top-k, then a 20-row merge on the driver — no
+    global sort, no single-reducer window); detail joins run on 20
+    rows against broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    top = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(units).alias("rev_units"))
+        .orderBy(F.desc("rev_units"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    return (
+        top.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+            F.col("rev_units").cast("long").alias("rev_units"),
+            (F.col("rev_units").cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+Q153_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_units
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY o_custkey
+), top AS (
+  SELECT * FROM rev ORDER BY rev_units DESC, o_custkey ASC LIMIT 20
+)
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name,
+       rev_units, CAST(rev_units AS DOUBLE) / 10000.0 AS revenue
+FROM top
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+"""
+
+
+def q154_priority_linestatus_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipmode-census shape: per line status (this corpus's
+    categorical stand-in for l_shipmode), how many shipped lines came
+    from HIGH-priority orders ('1-URGENT'/'2-HIGH') vs everything else
+    — the dual conditional-count CASE aggregation over a fact-fact
+    equi-join, with a year ship window.
+
+    Scale shape: the lineitem⋈orders equi-join is the one corpus-sized
+    exchange (orders is NOT broadcast-sized at real scale — this is
+    deliberately the shuffle-join census, unlike q147's all-dims-
+    broadcast star); both CASE counts fold into the same partial
+    aggregate; the rollup output is |linestatus|-sized."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q154_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q155_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion-effect shape: the percentage of one ship
+    month's revenue attributable to promotional parts — the
+    conditional-sum-over-total-sum ratio reduced to a single row.
+    This corpus's p_type is a bare category ('PROMO'), so the test is
+    equality rather than Q14's LIKE 'PROMO%' prefix. Both sums
+    accumulate in cents·(100−disc%) exact bigint units; the share is
+    ONE double division at the very end.
+
+    Scale shape: month predicate pushed to the lineitem scan; part
+    broadcasts (the promo bit is computed dim-side, one boolean per
+    part row); both conditional sums fold into the same map-side
+    partial aggregate, so the exchange carries exactly one row per
+    task."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("is_promo"), units).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_units"),
+            F.sum(units).cast("long").alias("total_units"),
+        )
+        .select(
+            "promo_units",
+            "total_units",
+            (
+                F.lit(100.0)
+                * F.col("promo_units").cast("double")
+                / F.col("total_units").cast("double")
+            ).alias("promo_share"),
+        )
+    )
+
+
+Q155_SQL = """
+WITH agg AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                       ELSE 0 END) AS BIGINT) AS promo_units,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_units
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-02-01'
+)
+SELECT promo_units, total_units,
+       100.0 * CAST(promo_units AS DOUBLE) / CAST(total_units AS DOUBLE)
+         AS promo_share
+FROM agg
+"""
+
+
+def q156_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 excess-stock shape, re-keyed to shipments (this corpus
+    has no partsupp): suppliers who shipped MORE THAN DOUBLE their fair
+    share of some widget-family part's volume since 1996 — the
+    nested quantity-threshold semi-join, with Q20's correlated
+    half-of-total scalar generalized to the scale-invariant integer
+    cross-multiplication qty·n_suppliers > 2·part_total (a fixed
+    fraction-of-total degenerates as supplier count grows; this stays
+    meaningful at every SF). Output is the per-supplier census of such
+    excess-share parts with nation detail.
+
+    Scale shape: ONE corpus-sized (suppkey, partkey) aggregation
+    exchange; the per-part total and supplier count are WINDOW
+    aggregates over that already-reduced frame (one |pairs|-sized
+    exchange on partkey — never a self-join, never a second scan); the
+    threshold verdict is integer-exact; the final census is
+    supplier-cardinality with broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1996-01-01")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    per_pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        per_pair.withColumn("part_total", F.sum("qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter(F.col("qty") * F.col("n_supp") > F.lit(2) * F.col("part_total"))
+    )
+    return (
+        excess.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_excess_parts"),
+            F.sum("qty").cast("long").alias("excess_qty"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_excess_parts", "excess_qty")
+    )
+
+
+Q156_SQL = """
+WITH per_pair AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey, l_partkey
+), windowed AS (
+  SELECT *,
+         SUM(qty) OVER (PARTITION BY l_partkey) AS part_total,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+  FROM per_pair
+), excess AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_excess_parts,
+         CAST(SUM(qty) AS BIGINT) AS excess_qty
+  FROM windowed
+  WHERE qty * n_supp > 2 * part_total
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name, n_excess_parts, excess_qty
+FROM excess
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+"""
+
+
+def q157_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost-supplier shape, re-keyed to observed line
+    prices (no partsupp in this corpus): for every bolt-family part,
+    the supplier(s) whose cheapest shipped line for that part equals
+    the part's global minimum — the correlated-MIN-subquery join-back,
+    TIES PRESERVED (never a row_number pick, which drops co-minimal
+    suppliers). Prices compare in exact bigint cents so the equality
+    is bit-deterministic.
+
+    Scale shape: family filter applied dim-side on broadcast part; ONE
+    corpus-sized (partkey, suppkey) MIN aggregation exchange; the
+    per-part global min is a WINDOW MIN over that reduced frame (one
+    |pairs|-sized exchange — Q2's correlated subquery without a second
+    scan or a self-join); supplier + nation detail broadcast onto the
+    surviving rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(F.min(cents).alias("min_cents"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        per_pair.withColumn("part_min", F.min("min_cents").over(w))
+        .filter(F.col("min_cents") == F.col("part_min"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("min_cents").cast("long").alias("min_price_cents"),
+            (F.col("min_cents").cast("double") / F.lit(100.0)).alias("min_price"),
+        )
+    )
+
+
+Q157_SQL = """
+WITH per_pair AS (
+  SELECT l_partkey, p_name, l_suppkey,
+         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS min_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+  GROUP BY l_partkey, p_name, l_suppkey
+), windowed AS (
+  SELECT *, MIN(min_cents) OVER (PARTITION BY l_partkey) AS part_min
+  FROM per_pair
+)
+SELECT l_partkey AS p_partkey, p_name, s_suppkey, s_name, n_name,
+       min_cents AS min_price_cents,
+       CAST(min_cents AS DOUBLE) / 100.0 AS min_price
+FROM windowed
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE min_cents = part_min
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -8706,6 +9092,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_order_count_distribution": q149_order_count_distribution,
     "q150_top_revenue_supplier": q150_top_revenue_supplier,
     "q151_supplier_census": q151_supplier_census,
+    "q152_local_supplier_volume": q152_local_supplier_volume,
+    "q153_returned_item_customers": q153_returned_item_customers,
+    "q154_priority_linestatus_census": q154_priority_linestatus_census,
+    "q155_promo_revenue_share": q155_promo_revenue_share,
+    "q156_excess_share_suppliers": q156_excess_share_suppliers,
+    "q157_min_cost_supplier": q157_min_cost_supplier,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8862,4 +9254,10 @@ ORACLE_SQL: dict[str, str] = {
     "q149_order_count_distribution": Q149_SQL,
     "q150_top_revenue_supplier": Q150_SQL,
     "q151_supplier_census": Q151_SQL,
+    "q152_local_supplier_volume": Q152_SQL,
+    "q153_returned_item_customers": Q153_SQL,
+    "q154_priority_linestatus_census": Q154_SQL,
+    "q155_promo_revenue_share": Q155_SQL,
+    "q156_excess_share_suppliers": Q156_SQL,
+    "q157_min_cost_supplier": Q157_SQL,
 }

@@ -1062,3 +1062,86 @@ def test_q151_null_aware_anti_join(spark):
     assert "SortMergeJoin" not in plan, plan
     assert _n_exchanges(df) == 2, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q152_region_prune_dim_side_single_rollup(spark):
+    """Q5 shape: supplier⋈nation⋈region prunes to ASIA dim-side and
+    broadcasts (the c_nationkey = s_nationkey edge rides the broadcast
+    join condition — no extra exchange); orders/customer auto-broadcast
+    at this SF (at real scale they become reducing equi-join shuffles);
+    the only hash exchange is the nation rollup."""
+    df = QUERIES["q152_local_supplier_volume"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ASIA" in plan, plan  # region prune reached the dim scan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q153_topk_is_take_ordered_not_global_sort(spark):
+    """Q10 shape: the global top-20 compiles to TakeOrderedAndProject
+    (per-partition top-k + 20-row merge), never a global Sort or a
+    single-reducer window; detail joins broadcast onto the 20 rows;
+    the returnflag filter reaches the lineitem scan."""
+    df = QUERIES["q153_returned_item_customers"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrdered" in plan, plan
+    assert _n_exchanges(df) == 1, plan  # the per-customer rollup only
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q154_dual_case_counts_one_rollup(spark):
+    """Q12 shape: both CASE counts fold into ONE partial aggregate
+    (orders auto-broadcasts at this SF; at real scale the fact-fact
+    equi-join becomes the shuffle this census is allowed); the ship
+    window is pushed to the lineitem scan."""
+    df = QUERIES["q154_priority_linestatus_census"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final, one pair
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q155_promo_share_single_row_agg(spark):
+    """Q14 shape: part broadcasts with the promo bit computed dim-side;
+    both conditional sums ride ONE map-side partial aggregate, so the
+    single exchange carries one row per task; the month window is
+    pushed to the lineitem scan."""
+    df = QUERIES["q155_promo_revenue_share"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q156_window_totals_never_self_join(spark):
+    """Q20 shape: the per-part total and supplier count are WINDOW
+    aggregates over the already-reduced (supp, part) frame — exactly
+    three reducing exchanges (pair agg, partkey window, supplier
+    census) and NO self-join of the pair relation."""
+    df = QUERIES["q156_excess_share_suppliers"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") <= 4, plan  # li + 3 dims, no rescan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q157_correlated_min_as_window_no_rescan(spark):
+    """Q2 shape: the correlated per-part MIN is a window over the
+    reduced (part, supp) MIN frame — two reducing exchanges, one
+    lineitem scan (never the self-join/second-scan rewrite of the
+    classic correlated subquery); ties survive (no TakeOrdered or
+    row_number pick)."""
+    df = QUERIES["q157_min_cost_supplier"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrdered" not in plan, plan
+    assert plan.count("Scan parquet") <= 4, plan  # li + part + sup + nation
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

@@ -137,6 +137,10 @@ def main() -> None:
     profit = QUERIES["q147_nation_year_profit"](spark, SF)
     important = QUERIES["q148_important_parts"](spark, SF)
     census = QUERIES["q151_supplier_census"](spark, SF)
+    localvol = QUERIES["q152_local_supplier_volume"](spark, SF)
+    returned = QUERIES["q153_returned_item_customers"](spark, SF)
+    excess = QUERIES["q156_excess_share_suppliers"](spark, SF)
+    mincost = QUERIES["q157_min_cost_supplier"](spark, SF)
 
     sections = [
         ("docs: validate + reassemble + normalize (one aggregation)", docs),
@@ -610,6 +614,28 @@ def main() -> None:
             "q151 Q16 shape: NOT IN as broadcast null-aware LeftAnti; "
             "two-phase COUNT(DISTINCT)",
             census,
+        ),
+        (
+            "q152 Q5 shape: region prune dim-side on broadcast supplier "
+            "(c_nationkey = s_nationkey rides the join condition); ONE "
+            "nation rollup exchange",
+            localvol,
+        ),
+        (
+            "q153 Q10 shape: global top-20 as TakeOrderedAndProject over "
+            "the per-customer rollup; detail joins broadcast onto 20 rows",
+            returned,
+        ),
+        (
+            "q156 Q20 shape: per-part totals as WINDOW aggregates over the "
+            "reduced (supp, part) frame — three reducing exchanges, no "
+            "self-join",
+            excess,
+        ),
+        (
+            "q157 Q2 shape: correlated per-part MIN as a window over the "
+            "(part, supp) MIN frame — ties preserved, one lineitem scan",
+            mincost,
         ),
     ]
     out = ["# BENCH/PLANS.md — formatted physical plans (sf0.001 inputs)\n"]
