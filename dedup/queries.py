@@ -8940,6 +8940,299 @@ WHERE min_cents = part_min
 """
 
 
+def q158_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto skyline (Börzsönyi ICDE'01 "The Skyline Operator") over
+    documents: MAXIMIZE token count, MINIMIZE integer-exact mean token
+    length (micro-chars per token) — a document survives iff no other
+    document matches-or-beats it on both axes and strictly beats it on
+    one. Both axes are integer-exact (`div` / `//`) so dominance is
+    bit-deterministic across engines.
+
+    Scale shape: two-phase distributed skyline — phase 1 computes a
+    LOCAL skyline inside each of 32 hash buckets (a RANGE-frame window
+    min over strictly-greater token counts plus a same-count group
+    min; both partitioned by bucket, so no global sort of the corpus),
+    which is lossless: a globally non-dominated point is non-dominated
+    in every subset containing it. Phase 2 repeats the same two
+    windows over the tiny survivor union — only survivors ever pass
+    through a single-partition sort. The oracle states the DEFINITION
+    (quadratic NOT EXISTS dominance), the engine runs the algorithm.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(normalize_sql(F.col("text")), " "))
+    base = docs.select("doc_id", "n_chars", n_tok.alias("n_tok")).select(
+        "doc_id",
+        "n_tok",
+        F.expr("(n_chars * 1000000L) div n_tok").alias("mean_tok_micro"),
+    )
+
+    def _skyline(df: DataFrame, *part_cols: str) -> DataFrame:
+        # min y among rows with STRICTLY more tokens (integer range frame)
+        w_gt = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("n_tok").asc())
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        # min y among rows with the SAME token count (strict-y dominance)
+        w_eq = Window.partitionBy(*part_cols, "n_tok")
+        y = F.col("mean_tok_micro")
+        dominated = (
+            F.coalesce(F.min(y).over(w_gt) <= y, F.lit(False))
+        ) | (F.min(y).over(w_eq) < y)
+        return df.withColumn("_dom", dominated).filter(~F.col("_dom")).drop("_dom")
+
+    local = _skyline(base.withColumn("_b", F.pmod(F.col("doc_id"), F.lit(32))), "_b")
+    return _skyline(local.drop("_b")).select("doc_id", "n_tok", "mean_tok_micro")
+
+
+Q158_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split({_NORM}, ' ')) AS n_tok,
+         (n_chars * 1000000) // len(string_split({_NORM}, ' ')) AS mean_tok_micro
+  FROM documents
+)
+SELECT l.doc_id, l.n_tok, l.mean_tok_micro
+FROM d l
+WHERE NOT EXISTS (
+  SELECT 1 FROM d r
+  WHERE r.n_tok >= l.n_tok AND r.mean_tok_micro <= l.mean_tok_micro
+    AND (r.n_tok > l.n_tok OR r.mean_tok_micro < l.mean_tok_micro)
+)
+"""
+
+
+def q159_dup_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS depth of every dup-graph node from its cluster representative
+    — the lineage question "how many near-dup hops separate this doc
+    from its cluster's canonical doc". Edges are q12's exact
+    token-Jaccard pair relation (J >= 0.5, deterministic); rep = the
+    component's numeric-min doc_id; depth = unweighted shortest-path
+    hops. Complements q20 (which labels components) and q81 (fixed
+    two-hop): this is the full variable-depth traversal, the one graph
+    primitive the board lacked.
+
+    Scale shape: components come from the log-round large-star /
+    small-star engine (cc.py:97 — doc ids zero-padded to width 20 so
+    the engine's lexicographic MIN is the numeric MIN); depth comes
+    from frontier BFS — each round joins the O(frontier) relation
+    against the localCheckpointed edge list and anti-joins the visited
+    set, so per-round shuffle work is frontier-sized, never an
+    all-pairs closure; rounds are bounded by the dup-graph diameter
+    (capped at 64 — near-dup clusters are shallow by construction).
+    The oracle is a recursive CTE (closure for reps + level-capped BFS).
+    """
+    from .cc import connected_components
+
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir)
+    pad = lambda c: F.format_string("%020d", F.col(c))  # noqa: E731
+    und = pairs.select(pad("a").alias("u"), pad("b").alias("v"))
+    edges = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp, _ = connected_components(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")), DedupConfig()
+    )
+    comp = comp.localCheckpoint()
+
+    visited = (
+        comp.filter(F.col("conv_id") == F.col("cluster_id"))
+        .select(F.col("conv_id").alias("node"), F.lit(0).alias("depth"))
+        .localCheckpoint()
+    )
+    frontier, depth = visited, 0
+    while True:
+        depth += 1
+        if depth > 64:
+            raise RuntimeError("dup-graph BFS exceeded the depth cap (64)")
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.join(comp, visited["node"] == comp["conv_id"]).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("rep"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+Q159_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+), p AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM d l JOIN d r
+    ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+  WHERE ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 4) >= 0.5
+), e AS (
+  SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p
+), reach(src, node) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) s
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.node
+), comp AS (
+  SELECT src AS doc, MIN(node) AS rep FROM reach GROUP BY src
+), bfs(node, dep) AS (
+  SELECT rep, 0 FROM (SELECT DISTINCT rep FROM comp) s
+  UNION
+  SELECT e3.v, b.dep + 1 FROM bfs b JOIN e e3 ON e3.u = b.node WHERE b.dep < 64
+)
+SELECT c.doc AS doc_id, c.rep, CAST(MIN(b.dep) AS BIGINT) AS depth
+FROM comp c JOIN bfs b ON b.node = c.doc
+GROUP BY c.doc, c.rep
+"""
+
+
+def q160_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-source content fingerprint of the documents
+    table — the anti-entropy / migration-audit primitive: after moving
+    10^12 rows between systems, two such scans agree iff the contents
+    agree, with no sort and no row transfer. Row hash = first 60 bits
+    of md5 over the canonical chr(31)-joined field tuple; folded two
+    independent ways (a wraparound-free DECIMAL(38,0) sum and a BIGINT
+    XOR) so a forged collision must fit both folds at once.
+
+    Scale shape: map-only JVM row hashing into ONE partial+final
+    aggregate exchange keyed by source — no join, no window, no
+    Python; at 10^12 rows this is the cheapest possible full-table
+    pass (the sum fold has ~38 digits of headroom: 2^60 per row
+    saturates DECIMAL(38,0) only past 10^19 rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    row = F.concat_ws(
+        "\x1f", F.col("doc_id"), F.col("text"), F.col("lang"),
+        F.col("source"), F.col("n_chars"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        docs.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            # string both sides: Spark decimal and DuckDB HUGEINT land in
+            # different pandas dtype families, but render identically
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("fp_sum"),
+            F.bit_xor(F.col("h").cast("long")).alias("fp_xor"),
+        )
+    )
+
+
+Q160_SQL = """
+WITH h AS (
+  SELECT source,
+         CAST('0x' || substr(
+           md5(concat_ws(chr(31), doc_id, text, lang, source, n_chars)),
+           1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_rows,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS fp_sum,
+       BIT_XOR(h) AS fp_xor
+FROM h
+GROUP BY source
+"""
+
+
+def q161_prefix_filter_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact set-similarity self-join via prefix filtering
+    (Chaudhuri ICDE'06; Xiao WWW'08 PPJoin): every doc pair in the
+    WHOLE corpus with distinct-token Jaccard >= 0.5 — no blocking key
+    (q12 is the (lang, source)-blocked quadratic variant) and no
+    probabilistic candidate source (q20's LSH trades recall for
+    speed): the frequency-ordered prefix theorem makes the candidate
+    set LOSSLESS, so the output equals brute force by construction.
+
+    Prefix theorem: under any global total token order, if
+    J(A,B) >= t then the first |A| - ceil(t*|A|) + 1 tokens of A and
+    the first |B| - ceil(t*|B|) + 1 tokens of B share an element
+    (else the overlap fits in the suffixes, < ceil(t*max(|A|,|B|))).
+    At t = 0.5 the prefix length is the integer-exact sz div 2 + 1.
+
+    Scale shape: one aggregate for the global document-frequency token
+    order; per-doc ranking is one window partitioned by doc_id; the
+    candidate self-join keys on PREFIX tokens only — ascending-df
+    order puts each doc's RAREST tokens in its prefix, so join groups
+    stay small exactly where a raw token join explodes on hot keys;
+    a 2*min >= max length filter prunes incompatible sizes before
+    verification; exact verification joins the token arrays back by
+    doc id. The token lists are materialized once (localCheckpoint —
+    eager at build time, like q148/q150) and feed ranking + both
+    verify probes without rescanning the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(normalize_sql(F.col("text")), " "))
+    d = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .localCheckpoint()
+    )
+    tok = d.select("doc_id", "sz", F.explode("toks").alias("t"))
+    df_freq = tok.groupBy("t").agg(F.count("*").alias("df"))
+    prefix = (
+        tok.join(df_freq, "t")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "t")
+            ),
+        )
+        .filter(F.col("rnk") <= F.expr("sz div 2") + 1)
+        .select("doc_id", "sz", "t")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * 2 >= F.col("a.sz"))
+            & (F.col("a.sz") * 2 >= F.col("b.sz")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+    )
+    l = d.select(F.col("doc_id").alias("x"), F.col("toks").alias("tx"))
+    r = d.select(F.col("doc_id").alias("y"), F.col("toks").alias("ty"))
+    inter = F.size(F.array_intersect("tx", "ty"))
+    uni = F.size("tx") + F.size("ty") - inter
+    return (
+        cand.join(l, "x")
+        .join(r, "y")
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            F.round(inter / uni, 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+Q161_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+             / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 4) AS jac
+FROM d l JOIN d r ON l.doc_id < r.doc_id
+WHERE ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+             / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 4) >= 0.5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -9098,6 +9391,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q155_promo_revenue_share": q155_promo_revenue_share,
     "q156_excess_share_suppliers": q156_excess_share_suppliers,
     "q157_min_cost_supplier": q157_min_cost_supplier,
+    "q158_pareto_skyline": q158_pareto_skyline,
+    "q159_dup_graph_bfs_depth": q159_dup_graph_bfs_depth,
+    "q160_table_checksum": q160_table_checksum,
+    "q161_prefix_filter_ssjoin": q161_prefix_filter_ssjoin,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9260,4 +9557,8 @@ ORACLE_SQL: dict[str, str] = {
     "q155_promo_revenue_share": Q155_SQL,
     "q156_excess_share_suppliers": Q156_SQL,
     "q157_min_cost_supplier": Q157_SQL,
+    "q158_pareto_skyline": Q158_SQL,
+    "q159_dup_graph_bfs_depth": Q159_SQL,
+    "q160_table_checksum": Q160_SQL,
+    "q161_prefix_filter_ssjoin": Q161_SQL,
 }

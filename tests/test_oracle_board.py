@@ -3,7 +3,7 @@
 The driver's CORRECTNESS harness grades only a prefix of the registry
 (first 50 entries in round 4), so the tail — two thirds of the board —
 previously had no gate the suite owns and could rot silently between
-rounds. This runs every ORACLE_SQL row (150 queries) against DuckDB at
+rounds. This runs every ORACLE_SQL row (160 queries) against DuckDB at
 sf0.001 through the exact comparison the driver uses (row count, column
 names, int-vs-float dtype family, order-insensitive %.9g value keys) and
 fails listing every regressed query.

@@ -1145,3 +1145,54 @@ def test_q157_correlated_min_as_window_no_rescan(spark):
     assert "TakeOrdered" not in plan, plan
     assert plan.count("Scan parquet") <= 4, plan  # li + part + sup + nation
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q158_skyline_bucketed_local_phase_no_join(spark):
+    """Two-phase distributed skyline: four windows total (range-min +
+    same-x min, once per phase), the LOCAL phase partitioned by the
+    32-way bucket so the corpus never sorts in one partition — only
+    survivors reach the global windows. Zero joins (the quadratic
+    NOT EXISTS definition lives in the oracle, not the plan), zero
+    Python."""
+    df = QUERIES["q158_pareto_skyline"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 4, plan
+    assert "_b" in plan, plan  # bucketed local phase actually present
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q159_bfs_rounds_are_frontier_sized(spark):
+    """Frontier BFS: every round's join probes the localCheckpointed
+    edge list with the O(frontier) relation — the final plan joins
+    checkpointed RDD scans (no corpus rescans, no cartesian closure),
+    and the variable-depth traversal never materializes an all-pairs
+    reachability relation."""
+    df = QUERIES["q159_dup_graph_bfs_depth"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan parquet" not in plan, plan  # inputs all checkpointed
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q160_checksum_single_exchange_map_only(spark):
+    """Anti-entropy fingerprint: map-only JVM row hashing into ONE
+    partial+final aggregate exchange — no join, no window, no Python;
+    the cheapest possible full-table pass."""
+    df = QUERIES["q160_table_checksum"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q161_prefix_join_is_equi_never_cartesian(spark):
+    """Lossless prefix-filtered set-similarity join: the candidate stage
+    is an EQUI join on prefix tokens (plus pushed length-ratio
+    filters) — never a cartesian/BNLJ pair enumeration — and
+    verification is array intersection in the JVM, zero Python."""
+    df = QUERIES["q161_prefix_filter_ssjoin"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
