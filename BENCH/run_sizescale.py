@@ -81,13 +81,16 @@ def main() -> None:
             )
 
     lines = [
-        "# BENCH/SIZESCALE.md — pinned 2v8 efficiency vs corpus size",
+        f"# pinned {args.low}v{args.high} efficiency vs corpus size",
         "",
-        "Identical job, taskset-pinned 2 vs 8 cores, sizes interleaved",
+        f"Identical job, taskset-pinned {args.low} vs {args.high} cores,"
+        " sizes interleaved",
         f"within each of {args.reps} reps (all sizes see the same host-grant",
-        "drift). Paired efficiency = (wall_2 / wall_8) / 4.",
+        f"drift). Paired efficiency = (wall_{args.low} / wall_{args.high})"
+        f" / {ratio:g}.",
         "",
-        "| convs | turns | median wall 2c | median wall 8c | paired efficiencies | median eff |",
+        f"| convs | turns | median wall {args.low}c | median wall"
+        f" {args.high}c | paired efficiencies | median eff |",
         "|---|---|---|---|---|---|",
     ]
     for n in sizes:
