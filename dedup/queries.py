@@ -9233,6 +9233,467 @@ WHERE ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
 """
 
 
+def q162_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling (probability-proportional-to-size,
+    Madow '49): exactly one pick each time the running weight (n_chars)
+    crosses a 1/k slice of the corpus total, walking in doc_id order —
+    the deterministic PPS sampler a curation pass needs where `rand()`
+    Poisson sampling is unreproducible and hash sampling (q48) cannot
+    weight by size. Selection is pure BIGINT arithmetic, identical in
+    both engines: row i is picked iff
+    (k*W_i) div W_total > (k*W_{i-1}) div W_total with W the inclusive
+    prefix sum (k=100; k*W_total stays under 2^63 up to ~9e16 weight
+    units — ample at 10^12 turns).
+
+    Scale shape: the global prefix sum is a TWO-PHASE distributed scan,
+    never a single-partition window over the corpus: doc_ids range-
+    bucket (div 1024), the within-bucket cumsum runs under a
+    bucket-partitioned window, the cross-bucket offsets are a window
+    over the buckets-sized relation broadcast back (at 10^12 rows the
+    bucket relation is 10^9 — recurse the same two phases once). The
+    2-column projection is localCheckpointed once so the detail,
+    offset, and total branches share ONE input scan (the q148
+    single-scan convention — the builder call pays the scan)."""
+    k = 100
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.col("n_chars").alias("w"))
+        .withColumn("b", F.expr("doc_id div 1024"))
+        .localCheckpoint()
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("local_cum", F.sum("w").over(wb))
+    bsum = base.groupBy("b").agg(F.sum("w").alias("bw"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = bsum.select(
+        "b", F.coalesce(F.sum("bw").over(wo), F.lit(0)).alias("off")
+    )
+    tot = bsum.agg(F.sum("bw").alias("w_total"))
+    return (
+        cum.join(F.broadcast(off), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum_w", F.col("off") + F.col("local_cum"))
+        .withColumn("pick_idx", F.expr(f"({k}L * cum_w) div w_total"))
+        .withColumn("prev_idx", F.expr(f"({k}L * (cum_w - w)) div w_total"))
+        .filter(F.col("pick_idx") > F.col("prev_idx"))
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+            F.col("cum_w").cast("long").alias("cum_w"),
+            F.col("pick_idx").cast("int").alias("pick_idx"),
+        )
+    )
+
+
+Q162_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars AS w,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         SUM(n_chars) OVER () AS w_total
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(cum_w AS BIGINT) AS cum_w,
+       CAST((100 * cum_w) // w_total AS INTEGER) AS pick_idx
+FROM c
+WHERE (100 * cum_w) // w_total > (100 * (cum_w - w)) // w_total
+"""
+
+
+def q163_kmv_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source SET ALGEBRA from merged KMV sketches (Beyer
+    SIGMOD'07 §4; the theta-sketch intersection of Datasketches): the
+    per-source k-minimum-value sketches of q56 are MERGEABLE state, so
+    every one of the C(20,2) source-pair union/intersection cardinality
+    estimates derives from KBs of sketch rows with NO second corpus
+    pass — the property that makes sketch-based dedup planning viable
+    at 10^12 rows, where an exact pairwise gram join (q97's exact twin)
+    would shuffle the corpus 190 times. Contract per pair (a<b):
+    theta = k-th smallest of the sketch union (max if fewer), k_union =
+    rows <= theta, n_common = rows <= theta present in BOTH sketches,
+    union_est = (k-1)/normalized(theta) (exact when the union sketch is
+    complete), inter_est = n_common/k_union * union_est — every input a
+    deterministic integer (60-bit md5 prefix, the q37/q48/q56 portable
+    hash convention), every double one IEEE op mirrored in the oracle.
+
+    Scale shape: the corpus pass is q56's A4 salted two-stage k-min
+    (per-(source, salt-64) prune, then per-source merge); sketches are
+    localCheckpointed (<= 20*256 rows) so the pair algebra — a
+    dimension-sized pair frame equi-joined to the sketch rows twice,
+    one (pair, hash) dedup exchange, one pair-keyed window+agg — never
+    rescans the corpus (the builder call pays the sketch pass)."""
+    n, k = 13, 256
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    toks = F.split(normalize_sql(F.col("text")), " ")
+    grams = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sg = (
+        docs.select("source", toks.alias("toks"))
+        .select("source", F.explode(grams).alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("h")
+    cand = (
+        sg.withColumn("salt", F.pmod(F.col("h"), F.lit(64)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    sk = (
+        cand.select("source", "h")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("source", "h")
+        .localCheckpoint()
+    )
+    srcs = sk.select("source").distinct()
+    pr = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("src_b"))),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    ua = pr.join(F.broadcast(sk), F.col("src_a") == F.col("source")).select(
+        "src_a", "src_b", "h"
+    )
+    ub = pr.join(F.broadcast(sk), F.col("src_b") == F.col("source")).select(
+        "src_a", "src_b", "h"
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    a = (
+        u.withColumn("rn", F.row_number().over(wp))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("theta"),
+            F.sum(F.when(F.col("rn") <= k, 1).otherwise(0))
+            .cast("int")
+            .alias("k_union"),
+            F.sum(F.when((F.col("rn") <= k) & (F.col("cnt") == 2), 1).otherwise(0))
+            .cast("int")
+            .alias("n_common"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    union_est = F.when(
+        F.col("n_rows") < k, F.col("n_rows").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("theta").cast("double") / F.lit(1152921504606846976.0))
+    )
+    return a.select(
+        "src_a",
+        "src_b",
+        "theta",
+        "n_common",
+        "k_union",
+        union_est.alias("union_est"),
+        ((F.col("n_common").cast("double") / F.col("k_union")) * union_est)
+        .alias("inter_est"),
+    )
+
+
+Q163_SQL = f"""
+WITH d AS (
+  SELECT source,
+         string_split({NORMALIZE_DUCKDB_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         ('0x' || substring(md5(array_to_string(t[i:i+12], ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 12)) AS i
+        FROM d WHERE len(t) >= 13)
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM g
+  ) WHERE rn <= 256
+), pr AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+), u AS (
+  SELECT pr.src_a, pr.src_b, sk.h, COUNT(*) AS cnt
+  FROM pr JOIN sk ON sk.source = pr.src_a OR sk.source = pr.src_b
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT src_a, src_b, h, cnt,
+         ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM u
+), a AS (
+  SELECT src_a, src_b,
+         MAX(CASE WHEN rn <= 256 THEN h END) AS theta,
+         CAST(SUM(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS INTEGER) AS k_union,
+         CAST(SUM(CASE WHEN rn <= 256 AND cnt = 2 THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_common,
+         COUNT(*) AS n_rows
+  FROM w GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(theta AS BIGINT) AS theta, n_common, k_union,
+       CASE WHEN n_rows < 256 THEN CAST(n_rows AS DOUBLE)
+            ELSE 255.0 / (CAST(theta AS DOUBLE) / 1152921504606846976.0)
+       END AS union_est,
+       CAST(n_common AS DOUBLE) / k_union *
+       (CASE WHEN n_rows < 256 THEN CAST(n_rows AS DOUBLE)
+             ELSE 255.0 / (CAST(theta AS DOUBLE) / 1152921504606846976.0)
+        END) AS inter_est
+FROM a
+"""
+
+
+def q164_merkle_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style divergence LOCALIZATION between two replicas of the
+    documents table — the anti-entropy step after q160's flat checksum
+    says "the tables differ": a 2-level hash tree (256 leaves by
+    doc_id bucket, 16 inner nodes) pins divergence to the leaf buckets
+    that actually differ, so repair transfers O(differing buckets), not
+    the table. The replica is synthesized deterministically (rows whose
+    md5 drop-bucket < 128 are missing, ~3%), the row hash is q160's
+    60-bit md5 field-tuple convention, and leaf fingerprints are the
+    same wraparound-free DECIMAL(38,0) sums.
+
+    Scale shape: BOTH replicas' leaf fingerprints come out of ONE
+    map-only corpus pass (conditional aggregation over the shared
+    scan — never two scans), reduced to a <=256-row leaf relation that
+    is localCheckpointed; the inner-node rollup, the mismatch probe,
+    and the leaf diff all run on that tiny relation (one tiny exchange
+    + a broadcast semi-probe). At 10^12 rows each replica side does
+    exactly one pass and ships 256 fingerprint rows."""
+    from .sampling import bucket_of
+
+    docs = _t(spark, sf_dir, "documents")
+    row = F.concat_ws(
+        "\x1f", F.col("doc_id"), F.col("text"), F.col("lang"),
+        F.col("source"), F.col("n_chars"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+    keep = bucket_of(F.col("doc_id"), "merkle-drop") >= 128
+    leaf = F.expr("leaf_bucket div 16")
+    leaves = (
+        docs.select(
+            bucket_of(F.col("doc_id"), "merkle-v1").alias("leaf_bucket"),
+            h.alias("h"),
+            keep.alias("keep"),
+        )
+        .select(leaf.alias("leaf_id"), "h", "keep")
+        .withColumn("inner_id", F.expr("leaf_id div 16"))
+        .groupBy("inner_id", "leaf_id")
+        .agg(
+            F.count("*").alias("n_primary"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_replica"),
+            F.sum("h").cast("decimal(38,0)").alias("s_p"),
+            F.sum(F.when(F.col("keep"), F.col("h")))
+            .cast("decimal(38,0)")
+            .alias("s_r"),
+        )
+        .localCheckpoint()
+    )
+    bad = (
+        leaves.groupBy("inner_id")
+        .agg(
+            F.sum("n_primary").alias("np"),
+            F.sum("n_replica").alias("nr"),
+            F.sum("s_p").alias("sp"),
+            F.sum("s_r").alias("sr"),
+        )
+        .filter(
+            (F.col("np") != F.col("nr"))
+            | ~F.col("sp").eqNullSafe(F.col("sr"))
+        )
+        .select("inner_id")
+    )
+    return (
+        leaves.join(F.broadcast(bad), "inner_id")
+        .filter(
+            (F.col("n_primary") != F.col("n_replica"))
+            | ~F.col("s_p").eqNullSafe(F.col("s_r"))
+        )
+        .select(
+            "inner_id",
+            "leaf_id",
+            "n_primary",
+            "n_replica",
+            F.col("s_p").cast("string").alias("fp_primary"),
+            F.coalesce(F.col("s_r").cast("string"), F.lit("0")).alias(
+                "fp_replica"
+            ),
+        )
+    )
+
+
+def _q164_sql() -> str:
+    from .sampling import bucket_sql
+
+    return f"""
+WITH b AS (
+  SELECT {bucket_sql('doc_id', 'merkle-v1')} // 16 AS leaf_id,
+         {bucket_sql('doc_id', 'merkle-drop')} >= 128 AS keep,
+         CAST('0x' || substr(
+           md5(concat_ws(chr(31), doc_id, text, lang, source, n_chars)),
+           1, 15) AS BIGINT) AS h
+  FROM documents
+), leaves AS (
+  SELECT leaf_id // 16 AS inner_id, leaf_id,
+         COUNT(*) AS n_primary,
+         CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_replica,
+         CAST(SUM(h) AS DECIMAL(38,0)) AS s_p,
+         CAST(SUM(CASE WHEN keep THEN h END) AS DECIMAL(38,0)) AS s_r
+  FROM b GROUP BY 1, 2
+), bad AS (
+  SELECT inner_id FROM leaves GROUP BY inner_id
+  HAVING SUM(n_primary) <> SUM(n_replica)
+      OR SUM(s_p) IS DISTINCT FROM SUM(s_r)
+)
+SELECT l.inner_id, l.leaf_id,
+       CAST(n_primary AS BIGINT) AS n_primary, n_replica,
+       CAST(s_p AS VARCHAR) AS fp_primary,
+       COALESCE(CAST(s_r AS VARCHAR), '0') AS fp_replica
+FROM leaves l JOIN bad USING (inner_id)
+WHERE n_primary <> n_replica OR s_p IS DISTINCT FROM s_r
+"""
+
+
+Q164_SQL = _q164_sql()
+
+
+def q165_greedy_vocab_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection (Nemhauser '78: the
+    greedy sweep is a (1-1/e)-approximation for submodular coverage) —
+    the coreset/curation primitive "pick the k documents that together
+    cover the most vocabulary", used to seed eval sets and dedup-aware
+    mixture anchors. The coverage universe is distinct word TRIGRAMS
+    (the synthetic corpus's unigram vocabulary is a degenerate 31
+    tokens; its ~16.5k trigrams make coverage meaningful). k=8 rounds;
+    each round picks the doc covering the most still-uncovered grams
+    (ties broken by doc_id), then retires them. Deterministic end to
+    end.
+
+    Scale shape: sequential greedy is inherently k driver-steered
+    rounds (the argmax VALUE must reach the driver to shape round
+    i+1): each round is one groupBy over the SHRINKING remaining
+    (doc, token) relation + a 1-row global argmax (TakeOrdered — the
+    only collect, k rows total), and the picked doc's token set (one
+    doc's vocabulary) broadcasts into a left-anti retire join; the
+    relation is re-localCheckpointed per round so round i+1 never
+    replays rounds 1..i. The oracle unrolls the same k stages as
+    chained CTEs (the q84 static-DAG convention)."""
+    k = 8
+    docs = _t(spark, sf_dir, "documents")
+    tok_arr = F.split(normalize_sql(F.col("text")), " ")
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = (
+        docs.select("doc_id", tok_arr.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("term"))
+        .localCheckpoint()
+    )
+    remaining = toks
+    picks: list[tuple[int, int, int, int]] = []
+    covered = 0
+    for i in range(1, k + 1):
+        best = (
+            remaining.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        covered += best[0]["gain"]
+        picks.append((i, best[0]["doc_id"], best[0]["gain"], covered))
+        if i < k:
+            retired = toks.filter(F.col("doc_id") == best[0]["doc_id"]).select(
+                "term"
+            )
+            remaining = remaining.join(
+                F.broadcast(retired), "term", "left_anti"
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        picks, "pick_idx int, doc_id long, gain long, covered_cum long"
+    )
+
+
+def _q165_sql(k: int = 8) -> str:
+    norm = NORMALIZE_DUCKDB_SQL.format(col="text")
+    parts = [
+        f"""WITH d AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+), toks AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS term
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM d WHERE len(t) >= 3)
+), r1 AS (SELECT doc_id, term FROM toks)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT doc_id, COUNT(*) AS gain FROM r{i} GROUP BY 1
+  ORDER BY gain DESC, doc_id ASC LIMIT 1
+)"""
+        )
+        if i < k:
+            parts.append(
+                f"""r{i + 1} AS (
+  SELECT r.doc_id, r.term FROM r{i} r
+  ANTI JOIN (SELECT term FROM toks
+             WHERE doc_id = (SELECT doc_id FROM p{i})) c USING (term)
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS pick_idx, doc_id, gain FROM p{i}" for i in range(1, k + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(pick_idx AS INTEGER) AS pick_idx,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(SUM(gain) OVER (ORDER BY pick_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS covered_cum
+FROM ({union})
+"""
+    )
+
+
+Q165_SQL = _q165_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -9395,6 +9856,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_dup_graph_bfs_depth": q159_dup_graph_bfs_depth,
     "q160_table_checksum": q160_table_checksum,
     "q161_prefix_filter_ssjoin": q161_prefix_filter_ssjoin,
+    "q162_weighted_systematic_sample": q162_weighted_systematic_sample,
+    "q163_kmv_sketch_algebra": q163_kmv_sketch_algebra,
+    "q164_merkle_divergence": q164_merkle_divergence,
+    "q165_greedy_vocab_cover": q165_greedy_vocab_cover,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9561,4 +10026,8 @@ ORACLE_SQL: dict[str, str] = {
     "q159_dup_graph_bfs_depth": Q159_SQL,
     "q160_table_checksum": Q160_SQL,
     "q161_prefix_filter_ssjoin": Q161_SQL,
+    "q162_weighted_systematic_sample": Q162_SQL,
+    "q163_kmv_sketch_algebra": Q163_SQL,
+    "q164_merkle_divergence": Q164_SQL,
+    "q165_greedy_vocab_cover": Q165_SQL,
 }

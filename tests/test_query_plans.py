@@ -1196,3 +1196,68 @@ def test_q161_prefix_join_is_equi_never_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q162_prefix_sum_is_two_phase_no_corpus_sort(spark):
+    """Distributed PPS sampling: the global prefix sum is the two-phase
+    bucket scan — a bucket-partitioned window plus a buckets-sized
+    offset window — never ONE single-partition sort of the corpus; the
+    offset/total joins are broadcast (one BHJ + one 1-row BNLJ), and
+    the checkpointed 2-col projection means the final plan rescans no
+    parquet."""
+    df = QUERIES["q162_weighted_systematic_sample"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "Scan parquet" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q163_pair_algebra_never_rescans_corpus(spark):
+    """Mergeable-sketch set algebra: all 190 pairwise estimates derive
+    from the checkpointed <=20*256-row sketch relation — the final plan
+    has ZERO parquet scans (the corpus pass happened once, at sketch
+    build), dimension-sized broadcast joins only, one (pair, hash)
+    dedup exchange + one pair window."""
+    df = QUERIES["q163_kmv_sketch_algebra"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _n_exchanges(df) == 4, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q164_merkle_single_pass_both_replicas(spark):
+    """Anti-entropy localization: both replicas' leaf fingerprints come
+    from ONE conditional-aggregation pass (the checkpointed leaf
+    relation), so the final plan is one tiny inner-node exchange + a
+    broadcast mismatch probe — no second corpus scan, no sort-merge
+    join, no Python."""
+    df = QUERIES["q164_merkle_divergence"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "Scan parquet" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q165_greedy_cover_invariants(spark):
+    """Greedy max-coverage: gains are non-increasing (submodularity of
+    the coverage objective under the shrinking remaining relation),
+    picked docs are distinct, and covered_cum is the running gain sum —
+    the k-row result itself is driver-local by design (each argmax
+    steers the next round)."""
+    rows = QUERIES["q165_greedy_vocab_cover"](spark, SF).collect()
+    assert len(rows) == 8
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True), gains
+    assert len({r["doc_id"] for r in rows}) == 8
+    import itertools
+
+    assert [r["covered_cum"] for r in rows] == list(
+        itertools.accumulate(gains)
+    )
