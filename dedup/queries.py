@@ -9694,6 +9694,223 @@ FROM ({union})
 Q165_SQL = _q165_sql()
 
 
+def q166_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every near-dup CLUSTER
+    lands atomically in one split — the guard against the classic
+    train/test contamination bug where q37's per-doc hash split puts
+    two near-duplicates on opposite sides of the eval boundary (Lee
+    ACL'22 measures the resulting eval inflation). The dup graph is
+    q12's exact token-Jaccard pair relation (J >= 0.5, deterministic);
+    rep = the component's numeric-min doc_id (q159 convention);
+    singletons are their own rep; the split is q37's md5 bucket rule
+    applied to the REP id, so members inherit the rep's split by
+    construction and a cluster can never straddle splits.
+
+    Scale shape: components come from the log-round large-star /
+    small-star engine over the pair relation (<< corpus); the rep map
+    covers only docs with a dup edge and broadcasts into a left join
+    against the corpus (singletons coalesce to themselves); the bucket
+    rule is a stateless narrow projection. One corpus-side broadcast
+    probe — the corpus itself never shuffles."""
+    from .cc import connected_components
+    from .sampling import assign_split
+
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir)
+    pad = lambda c: F.format_string("%020d", F.col(c))  # noqa: E731
+    comp, _ = connected_components(
+        pairs.select(pad("a").alias("a"), pad("b").alias("b")), DedupConfig()
+    )
+    rep_map = comp.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("rep"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    with_rep = docs.join(F.broadcast(rep_map), "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", F.col("doc_id")).alias("rep")
+    )
+    return assign_split(with_rep, "rep").select(
+        "doc_id", "rep", F.col("bucket").cast("int").alias("bucket"), "split"
+    )
+
+
+def _q166_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("CAST(rep AS VARCHAR)", "split-v1")
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+), p AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM d l JOIN d r
+    ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+  WHERE ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 4) >= 0.5
+), e AS (
+  SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p
+), reach(src, node) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) s
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.node
+), comp AS (
+  SELECT src AS doc, MIN(node) AS rep FROM reach GROUP BY src
+), m AS (
+  SELECT doc_id, COALESCE(c.rep, doc_id) AS rep
+  FROM documents LEFT JOIN comp c ON c.doc = doc_id
+)
+SELECT doc_id, rep, CAST({b} AS INT) AS bucket,
+       CASE WHEN {b} < 3277 THEN 'train'
+            WHEN {b} < 3686 THEN 'val' ELSE 'test' END AS split
+FROM m
+"""
+
+
+Q166_SQL = _q166_sql()
+
+
+def q167_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack SIGIR'09) of two retrieval
+    signals — exact embedding cosine and exact distinct-token Jaccard —
+    into one top-5 neighbor list per query doc: the multi-signal
+    retrieval primitive a dedup/curation pass uses when lexical and
+    semantic similarity disagree. Query set = docs whose md5 bucket
+    (q37/q48 portable hash convention, salt 'rrf-q') < 82 (~2% of the
+    corpus); rrf = 1/(60+rank_cos) + 1/(60+rank_jac) — the ranks are
+    engine-identical integers (each a row_number over the ROUND-ed
+    similarity with doc_id tie-break, the q14/q15 convention), so the
+    fused score is one deterministic IEEE sum per pair.
+
+    Scale shape: the tiny query sets localCheckpoint once so each
+    modality's candidate side is scanned exactly ONCE (two
+    query-broadcast BNLJs by design — this is the brute-force
+    oracle-baseline family of q14/q15; the scale path feeds the same
+    fusion from q23 SRP / q24 IVF candidate lists), one per-query
+    window each, then a (q, n)-keyed join of the two query-bounded
+    rank relations and a final per-query top-5 window."""
+    from .embedding import dot_expr, load_embeddings
+    from .sampling import bucket_of
+
+    e = load_embeddings(spark, sf_dir)
+    qs = (
+        e.filter(bucket_of(F.col("vec_id"), "rrf-q") < 82)
+        .select(
+            F.col("vec_id").alias("q"),
+            F.col("embedding").alias("vq"),
+            F.col("nrm").alias("nq"),
+        )
+        .localCheckpoint()
+    )
+    cos = F.round(
+        dot_expr("vq", "embedding") / (F.col("nq") * F.col("nrm")), 6
+    )
+    wq = Window.partitionBy("q")
+    rc = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", F.col("vec_id").alias("n"), cos.alias("cos"))
+        .withColumn(
+            "rank_cos",
+            F.row_number()
+            .over(wq.orderBy(F.desc("cos"), F.asc("n")))
+            .cast("int"),
+        )
+        .select("q", "n", "rank_cos")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(normalize_sql(F.col("text")), " ")).alias(
+            "toks"
+        ),
+    )
+    qd = (
+        d.filter(bucket_of(F.col("doc_id"), "rrf-q") < 82)
+        .select(F.col("doc_id").alias("q"), F.col("toks").alias("tq"))
+        .localCheckpoint()
+    )
+    inter = F.size(F.array_intersect(F.col("tq"), F.col("toks")))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("tq") + F.size("toks") - inter),
+        4,
+    )
+    rj = (
+        d.crossJoin(F.broadcast(qd))
+        .filter(F.col("doc_id") != F.col("q"))
+        .select("q", F.col("doc_id").alias("n"), jac.alias("jac"))
+        .withColumn(
+            "rank_jac",
+            F.row_number()
+            .over(wq.orderBy(F.desc("jac"), F.asc("n")))
+            .cast("int"),
+        )
+        .select("q", "n", "rank_jac")
+    )
+    fused = rc.join(rj, ["q", "n"]).withColumn(
+        "rrf",
+        F.lit(1.0) / (F.lit(60) + F.col("rank_cos"))
+        + F.lit(1.0) / (F.lit(60) + F.col("rank_jac")),
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number()
+            .over(wq.orderBy(F.desc("rrf"), F.asc("n")))
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= 5)
+        .select("q", "n", "rank_cos", "rank_jac", "rrf", "rnk")
+    )
+
+
+def _q167_sql() -> str:
+    from .sampling import bucket_sql
+
+    bq = bucket_sql("CAST(vec_id AS VARCHAR)", "rrf-q")
+    bd = bucket_sql("CAST(doc_id AS VARCHAR)", "rrf-q")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), qe AS (
+  SELECT vec_id, v, nrm FROM e WHERE {bq} < 82
+), rc AS (
+  SELECT qe.vec_id AS q, c.vec_id AS n,
+         ROW_NUMBER() OVER (PARTITION BY qe.vec_id
+           ORDER BY ROUND(list_dot_product(qe.v, c.v) / (qe.nrm * c.nrm), 6)
+                    DESC, c.vec_id ASC) AS rank_cos
+  FROM qe JOIN e c ON c.vec_id <> qe.vec_id
+), d AS (
+  SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+), qd AS (
+  SELECT doc_id, toks FROM d WHERE {bd} < 82
+), rj AS (
+  SELECT qd.doc_id AS q, c.doc_id AS n,
+         ROW_NUMBER() OVER (PARTITION BY qd.doc_id
+           ORDER BY ROUND(CAST(len(list_intersect(qd.toks, c.toks)) AS DOUBLE)
+                / (len(qd.toks) + len(c.toks)
+                   - len(list_intersect(qd.toks, c.toks))), 4) DESC,
+                    c.doc_id ASC) AS rank_jac
+  FROM qd JOIN d c ON c.doc_id <> qd.doc_id
+), f AS (
+  SELECT rc.q, rc.n,
+         CAST(rank_cos AS INT) AS rank_cos, CAST(rank_jac AS INT) AS rank_jac,
+         1e0 / (60 + rank_cos) + 1e0 / (60 + rank_jac) AS rrf
+  FROM rc JOIN rj ON rj.q = rc.q AND rj.n = rc.n
+)
+SELECT q, n, rank_cos, rank_jac, rrf, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                                   ORDER BY rrf DESC, n ASC) AS rnk FROM f)
+WHERE rnk <= 5
+"""
+
+
+Q167_SQL = _q167_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -9860,6 +10077,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q163_kmv_sketch_algebra": q163_kmv_sketch_algebra,
     "q164_merkle_divergence": q164_merkle_divergence,
     "q165_greedy_vocab_cover": q165_greedy_vocab_cover,
+    "q166_leakage_safe_split": q166_leakage_safe_split,
+    "q167_rank_fusion": q167_rank_fusion,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10030,4 +10249,6 @@ ORACLE_SQL: dict[str, str] = {
     "q163_kmv_sketch_algebra": Q163_SQL,
     "q164_merkle_divergence": Q164_SQL,
     "q165_greedy_vocab_cover": Q165_SQL,
+    "q166_leakage_safe_split": Q166_SQL,
+    "q167_rank_fusion": Q167_SQL,
 }

@@ -1261,3 +1261,48 @@ def test_q165_greedy_cover_invariants(spark):
     assert [r["covered_cum"] for r in rows] == list(
         itertools.accumulate(gains)
     )
+
+
+def test_q166_corpus_never_shuffles(spark):
+    """Leakage-safe split: the rep map (dup docs only, checkpointed by
+    the CC engine) broadcasts into the corpus-side left join and the
+    bucket rule is a narrow projection — ZERO shuffle exchanges on the
+    corpus path, one parquet scan, no Python."""
+    df = QUERIES["q166_leakage_safe_split"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 0, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q166_no_cluster_straddles_splits(spark):
+    """The leakage invariant itself: every q12 dup pair lands in ONE
+    split (q37's per-doc hash split would violate this for any pair
+    whose endpoints hash across a boundary)."""
+    split = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["q166_leakage_safe_split"](spark, SF).collect()
+    }
+    pairs = QUERIES["q12_docs_token_jaccard_pairs"](spark, SF).collect()
+    assert pairs, "fixture should contain dup pairs"
+    straddlers = [
+        (p["a"], p["b"])
+        for p in pairs
+        if split[p["a"]] != split[p["b"]]
+    ]
+    assert not straddlers, straddlers
+
+
+def test_q167_each_modality_scanned_once(spark):
+    """Rank fusion: the checkpointed query sets broadcast into each
+    modality's candidate scan, so embeddings and documents are each
+    read exactly once (two BNLJs by design — the brute-force baseline
+    family); the (q, n) rank join and windows stay query-bounded; no
+    Python."""
+    df = QUERIES["q167_rank_fusion"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
