@@ -9911,6 +9911,99 @@ WHERE rnk <= 5
 Q167_SQL = _q167_sql()
 
 
+def _z_interleave_expr(x: str, y: str, bits: int = 8, idiv: str = "div") -> str:
+    """Bit-interleave expression (Morton/Z-order) from pure integer
+    arithmetic — the same string evaluates in Spark SQL (`div`) and
+    DuckDB (`//`), so the curve is engine-identical by construction."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} {idiv} {1 << i}) % 2) * {1 << (2 * i)})")
+        terms.append(f"((({y} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+def q168_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton space-filling-curve) data layout with zone maps —
+    the lakehouse file-skipping primitive (Iceberg/Delta OPTIMIZE
+    ZORDER): interleaving the bits of two clustering dimensions bounds
+    BOTH per file, so min-max zone maps prune scans on either
+    predicate; a lexicographic sort bounds only the leading dimension.
+    Dims: x = capped n_chars div 16 (0..255), y = the md5 lang bucket
+    % 256 (q37/q48 portable hash convention); cell = the top 4 bits of
+    the 16-bit Morton code (a quadtree tile fixing 2 high bits of EACH
+    dim, so per-cell spans are <= 63x63) vs the lexicographic layout's
+    x div 16 strips (16 wide in x, unbounded in y). Output = both
+    layouts' zone-map tables; the pruning win is pinned as a test
+    (zorder max y-span << lexicographic max y-span).
+
+    Scale shape: ONE partial-aggregated corpus exchange reduces to the
+    <= 65k-row (x, y) grain, localCheckpointed; both layout rollups
+    and their zone maps run on that tiny relation — at 10^12 rows the
+    zone-map table the scan planner consults costs one map-side-
+    combined pass, and re-clustering decisions never rescan the
+    corpus."""
+    from .sampling import bucket_of
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            F.least(F.expr("n_chars div 16"), F.lit(255)).alias("x"),
+            F.pmod(bucket_of(F.col("lang"), "zorder-v1"), F.lit(256)).alias(
+                "y"
+            ),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    zcell = F.expr(f"({_z_interleave_expr('x', 'y')}) div 4096")
+    lcell = F.expr("x div 16")
+
+    def _zonemap(df: DataFrame, cell: "F.Column", layout: str) -> DataFrame:
+        return (
+            df.withColumn("cell", cell.cast("int"))
+            .groupBy("cell")
+            .agg(
+                F.sum("n").alias("n_docs"),
+                F.min("x").cast("int").alias("min_x"),
+                F.max("x").cast("int").alias("max_x"),
+                F.min("y").cast("int").alias("min_y"),
+                F.max("y").cast("int").alias("max_y"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    return _zonemap(g, zcell, "zorder").unionByName(
+        _zonemap(g, lcell, "lexicographic")
+    ).select("layout", "cell", "n_docs", "min_x", "max_x", "min_y", "max_y")
+
+
+def _q168_sql() -> str:
+    from .sampling import bucket_sql
+
+    y = f"({bucket_sql('lang', 'zorder-v1')} % 256)"
+    z = _z_interleave_expr("x", "y", idiv="//")
+    return f"""
+WITH b AS (
+  SELECT least(n_chars // 16, 255) AS x, {y} AS y
+  FROM documents
+), g AS (
+  SELECT x, y, COUNT(*) AS n FROM b GROUP BY 1, 2
+), tagged AS (
+  SELECT 'zorder' AS layout, ({z}) // 4096 AS cell, x, y, n FROM g
+  UNION ALL
+  SELECT 'lexicographic', x // 16, x, y, n FROM g
+)
+SELECT layout, CAST(cell AS INT) AS cell, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(MIN(x) AS INT) AS min_x, CAST(MAX(x) AS INT) AS max_x,
+       CAST(MIN(y) AS INT) AS min_y, CAST(MAX(y) AS INT) AS max_y
+FROM tagged GROUP BY layout, cell
+"""
+
+
+Q168_SQL = _q168_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -10079,6 +10172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q165_greedy_vocab_cover": q165_greedy_vocab_cover,
     "q166_leakage_safe_split": q166_leakage_safe_split,
     "q167_rank_fusion": q167_rank_fusion,
+    "q168_zorder_layout": q168_zorder_layout,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10251,4 +10345,5 @@ ORACLE_SQL: dict[str, str] = {
     "q165_greedy_vocab_cover": Q165_SQL,
     "q166_leakage_safe_split": Q166_SQL,
     "q167_rank_fusion": Q167_SQL,
+    "q168_zorder_layout": Q168_SQL,
 }

@@ -1306,3 +1306,25 @@ def test_q167_each_modality_scanned_once(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_q168_zonemap_one_corpus_exchange_and_pruning_win(spark):
+    """Z-order layout: the corpus reduces to the (x, y) grain in ONE
+    partial-aggregated exchange (checkpointed — no parquet in the
+    final plan, which rolls up the tiny relation per layout); and the
+    curve's point: every z-cell bounds BOTH dims (spans <= 63) while
+    the lexicographic strips leave y effectively unbounded — the
+    file-skipping property a y-predicate needs."""
+    df = QUERIES["q168_zorder_layout"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    rows = df.collect()
+    z = [r for r in rows if r["layout"] == "zorder"]
+    lex = [r for r in rows if r["layout"] == "lexicographic"]
+    assert z and lex
+    z_span = max(r["max_y"] - r["min_y"] for r in z)
+    lex_span = max(r["max_y"] - r["min_y"] for r in lex)
+    assert z_span <= 63, z_span
+    assert z_span < lex_span, (z_span, lex_span)
