@@ -10004,6 +10004,81 @@ FROM tagged GROUP BY layout, cell
 Q168_SQL = _q168_sql()
 
 
+def q169_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding (Thaler & Ravishankar
+    '96) — the consistent-placement primitive a 100-TB store uses so
+    that GROWING the shard fleet moves only the stolen fraction of
+    keys, never reshuffles the corpus (mod-N hashing moves ~all keys on
+    N -> N+1). Each doc scores every shard by the 60-bit md5 of
+    doc_id|shard|salt (the portable hash convention) and lands on the
+    argmax; the query emits the 8-shard and 9-shard assignments side
+    by side with a moved flag. The HRW theorem — every moved doc moved
+    TO the new shard, and nothing else changed — is pinned as a test
+    (expected stolen fraction = 1/9).
+
+    Scale shape: a narrow stateless projection — the 9-way score
+    fan-out is a JVM array of md5 expressions reduced by a greatest()
+    argmax, no explode row blow-up, no shuffle, no join; placement is
+    a pure function of the key so any executor computes it
+    independently (the property that makes it 'consistent')."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def score(shard: int) -> "F.Column":
+        hx = F.md5(
+            F.concat_ws(
+                "|", F.col("doc_id").cast("string"), F.lit(str(shard)),
+                F.lit("rdv-v1"),
+            )
+        )
+        return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+
+    def argmax(n_shards: int) -> "F.Column":
+        pairs = [
+            F.struct(score(s).alias("s"), F.lit(s).alias("shard"))
+            for s in range(n_shards)
+        ]
+        return F.greatest(*pairs)["shard"].cast("int")
+
+    return docs.select(
+        "doc_id",
+        argmax(8).alias("shard8"),
+        argmax(9).alias("shard9"),
+    ).withColumn("moved", F.col("shard8") != F.col("shard9"))
+
+
+def _q169_sql() -> str:
+    # ties (equal 60-bit scores) break to the LARGER shard, matching
+    # Spark's lexicographic struct greatest
+    return """
+WITH s AS (
+  SELECT doc_id, shard,
+         CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '|',
+           CAST(shard AS VARCHAR), '|', 'rdv-v1')), 1, 15) AS BIGINT) AS sc
+  FROM documents, unnest(generate_series(0, 8)) AS u(shard)
+), a8 AS (
+  SELECT doc_id, shard AS shard8 FROM (
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY sc DESC, shard DESC) AS rn
+    FROM s WHERE shard <= 7
+  ) WHERE rn = 1
+), a9 AS (
+  SELECT doc_id, shard AS shard9 FROM (
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY sc DESC, shard DESC) AS rn
+    FROM s
+  ) WHERE rn = 1
+)
+SELECT doc_id, CAST(shard8 AS INT) AS shard8, CAST(shard9 AS INT) AS shard9,
+       shard8 <> shard9 AS moved
+FROM a8 JOIN a9 USING (doc_id)
+"""
+
+
+Q169_SQL = _q169_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -10173,6 +10248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_leakage_safe_split": q166_leakage_safe_split,
     "q167_rank_fusion": q167_rank_fusion,
     "q168_zorder_layout": q168_zorder_layout,
+    "q169_rendezvous_sharding": q169_rendezvous_sharding,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10346,4 +10422,5 @@ ORACLE_SQL: dict[str, str] = {
     "q166_leakage_safe_split": Q166_SQL,
     "q167_rank_fusion": Q167_SQL,
     "q168_zorder_layout": Q168_SQL,
+    "q169_rendezvous_sharding": Q169_SQL,
 }

@@ -1328,3 +1328,22 @@ def test_q168_zonemap_one_corpus_exchange_and_pruning_win(spark):
     lex_span = max(r["max_y"] - r["min_y"] for r in lex)
     assert z_span <= 63, z_span
     assert z_span < lex_span, (z_span, lex_span)
+
+
+def test_q169_hrw_minimal_movement_no_shuffle(spark):
+    """Rendezvous sharding: placement is a stateless narrow projection —
+    ZERO exchanges, no join, no explode row blow-up, no Python; and
+    the HRW theorem holds on the data: every doc that moved under the
+    8 -> 9 grow moved TO the new shard (nothing rebalances between old
+    shards), with the stolen fraction near the expected 1/9."""
+    df = QUERIES["q169_rendezvous_sharding"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 0, plan
+    assert "Join" not in plan and "Generate" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    rows = df.collect()
+    moved = [r for r in rows if r["moved"]]
+    assert moved, "some docs should be stolen by the new shard"
+    assert all(r["shard9"] == 8 for r in moved), moved[:5]
+    frac = len(moved) / len(rows)
+    assert 0.02 < frac < 0.30, frac
