@@ -10079,6 +10079,512 @@ FROM a8 JOIN a9 USING (doc_id)
 Q169_SQL = _q169_sql()
 
 
+def q170_inverted_index_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval through an inverted index (the
+    Salton/SMART family; BM25's plumbing): postings (token, doc, tf)
+    with integer inverse-document-frequency weights w = 1000000 div df
+    (rank-equivalent to N/df at fixed N, and BIGINT-exact where a float
+    tf*ln(N/df) would hinge on libm's last ulp — the q44 rationale),
+    stop tokens pruned by a posting-length cap (df <= 200, the classic
+    impact-ordered list truncation), query set = every doc with
+    doc_id % 97 == 0, score(q, d) = sum over shared tokens of
+    tf_q*tf_d*w, top-5 neighbors per query (score DESC, doc ASC).
+
+    Scale shape: the corpus tokenizes ONCE into a checkpointed postings
+    relation reused as both probe and candidate side; the token
+    equi-join touches only postings of query tokens (the inverted-index
+    property — candidate work is proportional to posting-list length,
+    never all-pairs), and the df cap bounds the worst posting fan-out
+    so no token key can go quadratic at 10^12 rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    post = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
+        .filter(F.col("df") <= 200)
+        .withColumn("w", F.expr("1000000 div df"))
+        .select("doc_id", "token", "tf", "w")
+        .localCheckpoint()
+    )
+    qp = post.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("q"), "token",
+        F.col("tf").alias("tf_q"), "w",
+    )
+    cand = post.select(F.col("doc_id").alias("d"), "token", F.col("tf").alias("tf_d"))
+    sc = (
+        qp.join(cand, "token")
+        .filter(F.col("q") != F.col("d"))
+        .groupBy("q", "d")
+        .agg(
+            F.sum(F.col("tf_q") * F.col("tf_d") * F.col("w"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    w5 = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("d"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w5))
+        .filter(F.col("rnk") <= 5)
+        .select("q", "d", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+Q170_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE length(token) >= 3
+  GROUP BY doc_id, token
+), dfx AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), post AS (
+  SELECT tf.doc_id, tf.token, tf.tf, 1000000 // dfx.df AS w
+  FROM tf JOIN dfx USING (token)
+  WHERE dfx.df <= 200
+), sc AS (
+  SELECT qp.doc_id AS q, p.doc_id AS d, SUM(qp.tf * p.tf * qp.w) AS score
+  FROM post qp JOIN post p ON p.token = qp.token AND p.doc_id <> qp.doc_id
+  WHERE qp.doc_id % 97 = 0
+  GROUP BY 1, 2
+)
+SELECT q, d, CAST(score AS BIGINT) AS score, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                                   ORDER BY score DESC, d ASC) AS rnk FROM sc)
+WHERE rnk <= 5
+"""
+
+
+def q171_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg JACM'99) over the bipartite
+    user -> event_type engagement graph: edge weight = event count,
+    two unnormalized power-iteration half-steps kept in BIGINT so the
+    fixed point is integer-exact (a1 = weighted indegree, h1 = E·a1,
+    a2 = Eᵀ·h1) — the eigenvector-flavored complement to q84's
+    PageRank, which HITS differs from in using two mutually recursive
+    scores instead of one. Output: top-10 hub users and every
+    authority type, ranked (score DESC, key ASC).
+
+    Scale shape: the raw event stream collapses ONCE into the
+    checkpointed (user, type, wgt) edge relation (map-side combined);
+    type-grain vectors (a1, a2) are dimension-sized and broadcast,
+    so each half-step against them is a narrow map; the one user-grain
+    product (h1) joins edges co-partitioned on user_id with its own
+    groupBy — joins only ever touch the edge relation, never the
+    corpus."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    e = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("wgt"))
+        .localCheckpoint()
+    )
+    a1 = e.groupBy("event_type").agg(F.sum("wgt").cast("long").alias("a1"))
+    h1 = (
+        e.join(F.broadcast(a1), "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("wgt") * F.col("a1")).cast("long").alias("h1"))
+    )
+    a2 = (
+        e.join(h1, "user_id")
+        .groupBy("event_type")
+        .agg(F.sum(F.col("wgt") * F.col("h1")).cast("long").alias("a2"))
+    )
+    hubs = (
+        h1.orderBy(F.desc("h1"), F.asc("user_id"))
+        .limit(10)
+        .select(
+            F.lit("hub").alias("entity"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("h1").alias("score"),
+        )
+    )
+    auths = a2.select(
+        F.lit("authority").alias("entity"),
+        F.col("event_type").alias("key"),
+        F.col("a2").alias("score"),
+    )
+    wr = Window.partitionBy("entity").orderBy(F.desc("score"), F.asc("key"))
+    return (
+        hubs.unionByName(auths)
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+    )
+
+
+Q171_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, COUNT(*) AS wgt
+  FROM events GROUP BY 1, 2
+), a1 AS (
+  SELECT event_type, SUM(wgt) AS a1 FROM e GROUP BY 1
+), h1 AS (
+  SELECT e.user_id, SUM(e.wgt * a1.a1) AS h1
+  FROM e JOIN a1 USING (event_type) GROUP BY 1
+), a2 AS (
+  SELECT e.event_type, SUM(e.wgt * h1.h1) AS a2
+  FROM e JOIN h1 USING (user_id) GROUP BY 1
+), hubs AS (
+  SELECT 'hub' AS entity, CAST(user_id AS VARCHAR) AS key,
+         CAST(h1 AS BIGINT) AS score
+  FROM h1 ORDER BY h1 DESC, user_id ASC LIMIT 10
+), auths AS (
+  SELECT 'authority' AS entity, event_type AS key, CAST(a2 AS BIGINT) AS score
+  FROM a2
+), u AS (
+  SELECT * FROM hubs UNION ALL SELECT * FROM auths
+)
+SELECT entity, key, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY entity
+                               ORDER BY score DESC, key ASC) AS INT) AS rnk
+FROM u
+"""
+
+
+def q172_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95) — the
+    third classic candidate-generation method next to LSH (q21) and
+    prefix filtering (q161): sort the corpus once by a blocking key
+    (first 12 chars of normalized text, doc_id tie-break), slide a
+    window of w = 4, and emit every in-window pair with its exact
+    distinct-token Jaccard — candidate cost is O(w·n), independent of
+    any similarity threshold.
+
+    Scale shape: the global rank is the q162 two-phase scan — bucket
+    (first key char)-local row_numbers plus a buckets-sized broadcast
+    offset window — never one single-partition sort of the corpus; the
+    w-1 neighbors come from a 3x explode equi-join on the rank value
+    (pairs that straddle range-partition boundaries are found by the
+    SAME join, so there is no boundary fix-up pass), and the ranked
+    relation is checkpointed so the corpus tokenizes once."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_sql(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.substring(norm, 1, 12).alias("k"),
+        F.array_distinct(F.split(norm, " ")).alias("toks"),
+    ).withColumn("bucket", F.substring("k", 1, 1))
+    rl = F.row_number().over(Window.partitionBy("bucket").orderBy("k", "doc_id"))
+    local = d.withColumn("rl", rl)
+    offs = (
+        d.groupBy("bucket")
+        .agg(F.count("*").alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "off")
+    )
+    ranked = (
+        local.join(F.broadcast(offs), "bucket")
+        .select("doc_id", "toks", (F.col("off") + F.col("rl")).alias("rank"))
+        .localCheckpoint()
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("a"),
+        F.col("toks").alias("toks_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.array(F.col("rank") + 1, F.col("rank") + 2, F.col("rank") + 3)
+        ).alias("rank"),
+    )
+    j = left.join(
+        ranked.select(
+            F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"), "rank"
+        ),
+        "rank",
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    uni = F.size("toks_a") + F.size("toks_b") - inter
+    return j.select(
+        "a",
+        "b",
+        (F.col("rank") - F.col("rank_a")).cast("int").alias("gap"),
+        F.round(inter / uni, 4).alias("jac"),
+    )
+
+
+Q172_SQL = f"""
+WITH d AS (
+  SELECT doc_id, substring({_NORM}, 1, 12) AS k,
+         list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+), ranked AS (
+  SELECT doc_id, toks,
+         ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rank
+  FROM d
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(r.rank - l.rank AS INT) AS gap,
+       ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+             / (len(l.toks) + len(r.toks)
+                - len(list_intersect(l.toks, r.toks))), 4) AS jac
+FROM ranked l JOIN ranked r
+  ON r.rank - l.rank BETWEEN 1 AND 3
+"""
+
+
+def q173_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan J.Alg'05) token
+    frequency estimation: d = 4 hash rows x w = 1024 columns (md5
+    portable-hash convention, salt cm-r{{row}}), cell = sum of counts
+    of all tokens landing there; the point estimate for a token is the
+    MIN over its 4 cells — never an underestimate (pinned as a test).
+    Probes: the top-20 exact heavy tokens (count DESC, token ASC), so
+    each output row carries exact_n, est_n, and the collision
+    overestimate the 4-KB sketch pays for its fixed memory.
+
+    Scale shape: ONE corpus tokenize collapses to the checkpointed
+    token-grain relation; the sketch build explodes that x4 and
+    partial-aggregates down to <= 4096 cells (map-side combined — the
+    mergeability that lets every executor sketch its split and OR the
+    results at 10^12 rows); probes broadcast against the cell relation,
+    so estimation never rescans the corpus."""
+    from .sampling import bucket_of
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    tf = (
+        docs.select(
+            F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.length("token") >= 3)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(
+                        bucket_of(F.col("token"), f"cm-r{r}"), F.lit(1024)
+                    ).alias("col"),
+                )
+                for r in range(4)
+            ]
+        )
+    ).alias("rc")
+    cells = (
+        tf.select(rc, "cnt")
+        .select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"), "cnt")
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cell_n"))
+    )
+    top = tf.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
+    probes = top.select("token", F.col("cnt").alias("exact_n"), rc).select(
+        "token",
+        "exact_n",
+        F.col("rc.row").alias("row"),
+        F.col("rc.col").alias("col"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").cast("long").alias("est_n"))
+        .withColumn("overest", (F.col("est_n") - F.col("exact_n")).cast("long"))
+    )
+
+
+def _cm_col_sql(r: int) -> str:
+    hx = f"md5(concat(token, '|', 'cm-r{r}'))"
+    d = lambda i: f"(instr('0123456789abcdef', substring({hx}, {i}, 1)) - 1)"  # noqa: E731
+    return f"((({d(1)} * 256 + {d(2)} * 16 + {d(3)})) % 1024)"
+
+
+def _q173_sql() -> str:
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT token, cnt, {r} AS row, {_cm_col_sql(r)} AS col FROM tf"
+        for r in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM toks WHERE length(token) >= 3
+  GROUP BY token
+), fan AS (
+{rows}
+), cells AS (
+  SELECT row, col, SUM(cnt) AS cell_n FROM fan GROUP BY 1, 2
+), top AS (
+  SELECT token, cnt AS exact_n FROM tf
+  ORDER BY cnt DESC, token ASC LIMIT 20
+), probes AS (
+  SELECT f.token, t.exact_n, f.row, f.col
+  FROM fan f JOIN top t USING (token)
+)
+SELECT p.token, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(c.cell_n) AS BIGINT) AS est_n,
+       CAST(MIN(c.cell_n) - p.exact_n AS BIGINT) AS overest
+FROM probes p JOIN cells c ON c.row = p.row AND c.col = p.col
+GROUP BY p.token, p.exact_n
+"""
+
+
+Q173_SQL = _q173_sql()
+
+_KCORE_ROUNDS = 6  # peel fixpoint measured at <= 2 rounds per SF; test-pinned
+
+
+def q174_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman'83 / Batagelj-Zaversnik peel) of
+    the deterministic dup graph (q12's exact token-Jaccard pairs,
+    J >= 0.5): repeatedly delete nodes of degree < k until the
+    fixpoint; survivors of the 2-core are docs in at least one dup
+    cycle (not mere appendages), the 3-core marks the dense template
+    families worth one canonical doc each. Emits (k, doc_id,
+    core_deg) for k = 2, 3; the nesting invariant (3-core ⊆ 2-core)
+    and fixpoint-within-budget are pinned as tests.
+
+    Scale shape: peeling runs entirely on the pair relation (orders of
+    magnitude smaller than the corpus) as 6 statically
+    unrolled rounds of degree-count + left-semi filter (each round's
+    shuffle is edge-sized and shrinking; checkpointed every other
+    round to keep lineage flat), mirrored exactly by the oracle's
+    chained CTEs — no driver-side data movement at any round."""
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir).select("a", "b")
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    edges0 = und.distinct().localCheckpoint()
+    out = None
+    for k in (2, 3):
+        edges = edges0
+        for rnd in range(_KCORE_ROUNDS):
+            deg = edges.groupBy("a").agg(F.count("*").alias("d"))
+            keep = deg.filter(F.col("d") >= k).select("a")
+            edges = edges.join(keep, "a", "left_semi").join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            if rnd % 2 == 1:
+                edges = edges.localCheckpoint()
+        surv = (
+            edges.groupBy("a")
+            .agg(F.count("*").cast("long").alias("core_deg"))
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                F.col("a").alias("doc_id"),
+                "core_deg",
+            )
+        )
+        out = surv if out is None else out.unionByName(surv)
+    return out
+
+
+def _q174_sql() -> str:
+    parts = []
+    for k in (2, 3):
+        prev = "e0"
+        for r in range(_KCORE_ROUNDS):
+            cur = f"e_k{k}_r{r}"
+            parts.append(
+                f"""{cur} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN (SELECT a FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}) ka
+    ON ka.a = e.a
+  JOIN (SELECT a FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}) kb
+    ON kb.a = e.b
+)"""
+            )
+            prev = cur
+        parts.append(
+            f"""surv_k{k} AS (
+  SELECT {k} AS k, a AS doc_id, COUNT(*) AS core_deg
+  FROM {prev} GROUP BY a
+)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH pairs AS ({Q12_SQL.replace(';', '')}),
+und AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), e0 AS (SELECT a, b FROM und),
+{chain}
+SELECT CAST(k AS INT) AS k, doc_id, CAST(core_deg AS BIGINT) AS core_deg
+FROM (SELECT * FROM surv_k2 UNION ALL SELECT * FROM surv_k3)
+"""
+
+
+Q174_SQL = _q174_sql()
+
+
+def q175_dyadic_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of each
+    user's last 16 purchase values — the classic smoothing statistic,
+    made ENGINE-EXACT by keeping it dyadic: weight 2^(16-rn) for
+    recency rank rn is a BIGINT shift, values ride the q45 micro-unit
+    convention, and ewma = round(num/den)/10000 where num, den < 2^53
+    — so the whole 'float' smoother is integer arithmetic plus one
+    exact IEEE division, identical across engines (the reason alpha is
+    a power of two and the window is clipped at 16: no transcendental
+    weights, no overflow).
+
+    Scale shape: one hash exchange on user_id feeds both the recency
+    window and the groupBy (same partitioning, no second shuffle); the
+    state per user is 16 rows regardless of history length, the
+    sliding-window-sketch property a 10^12-row feature store needs."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last16 = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 10000).cast("long").alias("micro"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .withColumn("wt", F.expr("shiftleft(cast(1 as bigint), 16 - rn)"))
+    )
+    g = last16.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_obs"),
+        F.sum(F.col("micro") * F.col("wt")).alias("_num"),
+        F.sum("wt").alias("_den"),
+        F.max("ts").alias("last_ts"),
+    )
+    return g.select(
+        "user_id",
+        "n_obs",
+        (F.round(F.col("_num") / F.col("_den")) / F.lit(10000.0)).alias("ewma"),
+        "last_ts",
+    )
+
+
+Q175_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 10000) AS BIGINT) AS micro,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), last16 AS (
+  SELECT user_id, ts, micro, rn,
+         (CAST(1 AS BIGINT) << (16 - rn)) AS wt
+  FROM p WHERE rn <= 16
+)
+SELECT user_id, CAST(COUNT(*) AS INT) AS n_obs,
+       ROUND(SUM(micro * wt) / SUM(wt)) / 10000.0 AS ewma,
+       MAX(ts) AS last_ts
+FROM last16 GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -10249,6 +10755,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q167_rank_fusion": q167_rank_fusion,
     "q168_zorder_layout": q168_zorder_layout,
     "q169_rendezvous_sharding": q169_rendezvous_sharding,
+    "q170_inverted_index_retrieval": q170_inverted_index_retrieval,
+    "q171_hits_scores": q171_hits_scores,
+    "q172_sorted_neighborhood_pairs": q172_sorted_neighborhood_pairs,
+    "q173_countmin_sketch": q173_countmin_sketch,
+    "q174_kcore_decomposition": q174_kcore_decomposition,
+    "q175_dyadic_ewma": q175_dyadic_ewma,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10423,4 +10935,10 @@ ORACLE_SQL: dict[str, str] = {
     "q167_rank_fusion": Q167_SQL,
     "q168_zorder_layout": Q168_SQL,
     "q169_rendezvous_sharding": Q169_SQL,
+    "q170_inverted_index_retrieval": Q170_SQL,
+    "q171_hits_scores": Q171_SQL,
+    "q172_sorted_neighborhood_pairs": Q172_SQL,
+    "q173_countmin_sketch": Q173_SQL,
+    "q174_kcore_decomposition": Q174_SQL,
+    "q175_dyadic_ewma": Q175_SQL,
 }

@@ -1347,3 +1347,145 @@ def test_q169_hrw_minimal_movement_no_shuffle(spark):
     assert all(r["shard9"] == 8 for r in moved), moved[:5]
     frac = len(moved) / len(rows)
     assert 0.02 < frac < 0.30, frac
+
+
+def test_q170_inverted_index_probe_side_broadcast(spark):
+    """Inverted-index retrieval: the corpus tokenizes once into the
+    checkpointed postings relation (final plan rescans no parquet);
+    the query-postings side is the broadcast probe of the token join,
+    and only the (q, d) score agg + per-query window shuffle remain —
+    candidate work rides posting lists, never an all-pairs product."""
+    df = QUERIES["q170_inverted_index_retrieval"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    rows = df.collect()
+    assert rows
+    assert all(r["q"] % 97 == 0 and r["q"] != r["d"] for r in rows)
+    assert all(r["score"] > 0 for r in rows)
+    from collections import Counter
+
+    per_q = Counter(r["q"] for r in rows)
+    assert max(per_q.values()) <= 5
+
+
+def test_q171_hits_integer_power_iteration(spark):
+    """HITS: the type-grain authority vector is broadcast into the
+    half-steps (never shuffled corpus-wide), no cartesian or
+    single-partition corpus exchange; scores are positive BIGINTs and
+    the two entity rankings are dense from rank 1."""
+    df = QUERIES["q171_hits_scores"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 6, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    rows = df.collect()
+    hubs = sorted(r["rnk"] for r in rows if r["entity"] == "hub")
+    auth = sorted(r["rnk"] for r in rows if r["entity"] == "authority")
+    assert hubs == list(range(1, 11)), hubs
+    assert auth == list(range(1, len(auth) + 1)) and auth, auth
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_q172_snm_window_pair_census(spark):
+    """Sorted-neighborhood blocking: no cartesian product and no
+    single-partition corpus window in the final plan (the global rank
+    was built by the two-phase bucket scan before the checkpoint); the
+    window-of-4 census is exact: with unique ranks 1..N the pair count
+    is (N-1)+(N-2)+(N-3) and every left doc pairs with at most 3
+    successors."""
+    df = QUERIES["q172_sorted_neighborhood_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    rows = df.collect()
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == (n - 1) + (n - 2) + (n - 3), (len(rows), n)
+    assert all(1 <= r["gap"] <= 3 for r in rows)
+    from collections import Counter
+
+    per_a = Counter(r["a"] for r in rows)
+    assert max(per_a.values()) <= 3
+
+
+def test_q173_countmin_never_underestimates(spark):
+    """Count-Min guarantee: est >= exact for every probed token (the
+    sketch only ever over-counts); the sketch relation the probes hit
+    is the broadcast side, the corpus was sketched in ONE pass before
+    the checkpoint (no parquet in the final plan)."""
+    df = QUERIES["q173_countmin_sketch"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    rows = df.collect()
+    assert len(rows) == 20, len(rows)
+    assert all(r["est_n"] >= r["exact_n"] for r in rows)
+    assert all(r["overest"] == r["est_n"] - r["exact_n"] for r in rows)
+
+
+def test_q174_kcore_matches_independent_peel(spark):
+    """k-core: the unrolled 6-round peel reaches the true fixpoint —
+    compared node-for-node (with degrees) against an independent
+    in-process peel of the same deterministic pair relation run to
+    convergence; nesting (3-core within 2-core) follows."""
+    from collections import Counter
+
+    from dedup.queries import q12_docs_token_jaccard_pairs
+
+    pairs = q12_docs_token_jaccard_pairs(spark, SF).select("a", "b").collect()
+    edges = set()
+    for r in pairs:
+        edges.add((r["a"], r["b"]))
+        edges.add((r["b"], r["a"]))
+    truth = {}
+    for k in (2, 3):
+        E = set(edges)
+        while True:
+            deg = Counter(u for u, _ in E)
+            keep = {u for u, d in deg.items() if d >= k}
+            E2 = {(u, v) for u, v in E if u in keep and v in keep}
+            if E2 == E:
+                break
+            E = E2
+        truth[k] = Counter(u for u, _ in E)
+    rows = QUERIES["q174_kcore_decomposition"](spark, SF).collect()
+    got = {2: {}, 3: {}}
+    for r in rows:
+        got[r["k"]][r["doc_id"]] = r["core_deg"]
+    assert got[2] == dict(truth[2])
+    assert got[3] == dict(truth[3])
+    assert set(got[3]) <= set(got[2])
+    assert all(d >= k for k in (2, 3) for d in got[k].values())
+
+
+def test_q175_ewma_one_exchange_weighted_mean_bounds(spark):
+    """Dyadic EWMA: ONE hash exchange on user_id feeds both the recency
+    window and the groupBy (same partitioning — no second shuffle), no
+    join; and every user's ewma lies within [min, max] of their
+    purchase values (convex weights), with n_obs clipped at 16."""
+    df = QUERIES["q175_dyadic_ewma"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    rows = df.collect()
+    assert rows
+    assert all(1 <= r["n_obs"] <= 16 for r in rows)
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    )
+    bounds = {r["user_id"]: (r["lo"], r["hi"]) for r in ev}
+    for r in rows:
+        lo, hi = bounds[r["user_id"]]
+        assert lo - 1e-4 <= r["ewma"] <= hi + 1e-4, (r, lo, hi)
