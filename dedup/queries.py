@@ -10585,6 +10585,582 @@ FROM last16 GROUP BY user_id
 """
 
 
+def q176_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA'69) over the
+    sorted-neighborhood candidates (q172): each pair gets a comparison
+    vector of four field agreements — token-Jaccard >= 0.5, same lang,
+    same source, |n_chars| within 20 — and a log-odds score that is the
+    SUM of fixed integer milli-weights (+4000/-1500, +800/-300,
+    +500/-200, +700/-400: precomputed agreement/disagreement weights,
+    the deployed form of the model — no floating log at query time),
+    classified match / possible / non_match at the 4000/1000 cuts.
+
+    Scale shape: scoring is a narrow projection over the candidate
+    relation; the two attribute lookups are equi-joins of the slim
+    (doc_id, lang, source, n_chars) projection against pair keys —
+    pair-relation-sized work end to end, never corpus x corpus."""
+    cand = q172_sorted_neighborhood_pairs(spark, sf_dir)
+    dim = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    j = (
+        cand.join(
+            dim.select(
+                F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"),
+                F.col("source").alias("src_a"), F.col("n_chars").alias("nc_a"),
+            ),
+            "a",
+        )
+        .join(
+            dim.select(
+                F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"),
+                F.col("source").alias("src_b"), F.col("n_chars").alias("nc_b"),
+            ),
+            "b",
+        )
+    )
+    jac_hi = F.col("jac") >= 0.5
+    lang_eq = F.col("lang_a") == F.col("lang_b")
+    src_eq = F.col("src_a") == F.col("src_b")
+    len_cl = F.abs(F.col("nc_a") - F.col("nc_b")) <= 20
+    term = lambda c, up, dn: F.when(c, F.lit(up)).otherwise(F.lit(dn))  # noqa: E731
+    score = (
+        term(jac_hi, 4000, -1500)
+        + term(lang_eq, 800, -300)
+        + term(src_eq, 500, -200)
+        + term(len_cl, 700, -400)
+    )
+    return j.select(
+        "a",
+        "b",
+        jac_hi.alias("jac_hi"),
+        lang_eq.alias("lang_eq"),
+        src_eq.alias("src_eq"),
+        len_cl.alias("len_close"),
+        score.cast("int").alias("score"),
+        F.when(score >= 4000, F.lit("match"))
+        .when(score >= 1000, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    )
+
+
+def _q176_sql() -> str:
+    return f"""
+WITH cand AS ({Q172_SQL}),
+j AS (
+  SELECT c.a, c.b,
+         c.jac >= 0.5 AS jac_hi,
+         da.lang = db.lang AS lang_eq,
+         da.source = db.source AS src_eq,
+         abs(da.n_chars - db.n_chars) <= 20 AS len_close
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.a
+  JOIN documents db ON db.doc_id = c.b
+), s AS (
+  SELECT a, b, jac_hi, lang_eq, src_eq, len_close,
+         (CASE WHEN jac_hi THEN 4000 ELSE -1500 END
+          + CASE WHEN lang_eq THEN 800 ELSE -300 END
+          + CASE WHEN src_eq THEN 500 ELSE -200 END
+          + CASE WHEN len_close THEN 700 ELSE -400 END) AS score
+  FROM j
+)
+SELECT a, b, jac_hi, lang_eq, src_eq, len_close, CAST(score AS INT) AS score,
+       CASE WHEN score >= 4000 THEN 'match'
+            WHEN score >= 1000 THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM s
+"""
+
+
+Q176_SQL = _q176_sql()
+
+
+def q177_source_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between per-source token
+    distributions — the distribution-drift matrix a corpus pipeline
+    watches across ingestion sources, kept INTEGER-EXACT by clearing
+    denominators: for sources (s1, s2) with totals (N1, N2) and counts
+    (n1_t, n2_t), TVD = Σ_t |n1_t/N1 - n2_t/N2| / 2 has BIGINT
+    numerator Σ|n1_t·N2 - n2_t·N1| — and tokens present in only one
+    source contribute N2·(N1-C1) + N1·(N2-C2) via the shared-mass
+    totals (C = Σ over shared tokens), so an INNER join on token plus
+    two scalars covers the full union support with no outer join.
+
+    Scale shape: one wordcount exchange to the (token, source) grain;
+    the pair fan-out is a token-grain self-join (s1 < s2) whose output
+    collapses immediately to the |sources|²-sized pair relation;
+    totals are a broadcast dimension."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    tot = tf.groupBy("source").agg(F.sum("n").cast("long").alias("nt"))
+    l = tf.select(
+        F.col("source").alias("s1"), "token", F.col("n").alias("n1")
+    )
+    r = tf.select(
+        F.col("source").alias("s2"), "token", F.col("n").alias("n2")
+    )
+    sj = (
+        l.join(r, "token")
+        .filter(F.col("s1") < F.col("s2"))
+        .join(F.broadcast(tot.select(F.col("source").alias("s1"), F.col("nt").alias("nt1"))), "s1")
+        .join(F.broadcast(tot.select(F.col("source").alias("s2"), F.col("nt").alias("nt2"))), "s2")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").cast("long").alias("shared_tokens"),
+            F.sum(F.abs(F.col("n1") * F.col("nt2") - F.col("n2") * F.col("nt1")))
+            .cast("long")
+            .alias("num_shared"),
+            F.sum("n1").cast("long").alias("c1"),
+            F.sum("n2").cast("long").alias("c2"),
+            F.first("nt1").alias("nt1"),
+            F.first("nt2").alias("nt2"),
+        )
+    )
+    numer = (
+        F.col("num_shared")
+        + F.col("nt2") * (F.col("nt1") - F.col("c1"))
+        + F.col("nt1") * (F.col("nt2") - F.col("c2"))
+    )
+    return sj.select(
+        "s1",
+        "s2",
+        "shared_tokens",
+        F.round(
+            numer.cast("double") / (2.0 * F.col("nt1") * F.col("nt2")), 6
+        ).alias("tvd"),
+    )
+
+
+Q177_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({_NORM}, ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, COUNT(*) AS n
+  FROM toks WHERE length(token) >= 3
+  GROUP BY 1, 2
+), tot AS (
+  SELECT source, SUM(n) AS nt FROM tf GROUP BY 1
+), sj AS (
+  SELECT l.source AS s1, r.source AS s2,
+         COUNT(*) AS shared_tokens,
+         SUM(abs(l.n * t2.nt - r.n * t1.nt)) AS num_shared,
+         SUM(l.n) AS c1, SUM(r.n) AS c2,
+         MIN(t1.nt) AS nt1, MIN(t2.nt) AS nt2
+  FROM tf l
+  JOIN tf r ON r.token = l.token AND l.source < r.source
+  JOIN tot t1 ON t1.source = l.source
+  JOIN tot t2 ON t2.source = r.source
+  GROUP BY 1, 2
+)
+SELECT s1, s2, CAST(shared_tokens AS BIGINT) AS shared_tokens,
+       ROUND(CAST(num_shared + nt2 * (nt1 - c1) + nt1 * (nt2 - c2) AS DOUBLE)
+             / (2.0 * nt1 * nt2), 6) AS tvd
+FROM sj
+"""
+
+
+def q178_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands assignment of raw
+    events to 30-minute-inactivity sessions (the batch twin of q28's
+    streaming session windows, and the timestamp-grain sibling of
+    q118's day-streaks): a new session starts where the per-user gap
+    exceeds 30 min; session ids are the running count of starts; each
+    session emits its event count and exact micro-second span.
+
+    Scale shape: ONE hash exchange on user_id feeds the lag window,
+    the running-count window, and the final groupBy (all three share
+    the user_id partitioning — Catalyst plans a single shuffle); state
+    per row is one lag, so 10^12 events sessionize in one pass with
+    no join and no driver state."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    e = (
+        ev.select("user_id", "event_id", us.alias("us"))
+        .withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sess_idx",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return e.groupBy("user_id", "sess_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    ).select(
+        "user_id",
+        F.col("sess_idx").cast("int").alias("sess_idx"),
+        "n_events",
+        "start_us",
+        "end_us",
+        "span_us",
+    )
+
+
+Q178_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)
+                   > 1800 * 1000000
+              OR LAG(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), sess AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM flagged
+)
+SELECT user_id, CAST(sess_idx AS INT) AS sess_idx,
+       COUNT(*) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+FROM sess GROUP BY user_id, sess_idx
+"""
+
+
+def q179_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-design audit: how late does event time actually arrive?
+    Taking event_id as arrival order within each user's stream, each
+    event's lateness is (running max of event time) - (its event time);
+    the census buckets lateness into the candidate watermark bands
+    (on-time, <=1h, <=6h, <=1d, >1d) and reports counts and exact
+    permille shares — the measurement that justifies a §2.9 watermark
+    before a single streaming job is deployed (too tight drops rows,
+    too loose holds state).
+
+    Scale shape: one hash exchange on user_id for the running-max
+    window (integer epoch micros), then a partial-aggregated collapse
+    to the 5-band census; no join, no self-comparison — the same
+    one-pass shape as q178."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = (F.max("us").over(w) - F.col("us")).alias("late_us")
+    e = ev.select("user_id", "event_id", us.alias("us")).select(late)
+    band = (
+        F.when(F.col("late_us") <= 0, "0_on_time")
+        .when(F.col("late_us") <= 3600 * 1000000, "1_within_1h")
+        .when(F.col("late_us") <= 6 * 3600 * 1000000, "2_within_6h")
+        .when(F.col("late_us") <= 24 * 3600 * 1000000, "3_within_1d")
+        .otherwise("4_over_1d")
+    )
+    return (
+        e.groupBy(band.alias("band"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "permille",
+            F.expr("(n * 1000) div (sum(n) over ())").cast("long"),
+        )
+    )
+
+
+Q179_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), lat AS (
+  SELECT MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) - us AS late_us
+  FROM e
+), banded AS (
+  SELECT CASE WHEN late_us <= 0 THEN '0_on_time'
+              WHEN late_us <= 3600 * 1000000 THEN '1_within_1h'
+              WHEN late_us <= 6 * 3600 * 1000000 THEN '2_within_6h'
+              WHEN late_us <= 24 * 3600 * 1000000 THEN '3_within_1d'
+              ELSE '4_over_1d' END AS band
+  FROM lat
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((COUNT(*) * 1000) // SUM(COUNT(*)) OVER () AS BIGINT) AS permille
+FROM banded GROUP BY band
+"""
+
+
+def q180_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with explicit registers (Flajolet et al. AofA'07) —
+    distinct l_orderkey per l_returnflag from a 64-register sketch,
+    engine-exact end to end: the md5 portable-hash convention yields a
+    register index (2 hex digits mod 64) and a rank rho = leading-zero
+    bits of the next 52 bits + 1 (pure string/CASE arithmetic — no
+    libm); the harmonic denominator Σ 2^-rho is kept as the BIGINT
+    Σ 2^(56-rho) so the raw estimate 0.709·m²·2^56/S is one exact
+    division. Exact counts ride along for the relative-error column;
+    the sketch regime (n >> m) holds at every test SF so no
+    small-range correction branch is needed.
+
+    Scale shape: registers are a partial-aggregated MAX at the
+    (flag, register) grain — the mergeability that makes HLL the
+    100-TB distinct-count workhorse (executors sketch locally, merge
+    by max); the 64-row spine join and estimate math run on a
+    flags x 64 relation. The exact count (for the audit column only)
+    is the one expensive distinct exchange — a real deployment ships
+    just the sketch."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    hx = F.md5(F.concat_ws("|", F.col("l_orderkey").cast("string"), F.lit("hll-v1")))
+    reg = F.pmod(F.conv(F.substring(hx, 1, 2), 16, 10).cast("int"), F.lit(64))
+    v13 = F.substring(hx, 3, 13)
+    t = F.expr("trim(LEADING '0' FROM v13)")
+    nz = F.lit(13) - F.length(t)
+    first = F.substring(t, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(t == "", 53).otherwise(nz * 4 + extra + 1)
+    regs = (
+        li.select("l_returnflag", reg.alias("reg"), v13.alias("v13"))
+        .withColumn("rho", rho)
+        .groupBy("l_returnflag", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    flags = li.select("l_returnflag").distinct()
+    spine = flags.crossJoin(
+        F.broadcast(spark.range(64).select(F.col("id").cast("int").alias("reg")))
+    )
+    full = spine.join(regs, ["l_returnflag", "reg"], "left").withColumn(
+        "rho", F.coalesce(F.col("rho"), F.lit(0))
+    )
+    sk = full.groupBy("l_returnflag").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 56 - rho)")).alias("s"),
+        F.sum(F.when(F.col("rho") > 0, 1).otherwise(0)).cast("int").alias("regs_hit"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_n")
+    )
+    est = F.round(F.lit(0.709) * 4096 * F.lit(72057594037927936.0) / F.col("s")).cast(
+        "long"
+    )
+    return (
+        sk.join(exact, "l_returnflag")
+        .withColumn("hll_est", est)
+        .withColumn(
+            "rel_err_pct",
+            F.round(
+                (F.col("hll_est") - F.col("exact_n")) * 100.0 / F.col("exact_n"), 2
+            ),
+        )
+        .select("l_returnflag", "regs_hit", "exact_n", "hll_est", "rel_err_pct")
+    )
+
+
+Q180_SQL = """
+WITH h AS (
+  SELECT l_returnflag,
+         l_orderkey,
+         md5(concat(CAST(l_orderkey AS VARCHAR), '|', 'hll-v1')) AS hx
+  FROM lineitem
+), rr AS (
+  SELECT l_returnflag,
+         (CAST('0x' || substring(hx, 1, 2) AS INT) % 64) AS reg,
+         substring(hx, 3, 13) AS v13
+  FROM h
+), rho_t AS (
+  SELECT l_returnflag, reg,
+         CASE WHEN ltrim(v13, '0') = '' THEN 53
+              ELSE (13 - length(ltrim(v13, '0'))) * 4
+                   + CASE WHEN substring(ltrim(v13, '0'), 1, 1) = '1' THEN 3
+                          WHEN substring(ltrim(v13, '0'), 1, 1) IN ('2','3') THEN 2
+                          WHEN substring(ltrim(v13, '0'), 1, 1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END + 1
+              END AS rho
+  FROM rr
+), regs AS (
+  SELECT l_returnflag, reg, MAX(rho) AS rho FROM rho_t GROUP BY 1, 2
+), spine AS (
+  SELECT f.l_returnflag, g.reg
+  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
+       (SELECT unnest(generate_series(0, 63)) AS reg) g
+), full_regs AS (
+  SELECT s.l_returnflag, s.reg, COALESCE(r.rho, 0) AS rho
+  FROM spine s LEFT JOIN regs r
+    ON r.l_returnflag = s.l_returnflag AND r.reg = s.reg
+), sk AS (
+  SELECT l_returnflag,
+         SUM(CAST(1 AS BIGINT) << (56 - rho)) AS s,
+         SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS regs_hit
+  FROM full_regs GROUP BY 1
+), ex AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_n
+  FROM lineitem GROUP BY 1
+)
+SELECT sk.l_returnflag, CAST(sk.regs_hit AS INT) AS regs_hit,
+       CAST(ex.exact_n AS BIGINT) AS exact_n,
+       CAST(ROUND(CAST(0.709 AS DOUBLE) * 4096 * 72057594037927936.0 / sk.s) AS BIGINT) AS hll_est,
+       ROUND((CAST(ROUND(CAST(0.709 AS DOUBLE) * 4096 * 72057594037927936.0 / sk.s) AS BIGINT)
+              - ex.exact_n) * 100.0 / ex.exact_n, 2) AS rel_err_pct
+FROM sk JOIN ex USING (l_returnflag)
+"""
+
+
+def q181_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-overlap join: pairs of orders from the SAME
+    customer whose active windows [o_orderdate, last l_shipdate]
+    overlap in time — the fulfilment-concurrency question (q143's
+    sweep-line counts HOW MANY overlap; this emits WHICH pairs). The
+    overlap length is integer epoch-microsecond arithmetic floored to
+    whole days, exact in both engines.
+
+    Scale shape: the per-order interval is one co-partitioned
+    orderkey join + agg; the theta condition then rides an EQUI-join
+    on o_custkey — per-customer order counts are naturally bounded
+    (tens), so the within-key quadratic is capped by the key grain
+    and never global; no range join, no cartesian. A skew-prone
+    tenant would salt this key — the equi-join shape is what makes
+    that possible."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
+    )
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("e_us")
+    )
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_orderkey", "o_custkey", "s_us", "e_us")
+        .localCheckpoint()  # interval relation built once, reused as both sides
+    )
+    l, r = iv.alias("l"), iv.alias("r")
+    ov_start = F.greatest(F.col("l.s_us"), F.col("r.s_us"))
+    ov_end = F.least(F.col("l.e_us"), F.col("r.e_us"))
+    return (
+        l.join(
+            r,
+            (F.col("l.o_custkey") == F.col("r.o_custkey"))
+            & (F.col("l.o_orderkey") < F.col("r.o_orderkey")),
+        )
+        .filter(ov_end >= ov_start)
+        .select(
+            F.col("l.o_custkey").alias("custkey"),
+            F.col("l.o_orderkey").alias("a"),
+            F.col("r.o_orderkey").alias("b"),
+            F.expr(
+                "(least(l.e_us, r.e_us) - greatest(l.s_us, r.s_us))"
+                " div 86400000000"
+            ).cast("int").alias("overlap_days"),
+        )
+    )
+
+
+Q181_SQL = """
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         epoch_us(o.o_orderdate) AS s_us,
+         MAX(epoch_us(l.l_shipdate)) AS e_us
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+)
+SELECT l.o_custkey AS custkey, l.o_orderkey AS a, r.o_orderkey AS b,
+       CAST((least(l.e_us, r.e_us) - greatest(l.s_us, r.s_us))
+            // 86400000000 AS INT) AS overlap_days
+FROM iv l JOIN iv r
+  ON r.o_custkey = l.o_custkey AND l.o_orderkey < r.o_orderkey
+WHERE least(l.e_us, r.e_us) >= greatest(l.s_us, r.s_us)
+"""
+
+
+def q182_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg
+    CIKM'03) over the deterministic dup graph: for every NON-edge pair
+    at distance 2, the common-neighbor count and neighborhood Jaccard
+    cn / (deg_a + deg_b - cn) — the candidates a curation loop would
+    re-verify first, because triangle closure is how near-dup families
+    grow. Existing edges are removed by an anti-join; ranking is the
+    exact integer (cn, jac) pair.
+
+    Scale shape: the path-2 join (edges ⋈ edges on the middle node),
+    degree counts, and the anti-join all run on the pair relation —
+    corpus-independent; the middle-node join key is degree-bounded by
+    the same cap logic the candidate engine uses, so a hub family
+    cannot go quadratic unnoticed."""
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir).select("a", "b")
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    e1 = und.select(F.col("a").alias("u"), F.col("b").alias("m"))
+    e2 = und.select(F.col("a").alias("m"), F.col("b").alias("v"))
+    p2 = (
+        e1.join(e2, "m")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    nonedge = p2.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    withdeg = (
+        nonedge.join(deg.select(F.col("a").alias("u"), F.col("d").alias("deg_u")), "u")
+        .join(deg.select(F.col("a").alias("v"), F.col("d").alias("deg_v")), "v")
+    )
+    return withdeg.select(
+        "u",
+        "v",
+        "cn",
+        "deg_u",
+        "deg_v",
+        F.round(
+            F.col("cn")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("cn")),
+            4,
+        ).alias("jac"),
+    )
+
+
+Q182_SQL = f"""
+WITH pairs AS ({Q12_SQL}),
+und AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), deg AS (
+  SELECT a, COUNT(*) AS d FROM und GROUP BY a
+), p2 AS (
+  SELECT e1.a AS u, e2.b AS v, COUNT(*) AS cn
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  WHERE e1.a < e2.b
+  GROUP BY 1, 2
+), nonedge AS (
+  SELECT p2.u, p2.v, p2.cn FROM p2
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p2.u AND und.b = p2.v)
+)
+SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS cn,
+       CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
+       ROUND(CAST(n.cn AS DOUBLE) / (du.d + dv.d - n.cn), 4) AS jac
+FROM nonedge n
+JOIN deg du ON du.a = n.u
+JOIN deg dv ON dv.a = n.v
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -10761,6 +11337,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q173_countmin_sketch": q173_countmin_sketch,
     "q174_kcore_decomposition": q174_kcore_decomposition,
     "q175_dyadic_ewma": q175_dyadic_ewma,
+    "q176_fellegi_sunter_linkage": q176_fellegi_sunter_linkage,
+    "q177_source_tvd_drift": q177_source_tvd_drift,
+    "q178_batch_sessionization": q178_batch_sessionization,
+    "q179_out_of_order_audit": q179_out_of_order_audit,
+    "q180_hll_registers": q180_hll_registers,
+    "q181_interval_overlap_pairs": q181_interval_overlap_pairs,
+    "q182_link_prediction": q182_link_prediction,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10941,4 +11524,11 @@ ORACLE_SQL: dict[str, str] = {
     "q173_countmin_sketch": Q173_SQL,
     "q174_kcore_decomposition": Q174_SQL,
     "q175_dyadic_ewma": Q175_SQL,
+    "q176_fellegi_sunter_linkage": Q176_SQL,
+    "q177_source_tvd_drift": Q177_SQL,
+    "q178_batch_sessionization": Q178_SQL,
+    "q179_out_of_order_audit": Q179_SQL,
+    "q180_hll_registers": Q180_SQL,
+    "q181_interval_overlap_pairs": Q181_SQL,
+    "q182_link_prediction": Q182_SQL,
 }

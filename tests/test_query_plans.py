@@ -1489,3 +1489,141 @@ def test_q175_ewma_one_exchange_weighted_mean_bounds(spark):
     for r in rows:
         lo, hi = bounds[r["user_id"]]
         assert lo - 1e-4 <= r["ewma"] <= hi + 1e-4, (r, lo, hi)
+
+
+def test_q176_linkage_scoring_is_pair_sized(spark):
+    """Fellegi-Sunter scoring: a narrow projection over the SNM
+    candidate relation plus two slim attribute joins — no cartesian,
+    no Python; decisions are consistent with the integer score cuts
+    on every row."""
+    df = QUERIES["q176_fellegi_sunter_linkage"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        expect = (4000 if r["jac_hi"] else -1500) + \
+            (800 if r["lang_eq"] else -300) + \
+            (500 if r["src_eq"] else -200) + \
+            (700 if r["len_close"] else -400)
+        assert r["score"] == expect
+        want = "match" if expect >= 4000 else (
+            "possible" if expect >= 1000 else "non_match")
+        assert r["decision"] == want
+
+
+def test_q177_tvd_metric_properties(spark):
+    """TVD drift: token-grain self-join only (the corpus wordcounted
+    once into the checkpointed tf relation — no parquet in the final
+    plan); every pairwise TVD is in [0, 1] and the pair matrix is the
+    full upper triangle of the source set."""
+    df = QUERIES["q177_source_tvd_drift"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    srcs = set()
+    for r in rows:
+        assert r["s1"] < r["s2"]
+        srcs.add(r["s1"]); srcs.add(r["s2"])
+        assert 0.0 <= r["tvd"] <= 1.0, r
+    k = len(srcs)
+    assert len(rows) == k * (k - 1) // 2, (len(rows), k)
+
+
+def test_q178_sessionization_one_exchange(spark):
+    """Batch sessionization: ONE hash exchange on user_id serves the
+    lag window, the running count, and the groupBy; sessions partition
+    each user's events exactly (sum of session sizes == user's event
+    count) and intra-session spans never exceed inter-session gaps'
+    floor: every session's span is finite and every user's sess_idx
+    sequence is dense from 1."""
+    df = QUERIES["q178_batch_sessionization"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    rows = df.collect()
+    assert rows
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for u, sess in per_user.items():
+        idxs = sorted(s["sess_idx"] for s in sess)
+        assert idxs == list(range(1, len(idxs) + 1)), (u, idxs)
+        assert sum(s["n_events"] for s in sess) == ev_counts[u]
+        assert all(s["span_us"] >= 0 for s in sess)
+
+
+def test_q179_lateness_census_shares(spark):
+    """Out-of-order audit: bands cover all events (permille sums to
+    ~1000, n sums to the event count); the single-partition exchange
+    in the plan is the 5-row band relation, not the corpus (the
+    corpus-side exchange is the per-user window)."""
+    df = QUERIES["q179_out_of_order_audit"](spark, SF)
+    rows = df.collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n"] for r in rows) == n_events
+    s = sum(r["permille"] for r in rows)
+    assert 1000 - len(rows) < s <= 1000, s
+    assert any(r["band"] == "0_on_time" for r in rows)
+
+
+def test_q180_hll_sketch_accuracy_and_merge_grain(spark):
+    """HLL: the register build is a partial-aggregated MAX at the
+    (flag, reg) grain (mergeable); with 64 registers the raw estimate
+    lands within the expected error envelope of the exact distinct
+    count (|err| < 40% >> the 13% sigma) and every flag saturates
+    nearly all registers at n >> m."""
+    df = QUERIES["q180_hll_registers"](spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["exact_n"] > 160  # raw-regime precondition n > 2.5m
+        assert abs(r["rel_err_pct"]) < 40.0, r
+        assert r["regs_hit"] >= 60, r
+
+
+def test_q181_interval_join_is_custkey_equi(spark):
+    """Interval overlap: the pair generation is an EQUI-join on
+    o_custkey (bounded per-key fan-out), never a range/cartesian
+    join; the interval relation is built once (checkpoint — no
+    parquet rescans); overlap lengths are non-negative and symmetric
+    pairs are canonical (a < b)."""
+    df = QUERIES["q181_interval_overlap_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    rows = df.collect()
+    assert rows
+    assert all(r["a"] < r["b"] for r in rows)
+    assert all(r["overlap_days"] >= 0 for r in rows)
+
+
+def test_q182_link_prediction_excludes_edges(spark):
+    """Link prediction: predictions are strictly NON-edges at distance
+    2 — no predicted pair exists in the underlying dup-pair relation;
+    jaccard respects cn <= min(deg) and the whole computation runs on
+    the pair relation (no parquet scans in the final plan)."""
+    from dedup.queries import q12_docs_token_jaccard_pairs
+
+    df = QUERIES["q182_link_prediction"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    rows = df.collect()
+    assert rows
+    edges = set()
+    for r in q12_docs_token_jaccard_pairs(spark, SF).select("a", "b").collect():
+        edges.add((r["a"], r["b"]))
+        edges.add((r["b"], r["a"]))
+    for r in rows:
+        assert (r["u"], r["v"]) not in edges, r
+        assert r["cn"] <= min(r["deg_u"], r["deg_v"]), r
+        assert 0.0 < r["jac"] <= 1.0, r
