@@ -11161,6 +11161,237 @@ JOIN deg dv ON dv.a = n.v
 """
 
 
+def q183_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape shipping priority: top-10 unshipped BUILDING-
+    segment orders by open revenue as of 1998-06-01 — the canonical
+    dim ⋈ fact ⋈ fact pattern with a LIMIT that should plan as
+    TakeOrderedAndProject, never a global sort. This completes the
+    full 22-query TPC-H shape census on the board (Q1=q01, Q2=q157,
+    Q3=here, Q4=q05, Q5=q152, Q6=q184, Q7=q138, Q8=q139, Q9=q147,
+    Q10=q153, Q11=q148, Q12=q154, Q13=q149, Q14=q155, Q15=q150,
+    Q16=q151, Q17=q137, Q18=q18, Q19=q19, Q20=q156, Q21=q99,
+    Q22=q140).
+
+    Scale shape: the segment-filtered customer dim broadcasts into
+    orders (filter applied dim-side, before the join); the one big
+    exchange is the orderkey rollup of the date-pruned lineitem scan;
+    ties break deterministically (revenue DESC, date ASC, key ASC)
+    so the top-10 is engine-stable. Revenue accumulates in
+    DECIMAL(18,4) — exact in both engines."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q183_SQL = """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q184_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape forecast revenue change: ONE table, three
+    scan-level predicates (1997 ship year, discount in [0.03, 0.05],
+    quantity < 24), one global sum — the purest predicate-pushdown /
+    whole-stage-codegen showcase on the board: at 10^12 rows the only
+    cost is the pruned columnar scan itself; the plan must show the
+    filters pushed to the parquet reader and a two-phase (partial →
+    single final) aggregate with no other operator.
+
+    Revenue = Σ extendedprice·discount in DECIMAL(18,4) exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").cast(DEC) >= F.lit(0.03).cast(DEC))
+            & (F.col("l_discount").cast(DEC) <= F.lit(0.05).cast(DEC))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+Q184_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.03 AS DECIMAL(18,2))
+                                            AND CAST(0.05 AS DECIMAL(18,2))
+  AND l_quantity < 24
+"""
+
+
+def q185_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking — the RAG / pretraining
+    chunker: windows of C = 32 tokens at stride S = 24 (8-token
+    overlap), each chunk fingerprinted (md5 over the space-joined
+    window) so downstream chunk-level dedup and retrieval indexing
+    key on stable ids. Chunk count = 1 + ceil(max(0, n-C)/S) in pure
+    integer arithmetic; the last chunk is allowed short; full token
+    coverage and the count formula are pinned as tests.
+
+    Scale shape: a stateless narrow generator — per doc: split once,
+    explode a sequence() of chunk indices, slice() the token array
+    JVM-side, hash — ZERO exchanges, zero joins, zero Python; 10^12
+    docs chunk embarrassingly parallel at scan parallelism."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(normalize_sql(F.col("text")), " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    nch = F.lit(1) + F.expr("(greatest(0, n - 32) + 23) div 24")
+    e = d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), nch - 1)))
+    start = F.col("chunk_idx") * 24 + 1
+    chunk = F.slice(F.col("toks"), start, 32)
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("fp"),
+    )
+
+
+Q185_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks,
+         len(string_split({_NORM}, ' ')) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+           (greatest(0, n - 32) + 23) // 24)) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * 24 + 1 AS INT) AS start_tok,
+       CAST(len(array_slice(toks, chunk_idx * 24 + 1,
+                            least(chunk_idx * 24 + 32, n))) AS INT) AS n_tok,
+       md5(array_to_string(array_slice(toks, chunk_idx * 24 + 1,
+                            least(chunk_idx * 24 + 32, n)), ' ')) AS fp
+FROM e
+"""
+
+
+def q186_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page, Biometrika'54) on each
+    event type's daily volume — made windows-only by the prefix-min
+    identity: the sequential recursion S_t = max(0, S_{{t-1}} + dev_t)
+    equals C_t - min(0, min_{{i<=t}} C_i) for the plain cumulative sum C
+    (the 0 is the virtual empty-prefix C_0), so
+    the detector is two stock window functions instead of an
+    unexpressible recursion. Deviations are integer milli-units
+    around the per-type mean rate k = (1000·total) div n_days; the
+    alarm fires where the one-sided CUSUM exceeds h = 5k.
+
+    Scale shape: the corpus collapses ONCE to the (type, day) grain
+    (partial-aggregated); the per-type mean is a tiny broadcast; both
+    windows share the event_type partitioning (one re-exchange of the
+    day-grain relation, thousands of rows per type regardless of
+    corpus size)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000"
+    ).alias("day")
+    daily = (
+        ev.select("event_type", day)
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    k = daily.groupBy("event_type").agg(
+        F.expr("(1000 * sum(n)) div count(*)").alias("k_milli")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    j = (
+        daily.join(F.broadcast(k), "event_type")
+        .withColumn("dev", F.col("n") * 1000 - F.col("k_milli"))
+        .withColumn("c", F.sum("dev").over(cum))
+        # the identity needs the virtual C_0 = 0 in the running min:
+        # S_t = C_t - min(0, C_1..C_t)
+        .withColumn(
+            "cusum", F.col("c") - F.least(F.lit(0), F.min("c").over(cum))
+        )
+    )
+    return j.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "n",
+        F.col("cusum").cast("long").alias("cusum_milli"),
+        (F.col("cusum") > 5 * F.col("k_milli")).alias("alarm"),
+    )
+
+
+Q186_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), k AS (
+  SELECT event_type, (1000 * SUM(n)) // COUNT(*) AS k_milli
+  FROM daily GROUP BY 1
+), c AS (
+  SELECT d.event_type, d.day, d.n, k.k_milli,
+         SUM(d.n * 1000 - k.k_milli) OVER (PARTITION BY d.event_type
+                                           ORDER BY d.day
+                                           ROWS UNBOUNDED PRECEDING) AS cs
+  FROM daily d JOIN k USING (event_type)
+), s AS (
+  SELECT event_type, day, n, k_milli,
+         cs - LEAST(0, MIN(cs) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)) AS cusum
+  FROM c
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+       CAST(cusum AS BIGINT) AS cusum_milli,
+       cusum > 5 * k_milli AS alarm
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -11344,6 +11575,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q180_hll_registers": q180_hll_registers,
     "q181_interval_overlap_pairs": q181_interval_overlap_pairs,
     "q182_link_prediction": q182_link_prediction,
+    "q183_shipping_priority": q183_shipping_priority,
+    "q184_forecast_revenue_change": q184_forecast_revenue_change,
+    "q185_token_chunking": q185_token_chunking,
+    "q186_cusum_changepoints": q186_cusum_changepoints,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11531,4 +11766,8 @@ ORACLE_SQL: dict[str, str] = {
     "q180_hll_registers": Q180_SQL,
     "q181_interval_overlap_pairs": Q181_SQL,
     "q182_link_prediction": Q182_SQL,
+    "q183_shipping_priority": Q183_SQL,
+    "q184_forecast_revenue_change": Q184_SQL,
+    "q185_token_chunking": Q185_SQL,
+    "q186_cusum_changepoints": Q186_SQL,
 }

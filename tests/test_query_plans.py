@@ -1627,3 +1627,100 @@ def test_q182_link_prediction_excludes_edges(spark):
         assert (r["u"], r["v"]) not in edges, r
         assert r["cn"] <= min(r["deg_u"], r["deg_v"]), r
         assert 0.0 < r["jac"] <= 1.0, r
+
+
+def test_q183_q3_shape_takeordered_broadcast_dim(spark):
+    """TPC-H Q3 shape: segment filter applied dim-side and broadcast,
+    ONE exchange (the orderkey rollup), LIMIT planned as
+    TakeOrderedAndProject — never a global sort of the aggregate."""
+    df = QUERIES["q183_shipping_priority"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+    rows = df.collect()
+    assert len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q184_q6_shape_pushdown_and_pure_agg(spark):
+    """TPC-H Q6 shape: all three predicates reach the parquet scan
+    (PushedFilters non-empty on shipdate/quantity), and the plan is
+    scan → filter → partial agg → single final agg — no join, no
+    window, no generator."""
+    df = QUERIES["q184_forecast_revenue_change"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Generate" not in plan, plan
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["revenue"] > 0
+
+
+def test_q185_chunking_zero_exchange_full_coverage(spark):
+    """RAG chunker: a stateless narrow generator — ZERO exchanges, no
+    join, no Python; and the chunk geometry is lossless: per doc the
+    chunk count matches 1 + ceil(max(0, n-32)/24), consecutive chunks
+    start exactly 24 apart, and the last chunk reaches the final
+    token (full coverage, 8-token overlap elsewhere)."""
+    df = QUERIES["q185_token_chunking"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 0, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    rows = df.collect()
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+    from dedup.normalize import normalize_sql  # noqa: F401  (convention ref)
+
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr("doc_id", "size(split(" +
+                    "trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS n")
+        .collect()
+    }
+    for doc, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = docs[doc]
+        expect = 1 + max(0, (max(0, n - 32) + 23) // 24)
+        assert len(chunks) == expect, (doc, n, len(chunks))
+        for i, c in enumerate(chunks):
+            assert c["start_tok"] == i * 24 + 1
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tok"] - 1 == n, (doc, n, last)
+
+
+def test_q186_cusum_prefix_min_identity(spark):
+    """CUSUM: the windows-only prefix-min formulation equals the
+    sequential recursion S_t = max(0, S_{t-1} + dev_t), replayed
+    in-process per type; the corpus collapses once to the day grain
+    (no parquet in the final plan) and the mean-rate relation is
+    broadcast."""
+    df = QUERIES["q186_cusum_changepoints"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    rows = df.collect()
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r["event_type"]].append(r)
+    for t, days in per_type.items():
+        days.sort(key=lambda r: r["day"])
+        total = sum(r["n"] for r in days)
+        k = (1000 * total) // len(days)
+        s = 0
+        for r in days:
+            s = max(0, s + (r["n"] * 1000 - k))
+            assert r["cusum_milli"] == s, (t, r, s)
+            assert r["alarm"] == (s > 5 * k)
