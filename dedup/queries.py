@@ -11392,6 +11392,343 @@ FROM s
 """
 
 
+def q187_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first three merge rounds of byte-pair-encoding tokenizer
+    training (Sennrich ACL'16) over the corpus: text becomes a
+    space-separated character sequence (spaces mapped to '_'), each
+    round counts adjacent symbol pairs corpus-wide, merges the argmax
+    pair (count DESC, pair ASC — deterministic), and rewrites. Output
+    = the merge table (round, pair, merged symbol, pair count; counts
+    use the standard overlapping sliding-pair census).
+
+    Scale shape: each round is one wordcount-shaped exchange (pair
+    counts partial-aggregated) + a 1-row argmax collected to steer
+    the next round's literal rewrite (driver-steered like q165's
+    greedy rounds — the collect is one row per round); the rewrite
+    itself is a stateless map over the checkpointed symbol strings.
+    At 10^12 docs each round is one map-reduce pass — exactly how
+    production BPE trainers distribute."""
+    docs = _t(spark, sf_dir, "documents")
+    s0 = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(normalize_sql(F.col("text")), " ", "_"),
+            "(.)",
+            "$1 ",
+        )
+    )
+    cur = docs.select("doc_id", s0.alias("s")).localCheckpoint()
+    rows = []
+    for rnd in (1, 2, 3):
+        toks = cur.select(
+            "doc_id", F.posexplode(F.split("s", " ")).alias("pos", "tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        pairs = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
+            F.col("nxt").isNotNull()
+        )
+        cnt = pairs.groupBy(
+            F.concat_ws(" ", "tok", "nxt").alias("pair")
+        ).agg(F.count("*").cast("long").alias("n"))
+        best = cnt.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()[0]
+        pair, n = best["pair"], best["n"]
+        merged = pair.replace(" ", "")
+        rows.append((rnd, pair, merged, n))
+        cur = cur.select(
+            "doc_id",
+            F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rows, "round int, pair string, merged string, n_pairs long"
+    )
+
+
+def _q187_sql() -> str:
+    norm = f"trim(regexp_replace(replace({_NORM}, ' ', '_'), '(.)', '\\1 ', 'g'))"
+    parts = [f"base1 AS (SELECT doc_id, {norm} AS s FROM documents)"]
+    for r in (1, 2, 3):
+        parts.append(
+            f"""t{r} AS (
+  SELECT doc_id, unnest(string_split(s, ' ')) AS tok,
+         generate_subscripts(string_split(s, ' '), 1) AS pos
+  FROM base{r}
+), p{r} AS (
+  SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS pair
+  FROM t{r}
+), b{r} AS (
+  SELECT pair, replace(pair, ' ', '') AS merged, COUNT(*) AS n
+  FROM p{r} WHERE pair IS NOT NULL
+  GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
+), base{r + 1} AS (
+  SELECT doc_id, replace(s, (SELECT pair FROM b{r}),
+                         (SELECT merged FROM b{r})) AS s
+  FROM base{r}
+)"""
+        )
+    chain = ",\n".join(parts)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, merged, CAST(n AS BIGINT) AS n_pairs FROM b{r}"
+        for r in (1, 2, 3)
+    )
+    return f"WITH {chain}\n{sel}"
+
+
+Q187_SQL = _q187_sql()
+
+
+def q188_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (PNAS'06) of the LANGUAGE partition over the
+    cross-block SNM similarity graph (q172 pairs at J >= 0.3 — the
+    one pair source whose edges can cross lang/source): per community
+    Q_c = e_c/m - (d_c/2m)², kept integer-exact as the scaled
+    numerator 4·m·e_c - d_c² over the common denominator 4m²; the
+    total Q (same value on every row, one exact division at the end)
+    says whether language actually explains the similarity structure.
+
+    Scale shape: everything runs on the pair relation — two slim
+    lang-attribute joins, degree counts, and community rollups; the
+    global edge count and the total-Q fold are windows over the
+    |communities|-sized relation, never a corpus pass."""
+    cand = (
+        q172_sorted_neighborhood_pairs(spark, sf_dir)
+        .filter(F.col("jac") >= 0.3)
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = (
+        cand.join(lang.select(F.col("doc_id").alias("a"), F.col("lang").alias("la")), "a")
+        .join(lang.select(F.col("doc_id").alias("b"), F.col("lang").alias("lb")), "b")
+    )
+    und = cand.unionByName(
+        cand.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = (
+        und.join(lang.select(F.col("doc_id").alias("a"), F.col("lang").alias("la")), "a")
+        .groupBy("a", "la")
+        .agg(F.count("*").alias("d"))
+    )
+    per_comm = (
+        deg.groupBy(F.col("la").alias("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("deg_sum"),
+        )
+        .join(
+            lab.filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("lang"))
+            .agg(F.count("*").cast("long").alias("intra_edges")),
+            "lang",
+            "left",
+        )
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0)))
+    )
+    m = F.sum(F.col("deg_sum")).over(Window.partitionBy()) / 2
+    contrib = (
+        F.lit(4) * m.cast("long") * F.col("intra_edges")
+        - F.col("deg_sum") * F.col("deg_sum")
+    ).cast("long")
+    out = per_comm.withColumn("m_edges", m.cast("long")).withColumn(
+        "contrib_num", contrib
+    )
+    qtot = F.round(
+        F.sum("contrib_num").over(Window.partitionBy())
+        / (4.0 * F.col("m_edges") * F.col("m_edges")),
+        6,
+    )
+    return out.select(
+        "lang", "n_nodes", "intra_edges", "deg_sum", "contrib_num",
+        "m_edges", qtot.alias("modularity"),
+    )
+
+
+def _q188_sql() -> str:
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT a, b FROM ({Q172_SQL}) WHERE jac >= 0.3
+), lab AS (
+  SELECT c.a, c.b, da.lang AS la, db.lang AS lb
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.a
+  JOIN documents db ON db.doc_id = c.b
+), und AS (
+  SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand
+), deg AS (
+  SELECT u.a, d.lang AS la, COUNT(*) AS dd
+  FROM und u JOIN documents d ON d.doc_id = u.a
+  GROUP BY 1, 2
+), per_comm AS (
+  SELECT la AS lang, COUNT(*) AS n_nodes, SUM(dd) AS deg_sum
+  FROM deg GROUP BY 1
+), intra AS (
+  SELECT la AS lang, COUNT(*) AS intra_edges
+  FROM lab WHERE la = lb GROUP BY 1
+), j AS (
+  SELECT p.lang, p.n_nodes, p.deg_sum,
+         COALESCE(i.intra_edges, 0) AS intra_edges,
+         SUM(p.deg_sum) OVER () // 2 AS m_edges
+  FROM per_comm p LEFT JOIN intra i USING (lang)
+)
+SELECT lang, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(intra_edges AS BIGINT) AS intra_edges,
+       CAST(deg_sum AS BIGINT) AS deg_sum,
+       CAST(4 * m_edges * intra_edges - deg_sum * deg_sum AS BIGINT)
+         AS contrib_num,
+       CAST(m_edges AS BIGINT) AS m_edges,
+       ROUND(SUM(CAST(4 * m_edges * intra_edges - deg_sum * deg_sum
+                      AS BIGINT)) OVER ()
+             / (4.0 * m_edges * m_edges), 6) AS modularity
+FROM j
+"""
+
+
+Q188_SQL = _q188_sql()
+
+
+def q189_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman PRL'02) of the dup graph: the
+    Pearson correlation of endpoint degrees over all directed arcs —
+    negative means hubs attach to leaves (star-shaped template
+    families), positive means dense cores. All five moments are exact
+    BIGINTs; the final r divides by two IEEE sqrt()s — sqrt is
+    CORRECTLY-ROUNDED by IEEE-754 in both engines (unlike ln/exp,
+    which the board deliberately avoids), so the one double value is
+    still engine-identical before its ROUND.
+
+    Scale shape: degree counts and the arc-level moment fold are two
+    aggregations over the pair relation; the corpus is never
+    touched."""
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir).select("a", "b")
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    arcs = (
+        und.join(deg.select(F.col("a"), F.col("d").alias("dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b"
+        )
+    )
+    mom = arcs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return mom.select(
+        F.col("m").alias("n_arcs"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("assortativity"),
+    )
+
+
+Q189_SQL = f"""
+WITH pairs AS ({Q12_SQL}),
+und AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT a, COUNT(*) AS d FROM und GROUP BY a
+), arcs AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM und u JOIN deg du ON du.a = u.a JOIN deg dv ON dv.a = u.b
+), mom AS (
+  SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy, SUM(dx * dy) AS sxy
+  FROM arcs
+)
+SELECT CAST(m AS BIGINT) AS n_arcs,
+       ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+         AS assortativity
+FROM mom
+"""
+
+
+def q190_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1, 2, 3) of each event type's daily
+    volume — the seasonality/burst diagnostic for a time-series of
+    counts: Pearson r over (x_t, x_{t-k}) pairs with exact BIGINT
+    moments and the q189 IEEE-sqrt convention for the final division;
+    day series are dense per type here, and pairs are formed by lag
+    windows, never a self-join.
+
+    Scale shape: ONE corpus collapse to the (type, day) grain; the
+    three lag columns ride one window pass over that day-grain
+    relation (thousands of rows per type regardless of corpus size),
+    then stack() unpivots to (lag, x, y) and a partial-aggregated
+    rollup computes the moments."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (
+        daily.withColumn("x1", F.lag("n", 1).over(w))
+        .withColumn("x2", F.lag("n", 2).over(w))
+        .withColumn("x3", F.lag("n", 3).over(w))
+    )
+    stacked = lagged.select(
+        "event_type",
+        "n",
+        F.expr("stack(3, 1, x1, 2, x2, 3, x3) AS (lag, x)"),
+    ).filter(F.col("x").isNotNull())
+    mom = stacked.groupBy("event_type", "lag").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("n").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("n")).cast("long").alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return mom.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("m").alias("n_pairs"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("autocorr"),
+    )
+
+
+Q190_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, n,
+         LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+         LAG(n, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2,
+         LAG(n, 3) OVER (PARTITION BY event_type ORDER BY day) AS x3
+  FROM daily
+), stacked AS (
+  SELECT event_type, 1 AS lag, x1 AS x, n FROM lagged WHERE x1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, x2, n FROM lagged WHERE x2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, x3, n FROM lagged WHERE x3 IS NOT NULL
+), mom AS (
+  SELECT event_type, lag, COUNT(*) AS m, SUM(x) AS sx, SUM(n) AS sy,
+         SUM(x * x) AS sxx, SUM(n * n) AS syy, SUM(x * n) AS sxy
+  FROM stacked GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+       ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+FROM mom
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -11579,6 +11916,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q184_forecast_revenue_change": q184_forecast_revenue_change,
     "q185_token_chunking": q185_token_chunking,
     "q186_cusum_changepoints": q186_cusum_changepoints,
+    "q187_bpe_merge_rounds": q187_bpe_merge_rounds,
+    "q188_community_modularity": q188_community_modularity,
+    "q189_degree_assortativity": q189_degree_assortativity,
+    "q190_daily_autocorrelation": q190_daily_autocorrelation,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11770,4 +12111,8 @@ ORACLE_SQL: dict[str, str] = {
     "q184_forecast_revenue_change": Q184_SQL,
     "q185_token_chunking": Q185_SQL,
     "q186_cusum_changepoints": Q186_SQL,
+    "q187_bpe_merge_rounds": Q187_SQL,
+    "q188_community_modularity": Q188_SQL,
+    "q189_degree_assortativity": Q189_SQL,
+    "q190_daily_autocorrelation": Q190_SQL,
 }

@@ -1724,3 +1724,82 @@ def test_q186_cusum_prefix_min_identity(spark):
             s = max(0, s + (r["n"] * 1000 - k))
             assert r["cusum_milli"] == s, (t, r, s)
             assert r["alarm"] == (s > 5 * k)
+
+
+def test_q187_bpe_greedy_merge_properties(spark):
+    """BPE merges: three rounds, each merged symbol is its pair minus
+    the separator, counts are positive and the argmax count is
+    non-increasing round over round (any pair created by a merge
+    inherits a subset of some pre-merge pair's occurrences, so the
+    max can only fall)."""
+    rows = QUERIES["q187_bpe_merge_rounds"](spark, SF).collect()
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["merged"] == r["pair"].replace(" ", "")
+        assert " " in r["pair"] and r["n_pairs"] > 0
+    ns = [r["n_pairs"] for r in rows]
+    assert ns[0] >= ns[1] >= ns[2], ns
+
+
+def test_q188_modularity_identities(spark):
+    """Modularity: Σ intra_edges <= m, Σ deg_sum == 2m, every
+    contribution equals 4·m·e_c - d_c², and the reported total equals
+    the recomputed Σcontrib/(4m²); pair-relation-sized joins only (no
+    cartesian)."""
+    df = QUERIES["q188_community_modularity"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows
+    m = rows[0]["m_edges"]
+    assert all(r["m_edges"] == m for r in rows)
+    assert sum(r["deg_sum"] for r in rows) == 2 * m
+    assert sum(r["intra_edges"] for r in rows) <= m
+    tot = 0
+    for r in rows:
+        assert r["contrib_num"] == 4 * m * r["intra_edges"] - r["deg_sum"] ** 2
+        tot += r["contrib_num"]
+    want = round(tot / (4.0 * m * m), 6)
+    assert all(abs(r["modularity"] - want) < 1e-9 for r in rows)
+
+
+def test_q189_assortativity_range_and_symmetry(spark):
+    """Assortativity: one row, r in [-1, 1], and n_arcs is exactly
+    twice the undirected pair count (both orientations counted); the
+    computation never scans parquet (pair relation only)."""
+    from dedup.queries import q12_docs_token_jaccard_pairs
+
+    df = QUERIES["q189_degree_assortativity"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    rows = df.collect()
+    assert len(rows) == 1
+    n_pairs = q12_docs_token_jaccard_pairs(spark, SF).count()
+    assert rows[0]["n_arcs"] == 2 * n_pairs
+    assert -1.0 <= rows[0]["assortativity"] <= 1.0
+
+
+def test_q190_autocorr_lag_pair_counts(spark):
+    """Autocorrelation: per (type, lag) the pair count is exactly
+    n_days - lag (dense per-type day series at this SF), r in [-1,1],
+    and the whole series stage is windows over the day grain — no
+    join in the plan at all."""
+    df = QUERIES["q190_daily_autocorrelation"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    rows = df.collect()
+    daily = {
+        (r["event_type"], r["n"])
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("day").alias("n"))
+        .collect()
+    }
+    ndays = dict(daily)
+    for r in rows:
+        assert r["n_pairs"] == ndays[r["event_type"]] - r["lag"], r
+        assert -1.0 <= r["autocorr"] <= 1.0
