@@ -11729,6 +11729,232 @@ FROM mom
 """
 
 
+def q191_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding matrix by THREE
+    statically unrolled power-iteration rounds (v ← AᵀA v), engine-
+    exact end to end: embeddings quantize to integer 1e-4 units, every
+    matrix-vector product is a BIGINT join-aggregate, and the
+    between-round normalization is an integer rescale
+    (v ← w div (max|w| div 1000 + 1)) computed by a window over the
+    64-row vector relation — no collect, no float, no libm. The
+    test pins the honest guarantee: bit-exact parity with an
+    independent numpy integer replay, plus the Rayleigh quotient
+    rising monotonically round over round (the synthetic embeddings
+    have a nearly flat spectrum — s2/s1 = 0.965 measured — so no
+    fixed round count could align with the top singular vector;
+    on a gapped spectrum the same operator converges geometrically).
+
+    Scale shape: A lives once as the checkpointed exploded
+    (vec_id, dim, q) relation; per round, u = Av joins the
+    BROADCAST 64-row vector and aggregates per vec_id, w = Aᵀu joins
+    u co-partitioned on vec_id and aggregates to 64 rows — two
+    partial-aggregated exchanges per round, corpus scanned once
+    total; BIGINT ranges are bounded by construction (|q| <= 5000,
+    |v| <= 1000 after each rescale, so |w| < 2^60 at 10^7 rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        )
+        .select(
+            "vec_id", "dim", F.round(F.col("x").cast("double") * 10000).cast("long").alias("q")
+        )
+        .localCheckpoint()
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("dim"), F.lit(1).cast("long").alias("v")
+    )
+    for _ in range(3):
+        u = (
+            a.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("u"))
+        )
+        w = (
+            a.join(u, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("q") * F.col("u")).alias("w"))
+        )
+        scale = F.max(F.abs(F.col("w"))).over(Window.partitionBy())
+        # sign-split the rescale so negative components divide identically
+        # in both engines (Spark div truncates, DuckDB // floors)
+        v = w.withColumn("scale", scale).select(
+            "dim",
+            F.expr(
+                "case when w < 0 then -(abs(w) div (scale div 1000 + 1))"
+                " else abs(w) div (scale div 1000 + 1) end"
+            ).cast("long").alias("v"),
+        )
+    return v.select("dim", F.col("v").alias("pc1_scaled"))
+
+
+def _q191_sql() -> str:
+    parts = [
+        """a AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+  FROM embeddings
+), v0 AS (
+  SELECT unnest(generate_series(0, 63)) AS dim, CAST(1 AS BIGINT) AS v
+)"""
+    ]
+    for r in range(3):
+        parts.append(
+            f"""u{r} AS (
+  SELECT a.vec_id, SUM(a.q * v{r}.v) AS u
+  FROM a JOIN v{r} ON v{r}.dim = a.dim
+  GROUP BY a.vec_id
+), w{r} AS (
+  SELECT a.dim, SUM(a.q * u{r}.u) AS w
+  FROM a JOIN u{r} ON u{r}.vec_id = a.vec_id
+  GROUP BY a.dim
+), v{r + 1} AS (
+  SELECT dim,
+         CAST(CASE WHEN w < 0
+              THEN -(abs(w) // ((MAX(abs(w)) OVER ()) // 1000 + 1))
+              ELSE abs(w) // ((MAX(abs(w)) OVER ()) // 1000 + 1) END
+              AS BIGINT) AS v
+  FROM w{r}
+)"""
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {chain}\n"
+        "SELECT CAST(dim AS INT) AS dim, v AS pc1_scaled FROM v3"
+    )
+
+
+Q191_SQL = _q191_sql()
+
+
+def q192_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means (k = 10) over the
+    embeddings, label-seeded (centroid c = the embedding of each
+    label's minimum vec_id) and INTEGER end to end: quantized 1e-4
+    units, assignment by exact BIGINT squared L2 (ties to the smaller
+    cluster id), new centroids as floor-div means, inertia and
+    centroid shift as exact sums — the ML-pipeline step usually
+    hidden inside a library, expressed as four join-aggregates any
+    engine can replay bit-for-bit.
+
+    Scale shape: centroids are a 640-row broadcast; the assignment is
+    one join-aggregate over the exploded embedding relation (partial-
+    aggregated on (vec_id, cluster)) + an argmin window at the vec
+    grain; the update re-joins assignments co-partitioned on vec_id.
+    Corpus passes: exactly two (assign, update) regardless of n."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # +10000 shift keeps every coordinate non-negative so the floor-div
+    # centroid means agree across engines (Spark div truncates toward
+    # zero, DuckDB // floors); distances and shifts are translation-
+    # invariant, so the statistics are unchanged
+    a = (
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            (F.round(F.col("x").cast("double") * 10000).cast("long") + 10000).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    seed_ids = (
+        a.groupBy("label")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .withColumnRenamed("label", "cluster")
+    )
+    cent = (
+        a.join(F.broadcast(seed_ids), "vec_id")
+        .select(F.col("cluster").cast("int").alias("cluster"), "dim", F.col("q").alias("c"))
+        .localCheckpoint()
+    )
+    d2 = (
+        a.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "d2"
+            )
+        )
+    )
+    wmin = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
+    assign = (
+        d2.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", F.col("d2").alias("dist2"))
+        .localCheckpoint()
+    )
+    newc = (
+        a.join(assign, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.expr("sum(q) div count(*)").cast("long").alias("nc"),
+            F.count("*").alias("_n"),
+        )
+        .drop("_n")
+    )
+    shift = (
+        newc.join(cent, ["cluster", "dim"])
+        .groupBy("cluster")
+        .agg(
+            F.sum((F.col("nc") - F.col("c")) * (F.col("nc") - F.col("c")))
+            .cast("long")
+            .alias("centroid_shift_sq")
+        )
+    )
+    stats = assign.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("dist2").cast("long").alias("inertia"),
+    )
+    return (
+        stats.join(shift, "cluster")
+        .select("cluster", "n_assigned", "inertia", "centroid_shift_sq")
+    )
+
+
+Q192_SQL = """
+WITH a AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) + 10000 AS q
+  FROM embeddings
+), seeds AS (
+  SELECT label AS cluster, MIN(vec_id) AS vec_id FROM a GROUP BY label
+), cent AS (
+  SELECT s.cluster, a.dim, a.q AS c
+  FROM a JOIN seeds s ON s.vec_id = a.vec_id
+), d2 AS (
+  SELECT a.vec_id, c.cluster, SUM((a.q - c.c) * (a.q - c.c)) AS d2
+  FROM a JOIN cent c ON c.dim = a.dim
+  GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cluster, d2 AS dist2 FROM (
+    SELECT vec_id, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+), newc AS (
+  SELECT s.cluster, a.dim, SUM(a.q) // COUNT(*) AS nc
+  FROM a JOIN assign s ON s.vec_id = a.vec_id
+  GROUP BY 1, 2
+), shift AS (
+  SELECT n.cluster,
+         SUM((n.nc - c.c) * (n.nc - c.c)) AS centroid_shift_sq
+  FROM newc n JOIN cent c ON c.cluster = n.cluster AND c.dim = n.dim
+  GROUP BY 1
+), stats AS (
+  SELECT cluster, COUNT(*) AS n_assigned, SUM(dist2) AS inertia
+  FROM assign GROUP BY 1
+)
+SELECT st.cluster, CAST(st.n_assigned AS BIGINT) AS n_assigned,
+       CAST(st.inertia AS BIGINT) AS inertia,
+       CAST(sh.centroid_shift_sq AS BIGINT) AS centroid_shift_sq
+FROM stats st JOIN shift sh USING (cluster)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -11920,6 +12146,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q188_community_modularity": q188_community_modularity,
     "q189_degree_assortativity": q189_degree_assortativity,
     "q190_daily_autocorrelation": q190_daily_autocorrelation,
+    "q191_power_iteration_pc1": q191_power_iteration_pc1,
+    "q192_kmeans_lloyd_step": q192_kmeans_lloyd_step,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12115,4 +12343,6 @@ ORACLE_SQL: dict[str, str] = {
     "q188_community_modularity": Q188_SQL,
     "q189_degree_assortativity": Q189_SQL,
     "q190_daily_autocorrelation": Q190_SQL,
+    "q191_power_iteration_pc1": Q191_SQL,
+    "q192_kmeans_lloyd_step": Q192_SQL,
 }

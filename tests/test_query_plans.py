@@ -1803,3 +1803,77 @@ def test_q190_autocorr_lag_pair_counts(spark):
     for r in rows:
         assert r["n_pairs"] == ndays[r["event_type"]] - r["lag"], r
         assert -1.0 <= r["autocorr"] <= 1.0
+
+
+def test_q191_power_iteration_matches_integer_replay(spark):
+    """Power iteration: bit-exact parity with an independent numpy
+    integer replay of the same three rounds (quantize, matvec, matvec,
+    sign-split rescale), and the Rayleigh quotient ||Av||^2/||v||^2
+    rises monotonically over the rounds — the guarantee power
+    iteration actually gives on a flat spectrum. The corpus explodes
+    once into the checkpointed triple store (no parquet in the final
+    plan)."""
+    import numpy as np
+
+    df = QUERIES["q191_power_iteration_pc1"](spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    rows = df.collect()
+    assert len(rows) == 64
+    got = np.zeros(64, dtype=np.int64)
+    for r in rows:
+        got[r["dim"]] = r["pc1_scaled"]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    A = np.round(
+        np.array([r["embedding"] for r in emb], dtype=np.float64) * 10000
+    ).astype(np.int64)
+    v = np.ones(64, dtype=np.int64)
+    rayleigh = []
+    for _ in range(3):
+        u = A @ v
+        w = A.T @ u
+        rayleigh.append(float(u @ u) / float(v @ v))
+        D = np.abs(w).max() // 1000 + 1
+        v = np.sign(w) * (np.abs(w) // D)
+    assert np.array_equal(got, v), (got[:8], v[:8])
+    u = A @ v
+    rayleigh.append(float(u @ u) / float(v @ v))
+    assert all(b >= a * 0.999 for a, b in zip(rayleigh, rayleigh[1:])), rayleigh
+
+
+def test_q192_lloyd_step_matches_numpy(spark):
+    """Lloyd step: assignments, inertia, and centroid shifts replayed
+    exactly in numpy from the same integer quantization — bit-for-bit
+    equal per cluster; every vector is assigned (counts sum to n)."""
+    import numpy as np
+
+    rows = QUERIES["q192_kmeans_lloyd_step"](spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    A = (
+        np.round(np.array([r["embedding"] for r in emb], dtype=np.float64) * 10000)
+        .astype(np.int64)
+        + 10000
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    labels = np.array([r["label"] for r in emb])
+    order = np.argsort(ids)
+    A, ids, labels = A[order], ids[order], labels[order]
+    cent = {}
+    for lab in sorted(set(labels.tolist())):
+        first = np.argmax(labels == lab)
+        cent[lab] = A[first]  # min vec_id per label (ids sorted)
+    ks = sorted(cent)
+    C = np.stack([cent[k] for k in ks])
+    d2 = ((A[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # ties: argmin takes first = smaller cluster
+    got = {r["cluster"]: r for r in rows}
+    total = 0
+    for i, k in enumerate(ks):
+        mask = assign == i
+        n = int(mask.sum())
+        total += n
+        assert got[k]["n_assigned"] == n, (k, got[k]["n_assigned"], n)
+        assert got[k]["inertia"] == int(d2[mask, i].sum()), k
+        newc = A[mask].sum(axis=0) // max(1, n)
+        assert got[k]["centroid_shift_sq"] == int(((newc - C[i]) ** 2).sum()), k
+    assert total == len(A)
