@@ -649,6 +649,12 @@ def main() -> None:
     )
     for title, df in sections:
         out.append(f"\n## {title}\n\n```\n{plan_of(df)}```\n")
+    # round-5 board additions: dumped generically (plan pins live in
+    # tests/test_query_plans.py; these are the human-readable copies)
+    r5 = [n for n in QUERIES if int(n[1:].split('_')[0]) >= 158]
+    for name in r5:
+        df = QUERIES[name](spark, SF)
+        out.append(f"\n## {name} (round 5)\n\n```\n{plan_of(df)}```\n")
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("".join(out))
     print("wrote BENCH/PLANS.md")
