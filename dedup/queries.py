@@ -11955,6 +11955,233 @@ FROM stats st JOIN shift sh USING (cluster)
 """
 
 
+def q193_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the MDM merge step after linkage):
+    each dup cluster (q12 graph, components from the large-star/
+    small-star engine) emits ONE merged record whose fields come from
+    different members by per-field rules — text from the longest
+    member (tie: min doc_id), lang by deterministic mode (count DESC,
+    lang ASC), provenance as the sorted distinct source list —
+    complementing q49, which elects one member; survivorship composes
+    the best of several. Singleton docs (no dup edges) have nothing
+    to merge and are excluded by construction.
+
+    Scale shape: components come from the log-round CC engine over
+    the pair relation; the survivorship pass is one exchange on
+    cluster_id feeding two windows (field argmaxes) and the rollup —
+    cluster-relation-sized, corpus touched only for the slim
+    attribute projection."""
+    from .cc import connected_components
+
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir).select("a", "b")
+    pad = lambda c: F.format_string("%020d", F.col(c))  # noqa: E731
+    comp, _ = connected_components(
+        pairs.select(pad("a").alias("a"), pad("b").alias("b")), DedupConfig()
+    )
+    mem = comp.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_rep"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    j = mem.join(docs, "doc_id")
+    wlen = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    golden = (
+        j.withColumn("rn", F.row_number().over(wlen))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("golden_doc"),
+            F.col("n_chars").alias("golden_n_chars"),
+        )
+    )
+    modal = (
+        j.groupBy("cluster_rep", "lang")
+        .agg(F.count("*").alias("ln"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_rep").orderBy(
+                    F.desc("ln"), F.asc("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_rep", F.col("lang").alias("modal_lang"))
+    )
+    roll = j.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.array_join(
+            F.array_sort(F.collect_set("source")), ","
+        ).alias("sources_csv"),
+    )
+    return (
+        roll.join(golden, "cluster_rep")
+        .join(modal, "cluster_rep")
+        .select(
+            "cluster_rep", "n_members", "golden_doc", "golden_n_chars",
+            "modal_lang", "sources_csv",
+        )
+    )
+
+
+Q193_SQL = f"""
+WITH RECURSIVE pairs AS ({Q12_SQL}),
+e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(src, node) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) s
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.node
+), comp AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_rep FROM reach GROUP BY src
+), j AS (
+  SELECT c.cluster_rep, d.doc_id, d.lang, d.source, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+), golden AS (
+  SELECT cluster_rep, doc_id AS golden_doc, n_chars AS golden_n_chars
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                                     ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM j) WHERE rn = 1
+), modal AS (
+  SELECT cluster_rep, lang AS modal_lang
+  FROM (SELECT cluster_rep, lang, COUNT(*) AS ln,
+               ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                                  ORDER BY COUNT(*) DESC, lang ASC) AS rn
+        FROM j GROUP BY cluster_rep, lang) WHERE rn = 1
+), roll AS (
+  SELECT cluster_rep, COUNT(*) AS n_members,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+  FROM j GROUP BY cluster_rep
+)
+SELECT r.cluster_rep, CAST(r.n_members AS BIGINT) AS n_members,
+       g.golden_doc, g.golden_n_chars, m.modal_lang, r.sources_csv
+FROM roll r JOIN golden g USING (cluster_rep) JOIN modal m USING (cluster_rep)
+"""
+
+
+def q194_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a change
+    log: each user's event stream collapses consecutive repeats of
+    the same event_type, and every surviving change becomes a
+    versioned validity interval [valid_from, valid_to) with an
+    is_current flag — the temporal-table construction every warehouse
+    runs to turn CDC streams into AS-OF-queryable dimensions (q141's
+    LOCF reads such a table; this BUILDS it).
+
+    Scale shape: ONE hash exchange on user_id serves the change-
+    detection lag, the version-numbering running count, and the
+    validity lead — three windows, one shuffle, no join; state per
+    row is O(1), so a 10^12-row change log builds its history in one
+    pass."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = (
+        ev.select("user_id", "event_id", "event_type", us.alias("us"))
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        chg.withColumn("version", F.row_number().over(w2))
+        .withColumn("valid_to_us", F.lead("us").over(w2))
+        .select(
+            "user_id",
+            F.col("version").cast("int").alias("version"),
+            "event_type",
+            F.col("us").alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )
+
+
+Q194_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), chg AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, event_type, us,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS prev
+    FROM e
+  ) WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS INT) AS version,
+       event_type,
+       CAST(us AS BIGINT) AS valid_from_us,
+       CAST(LEAD(us) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id) AS BIGINT) AS valid_to_us,
+       LEAD(us) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) IS NULL AS is_current
+FROM chg
+"""
+
+
+def q195_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-3 sequential pattern mining: the ten most frequent
+    3-step event-type paths across all user streams (q42's transition
+    matrix is the depth-2 marginal of this) — the funnel-discovery
+    primitive that tells an analyst which journeys exist before
+    any funnel (q43) is hand-specified.
+
+    Scale shape: two lead windows on the per-user exchange, then a
+    wordcount-shaped path census (partial-aggregated) and a global
+    top-10 as TakeOrderedAndProject — no self-join for sequence
+    formation, the window IS the sequence join."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    paths = (
+        ev.select("user_id", "event_id", "event_type", us.alias("us"))
+        .withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("path")))
+            .cast("int"),
+        )
+    )
+
+
+Q195_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), seq AS (
+  SELECT event_type || '>' ||
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) || '>' ||
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS path
+  FROM e
+), cnt AS (
+  SELECT path, COUNT(*) AS n FROM seq WHERE path IS NOT NULL GROUP BY path
+), top AS (
+  SELECT path, n FROM cnt ORDER BY n DESC, path ASC LIMIT 10
+)
+SELECT path, CAST(n AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS INT) AS rnk
+FROM top
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -12148,6 +12375,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_daily_autocorrelation": q190_daily_autocorrelation,
     "q191_power_iteration_pc1": q191_power_iteration_pc1,
     "q192_kmeans_lloyd_step": q192_kmeans_lloyd_step,
+    "q193_survivorship_merge": q193_survivorship_merge,
+    "q194_scd2_intervals": q194_scd2_intervals,
+    "q195_frequent_paths": q195_frequent_paths,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12345,4 +12575,7 @@ ORACLE_SQL: dict[str, str] = {
     "q190_daily_autocorrelation": Q190_SQL,
     "q191_power_iteration_pc1": Q191_SQL,
     "q192_kmeans_lloyd_step": Q192_SQL,
+    "q193_survivorship_merge": Q193_SQL,
+    "q194_scd2_intervals": Q194_SQL,
+    "q195_frequent_paths": Q195_SQL,
 }

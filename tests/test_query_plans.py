@@ -1877,3 +1877,102 @@ def test_q192_lloyd_step_matches_numpy(spark):
         newc = A[mask].sum(axis=0) // max(1, n)
         assert got[k]["centroid_shift_sq"] == int(((newc - C[i]) ** 2).sum()), k
     assert total == len(A)
+
+
+def test_q193_survivorship_field_rules(spark):
+    """Survivorship: every golden doc is a member of its own cluster
+    with the cluster-max n_chars; the modal lang is the true mode
+    with the deterministic tie; members >= 2 (singletons excluded);
+    sources_csv is sorted."""
+    from collections import Counter, defaultdict
+
+    from dedup.queries import q12_docs_token_jaccard_pairs
+
+    rows = QUERIES["q193_survivorship_merge"](spark, SF).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    pairs = q12_docs_token_jaccard_pairs(spark, SF).select("a", "b").collect()
+    adj = defaultdict(set)
+    for p in pairs:
+        adj[p["a"]].add(p["b"])
+        adj[p["b"]].add(p["a"])
+    comp = {}
+    for start in adj:
+        if start in comp:
+            continue
+        seen, stack = {start}, [start]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        rep = min(seen)
+        for v in seen:
+            comp[v] = rep
+    clusters = defaultdict(list)
+    for d, rep in comp.items():
+        clusters[rep].append(d)
+    assert {r["cluster_rep"] for r in rows} == set(clusters)
+    for r in rows:
+        members = clusters[r["cluster_rep"]]
+        assert r["n_members"] == len(members) >= 2
+        best = sorted(
+            members, key=lambda d: (-docs[d]["n_chars"], d)
+        )[0]
+        assert r["golden_doc"] == best
+        assert r["golden_n_chars"] == docs[best]["n_chars"]
+        langs = Counter(docs[d]["lang"] for d in members)
+        top = sorted(langs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert r["modal_lang"] == top
+        srcs = r["sources_csv"].split(",")
+        assert srcs == sorted(srcs)
+
+
+def test_q194_scd2_interval_chain(spark):
+    """SCD2: one shuffle total (three windows share the user_id
+    partitioning); per user the intervals chain exactly — versions
+    dense from 1, each valid_to equals the next valid_from, exactly
+    one open current row, and consecutive versions never repeat the
+    same event_type."""
+    df = QUERIES["q194_scd2_intervals"](spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+    rows = df.collect()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    for u, hist in per_user.items():
+        hist.sort(key=lambda r: r["version"])
+        assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+        assert sum(1 for h in hist if h["is_current"]) == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to_us"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], (u, a, b)
+            assert a["event_type"] != b["event_type"], (u, a, b)
+
+
+def test_q195_paths_census_consistency(spark):
+    """Frequent paths: ranked 1..10 with counts non-increasing; the
+    total path population equals Σ_users max(0, n_events - 2) and the
+    top path's count is bounded by it."""
+    df = QUERIES["q195_frequent_paths"](spark, SF)
+    rows = df.collect()
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    per_user = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    total_paths = sum(max(0, r["n"] - 2) for r in per_user)
+    assert ns[0] <= total_paths
+    assert all("&" not in r["path"] and r["path"].count(">") == 2 for r in rows)
