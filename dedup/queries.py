@@ -12182,6 +12182,363 @@ FROM top
 """
 
 
+def _mh_lane_sql(lane: int) -> str:
+    hx = f"md5(concat(token, '|', 'mh-l{lane}'))"
+    return f"CAST('0x' || substring({hx}, 1, 15) AS BIGINT)"
+
+
+def _mh_lane_col(lane: int) -> "F.Column":
+    hx = F.md5(F.concat_ws("|", F.col("token"), F.lit(f"mh-l{lane}")))
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+
+
+_MH_LANES = 16
+
+
+def _mh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-lane MinHash signatures (md5 lane hashes, distinct
+    q12-convention tokens) — ONE tokenize pass, 16 min-aggregates, no
+    explode fan-out. Shared by q196/q197."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(F.split(normalize_sql(F.col("text")), " "))
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("doc_id", "lang", "source")
+        .agg(
+            F.array(
+                *[F.min(_mh_lane_col(i)) for i in range(_MH_LANES)]
+            ).alias("sig")
+        )
+        .localCheckpoint()
+    )
+
+
+def _mh_sig_sql() -> str:
+    lanes = ", ".join(
+        f"MIN({_mh_lane_sql(i)}) AS s{i}" for i in range(_MH_LANES)
+    )
+    return f"""
+  SELECT doc_id, lang, source, {lanes}
+  FROM (
+    SELECT doc_id, lang, source,
+           unnest(list_distinct(string_split({_NORM}, ' '))) AS token
+    FROM documents
+  ) GROUP BY doc_id, lang, source
+"""
+
+
+def q196_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy audit, fully value-checked: the engine's core
+    estimator (Broder '97 — P[min-hash collision] = Jaccard) rebuilt
+    on the PORTABLE md5 hash convention so BOTH engines compute the
+    identical 16-lane signature, then compared lane-for-lane against
+    the exact distinct-token Jaccard on every q12 dup pair: est =
+    matching_lanes/16, err = est - jac. (The production engine uses
+    xxhash signatures — q21 stays rows-only by design; THIS row
+    value-checks the estimator mathematics end to end.)
+
+    Scale shape: signatures are ONE tokenize pass with 16 min-
+    aggregates (no 16x explode); the audit joins the pair relation
+    against the signature relation twice on doc keys — pair-sized
+    work; the lane comparison is a JVM zip_with, no Python."""
+    sigs = _mh_sigs(spark, sf_dir).select("doc_id", "sig")
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir)
+    j = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa")),
+            "a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb")),
+            "b",
+        )
+    )
+    matches = F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))")
+    return j.select(
+        "a",
+        "b",
+        "jac",
+        matches.cast("int").alias("lanes_matched"),
+        F.round(matches / F.lit(float(_MH_LANES)), 4).alias("est_jac"),
+        F.round(matches / F.lit(float(_MH_LANES)) - F.col("jac"), 4).alias(
+            "err"
+        ),
+    )
+
+
+def _q196_sql() -> str:
+    cmp16 = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_LANES)
+    )
+    return f"""
+WITH sigs AS ({_mh_sig_sql()}),
+pairs AS ({Q12_SQL})
+SELECT p.a, p.b, p.jac,
+       CAST({cmp16} AS INT) AS lanes_matched,
+       ROUND(({cmp16}) / 16.0, 4) AS est_jac,
+       ROUND(({cmp16}) / 16.0 - p.jac, 4) AS err
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.a
+JOIN sigs sb ON sb.doc_id = p.b
+"""
+
+
+Q196_SQL = _q196_sql()
+
+
+def q197_portable_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH band join itself, value-checked end to end on the
+    portable signatures: 16 lanes band into 4 bands of 4 rows; docs
+    sharing ANY band signature become candidates (threshold s* =
+    (1/4)^(1/4) ~ 0.71 — the S-curve knee), with NO blocking key:
+    this is the global self-join the engine runs at scale, here on
+    engine-identical md5 signatures so the candidate SET is
+    deterministic and both engines must produce the same pairs, each
+    verified with its exact token Jaccard.
+
+    Scale shape: band keys explode 4-per-doc and the candidate join
+    is the bucketed equi-join on (band_id, band_key) — work
+    proportional to bucket collisions, never n²; the exact-verify
+    join touches only surviving candidates (semi-join-reduced, the
+    q22 discipline)."""
+    sigs = _mh_sigs(spark, sf_dir).select("doc_id", "sig")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col("sig")[b * 4 + i].cast("string")
+                                for i in range(4)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count("*").cast("int").alias("n_bands_shared"))
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalize_sql(F.col("text")), " ")).alias(
+            "toks"
+        ),
+    ).localCheckpoint()
+    j = cand.join(
+        toks.select(F.col("doc_id").alias("a"), F.col("toks").alias("ta")), "a"
+    ).join(
+        toks.select(F.col("doc_id").alias("b"), F.col("toks").alias("tb")), "b"
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    uni = F.size("ta") + F.size("tb") - inter
+    return j.select(
+        "a", "b", "n_bands_shared", F.round(inter / uni, 4).alias("jac")
+    )
+
+
+def _q197_sql() -> str:
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, "
+        "CAST(s{i0} AS VARCHAR) || '|' || CAST(s{i1} AS VARCHAR) || '|' || "
+        "CAST(s{i2} AS VARCHAR) || '|' || CAST(s{i3} AS VARCHAR) AS band_key "
+        "FROM sigs".format(b=b, i0=b * 4, i1=b * 4 + 1, i2=b * 4 + 2, i3=b * 4 + 3)
+        for b in range(4)
+    )
+    return f"""
+WITH sigs AS ({_mh_sig_sql()}),
+bands AS (
+{band_rows}
+), cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_bands_shared
+  FROM bands l JOIN bands r
+    ON r.band_id = l.band_id AND r.band_key = l.band_key
+   AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), toks AS (
+  SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+)
+SELECT c.a, c.b, CAST(c.n_bands_shared AS INT) AS n_bands_shared,
+       ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / (len(ta.toks) + len(tb.toks)
+                - len(list_intersect(ta.toks, tb.toks))), 4) AS jac
+FROM cand c
+JOIN toks ta ON ta.doc_id = c.a
+JOIN toks tb ON tb.doc_id = c.b
+"""
+
+
+Q197_SQL = _q197_sql()
+
+
+def q198_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar STOC'02) value-checked: a 16-bit fingerprint
+    from tf-weighted md5 token hashes (bit j of the fingerprint is
+    the sign of Σ_tokens tf·(±1 by hash bit j)), then the Hamming-
+    ball pair scan (distance <= 4) within the q12 blocking key, each
+    candidate verified with its exact token Jaccard (the q22
+    discipline) — fingerprint construction, the Hamming metric, and
+    the pair set all engine-identical by construction (the production
+    engine's 64-bit xxhash variant is recall-gated instead; this row
+    value-checks the simhash MATH). Identical normalized text implies
+    an identical tf vector and hence fingerprint, so exact dups land
+    at distance 0 — pinned as a theorem test.
+
+    Scale shape: the fingerprint is ONE tokenize pass with 16
+    conditional sums (no per-bit explode); pairing is the blocked
+    self-join with a JVM bit_count(xor) predicate — q12's cost
+    class, CPU-bound array work replaced by a single integer op."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("token"),
+    ).filter(F.length("token") >= 1)
+    tf = toks.groupBy("doc_id", "lang", "source", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("token"), F.lit("sh-v1"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    tfh = tf.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(
+                (F.col("h").bitwiseAND(F.lit(1 << j))) > 0, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    fp = (
+        tfh.groupBy("doc_id", "lang", "source")
+        .agg(*bit_sums)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            sum(
+                [
+                    F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+                    for j in range(16)
+                ],
+                F.lit(0),
+            ).cast("long").alias("fp"),
+        )
+        .localCheckpoint()
+    )
+    l, r = fp.alias("l"), fp.alias("r")
+    ham = F.bit_count(
+        F.col("l.fp").bitwiseXOR(F.col("r.fp"))
+    )
+    cand = (
+        l.join(
+            r,
+            (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(ham <= 4)
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalize_sql(F.col("text")), " ")).alias(
+            "toks"
+        ),
+    ).localCheckpoint()
+    j = cand.join(
+        toks.select(F.col("doc_id").alias("a"), F.col("toks").alias("ta")), "a"
+    ).join(
+        toks.select(F.col("doc_id").alias("b"), F.col("toks").alias("tb")), "b"
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    uni = F.size("ta") + F.size("tb") - inter
+    return j.select("a", "b", "hamming", F.round(inter / uni, 4).alias("jac"))
+
+
+def _q198_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << j}) > 0 THEN tf ELSE -tf END) AS b{j}"
+        for j in range(16)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         unnest(string_split({_NORM}, ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, lang, source, token, COUNT(*) AS tf
+  FROM toks WHERE length(token) >= 1
+  GROUP BY 1, 2, 3, 4
+), tfh AS (
+  SELECT doc_id, lang, source, tf,
+         CAST('0x' || substring(md5(concat(token, '|', 'sh-v1')), 1, 15)
+              AS BIGINT) AS h
+  FROM tf
+), bits AS (
+  SELECT doc_id, lang, source, {bit_sums}
+  FROM tfh GROUP BY 1, 2, 3
+), fp AS (
+  SELECT doc_id, lang, source, CAST({fp_expr} AS BIGINT) AS fp
+  FROM bits
+), cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+  FROM fp l JOIN fp r
+    ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.fp, r.fp)) <= 4
+), tset AS (
+  SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+)
+SELECT c.a, c.b, c.hamming,
+       ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / (len(ta.toks) + len(tb.toks)
+                - len(list_intersect(ta.toks, tb.toks))), 4) AS jac
+FROM cand c
+JOIN tset ta ON ta.doc_id = c.a
+JOIN tset tb ON tb.doc_id = c.b
+"""
+
+
+Q198_SQL = _q198_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -12378,6 +12735,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q193_survivorship_merge": q193_survivorship_merge,
     "q194_scd2_intervals": q194_scd2_intervals,
     "q195_frequent_paths": q195_frequent_paths,
+    "q196_minhash_estimate_accuracy": q196_minhash_estimate_accuracy,
+    "q197_portable_lsh_candidates": q197_portable_lsh_candidates,
+    "q198_portable_simhash_pairs": q198_portable_simhash_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12578,4 +12938,7 @@ ORACLE_SQL: dict[str, str] = {
     "q193_survivorship_merge": Q193_SQL,
     "q194_scd2_intervals": Q194_SQL,
     "q195_frequent_paths": Q195_SQL,
+    "q196_minhash_estimate_accuracy": Q196_SQL,
+    "q197_portable_lsh_candidates": Q197_SQL,
+    "q198_portable_simhash_pairs": Q198_SQL,
 }

@@ -1976,3 +1976,88 @@ def test_q195_paths_census_consistency(spark):
     total_paths = sum(max(0, r["n"] - 2) for r in per_user)
     assert ns[0] <= total_paths
     assert all("&" not in r["path"] and r["path"].count(">") == 2 for r in rows)
+
+
+def test_q196_minhash_estimator_math(spark):
+    """MinHash audit: per-pair est = lanes_matched/16 exactly, err is
+    their difference, and the mean absolute error over the dup pairs
+    is within the 16-lane binomial envelope (sigma <= 1/(2*sqrt(16))
+    per pair at J=0.5; mean |err| must come in well under 3 sigma).
+    Signature build is one tokenize pass — no 16x explode node."""
+    rows = QUERIES["q196_minhash_estimate_accuracy"](spark, SF).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        assert abs(r["est_jac"] - r["lanes_matched"] / 16.0) < 1e-9
+        assert abs(r["err"] - round(r["est_jac"] - r["jac"], 4)) < 1e-3
+        assert 0 <= r["lanes_matched"] <= 16
+        errs.append(abs(r["err"]))
+    mae = sum(errs) / len(errs)
+    assert mae < 0.25, mae  # 2x the binomial sigma at J~0.5
+
+
+def test_q197_lsh_band_collision_guarantee(spark):
+    """Portable LSH: every q12 dup pair with estimated-signature
+    similarity 1.0 (all 16 lanes equal) MUST appear as a candidate
+    (a full signature match implies every band matches); candidates
+    carry 1..4 shared bands and a real exact Jaccard; the band join
+    is an equi-join (no cartesian)."""
+    df = QUERIES["q197_portable_lsh_candidates"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_bands_shared"] <= 4
+        assert 0.0 <= r["jac"] <= 1.0
+    cand = {(r["a"], r["b"]) for r in rows}
+    full = {
+        (r["a"], r["b"])
+        for r in QUERIES["q196_minhash_estimate_accuracy"](spark, SF).collect()
+        if r["lanes_matched"] == 16
+    }
+    assert full <= cand, full - cand
+
+
+def test_q198_simhash_matches_python_replay(spark):
+    """Portable SimHash: the fingerprint construction and the full
+    Hamming<=4 pair set replayed bit-for-bit in pure python (hashlib
+    md5, same 60-bit lane convention, same tf-weighted sign sums) —
+    the strongest pin available: candidate SET equality plus exact
+    per-pair distances, independent of the corpus's similarity
+    structure."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["q198_portable_simhash_pairs"](spark, SF).collect()
+    assert rows
+    assert all(0 <= r["hamming"] <= 4 and 0.0 <= r["jac"] <= 1.0 for r in rows)
+    got = {(r["a"], r["b"]): r["hamming"] for r in rows}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    fps = {}
+    blocks = defaultdict(list)
+    for d in docs:
+        norm = re.sub(r"\s+", " ", d["text"].lower()).strip()
+        tf = Counter(t for t in norm.split(" ") if len(t) >= 1)
+        bits = [0] * 16
+        for tok, n in tf.items():
+            h = int(hashlib.md5(f"{tok}|sh-v1".encode()).hexdigest()[:15], 16)
+            for j in range(16):
+                bits[j] += n if (h >> j) & 1 else -n
+        fp = sum(1 << j for j in range(16) if bits[j] > 0)
+        fps[d["doc_id"]] = fp
+        blocks[(d["lang"], d["source"])].append(d["doc_id"])
+    want = {}
+    for ids in blocks.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                a, b = ids[i], ids[k]
+                ham = bin(fps[a] ^ fps[b]).count("1")
+                if ham <= 4:
+                    want[(a, b)] = ham
+    assert got == want, (
+        len(got), len(want),
+        list(set(got) ^ set(want))[:5],
+    )
