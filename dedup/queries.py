@@ -12539,6 +12539,149 @@ JOIN tset tb ON tb.doc_id = c.b
 Q198_SQL = _q198_sql()
 
 
+def q199_lsh_bucket_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-skew diagnosis — the census behind the engine's
+    explicit skew handling (north-rule: 'skew handled explicitly'):
+    for each band-bucket size n, how many buckets exist, how many
+    candidate pairs they generate (n·(n-1)/2 each), and how many
+    would survive a per-bucket cap of 8 — the number that tells an
+    operator whether a hot template family is about to go quadratic
+    and what a cap would cost in recall before it is enabled.
+
+    Scale shape: bucket sizes are ONE partial-aggregated exchange
+    over the 4-per-doc band keys; the census is a second aggregate
+    over the bucket-size relation (already tiny); pure integer
+    arithmetic end to end."""
+    sigs = _mh_sigs(spark, sf_dir).select("doc_id", "sig")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col("sig")[b * 4 + i].cast("string")
+                                for i in range(4)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    sizes = bands.groupBy("band_id", "band_key").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    pairs = F.expr("n * (n - 1) div 2")
+    capped = F.expr("least(n, 8) * (least(n, 8) - 1) div 2")
+    return (
+        sizes.groupBy("n")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(pairs).cast("long").alias("total_pairs"),
+            F.sum(capped).cast("long").alias("capped_pairs"),
+        )
+        .select(
+            F.col("n").alias("bucket_size"),
+            "n_buckets",
+            "total_pairs",
+            "capped_pairs",
+        )
+    )
+
+
+def _q199_sql() -> str:
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, "
+        "CAST(s{i0} AS VARCHAR) || '|' || CAST(s{i1} AS VARCHAR) || '|' || "
+        "CAST(s{i2} AS VARCHAR) || '|' || CAST(s{i3} AS VARCHAR) AS band_key "
+        "FROM sigs".format(b=b, i0=b * 4, i1=b * 4 + 1, i2=b * 4 + 2, i3=b * 4 + 3)
+        for b in range(4)
+    )
+    return f"""
+WITH sigs AS ({_mh_sig_sql()}),
+bands AS (
+{band_rows}
+), sizes AS (
+  SELECT band_id, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2
+)
+SELECT CAST(n AS BIGINT) AS bucket_size,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS total_pairs,
+       CAST(SUM(least(n, 8) * (least(n, 8) - 1) // 2) AS BIGINT)
+         AS capped_pairs
+FROM sizes GROUP BY n
+"""
+
+
+Q199_SQL = _q199_sql()
+
+
+def q200_portable_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE near-dup pipeline value-checked end to end on the
+    portable hash convention — candidates from the global q197 LSH
+    band join, exact-Jaccard verification at J >= 0.5, large-star/
+    small-star connected components, min-id cluster representatives,
+    cluster sizes: the q20 flagship with every stage (including the
+    hash-dependent candidate generation the production path can only
+    recall-gate) reproduced bit-for-bit by the DuckDB oracle's
+    recursive-CTE closure. One query = one complete audit that the
+    architecture computes the RIGHT CLUSTERS, not just plausible
+    ones.
+
+    Scale shape: inherits q197's bucketed band join and verify
+    discipline; components run log-round large-star/small-star over
+    the verified pair relation (cc.py:97); the final size join is
+    cluster-relation-sized."""
+    from .cc import connected_components
+
+    verified = (
+        q197_portable_lsh_candidates(spark, sf_dir)
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    pad = lambda c: F.format_string("%020d", F.col(c))  # noqa: E731
+    comp, _ = connected_components(
+        verified.select(pad("a").alias("a"), pad("b").alias("b")),
+        DedupConfig(),
+    )
+    mem = comp.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_rep"),
+    )
+    sizes = mem.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return mem.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size"
+    )
+
+
+Q200_SQL = f"""
+WITH RECURSIVE cand AS ({Q197_SQL}),
+verified AS (
+  SELECT a, b FROM cand WHERE jac >= 0.5
+), e AS (
+  SELECT a AS u, b AS v FROM verified UNION SELECT b, a FROM verified
+), reach(src, node) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) s
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.node
+), comp AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_rep FROM reach GROUP BY src
+), sizes AS (
+  SELECT cluster_rep, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT c.doc_id, c.cluster_rep, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM comp c JOIN sizes s USING (cluster_rep)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -12738,6 +12881,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q196_minhash_estimate_accuracy": q196_minhash_estimate_accuracy,
     "q197_portable_lsh_candidates": q197_portable_lsh_candidates,
     "q198_portable_simhash_pairs": q198_portable_simhash_pairs,
+    "q199_lsh_bucket_skew_census": q199_lsh_bucket_skew_census,
+    "q200_portable_dedup_pipeline": q200_portable_dedup_pipeline,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12941,4 +13086,6 @@ ORACLE_SQL: dict[str, str] = {
     "q196_minhash_estimate_accuracy": Q196_SQL,
     "q197_portable_lsh_candidates": Q197_SQL,
     "q198_portable_simhash_pairs": Q198_SQL,
+    "q199_lsh_bucket_skew_census": Q199_SQL,
+    "q200_portable_dedup_pipeline": Q200_SQL,
 }

@@ -2061,3 +2061,54 @@ def test_q198_simhash_matches_python_replay(spark):
         len(got), len(want),
         list(set(got) ^ set(want))[:5],
     )
+
+
+def test_q199_skew_census_arithmetic(spark):
+    """Skew census: Σ bucket_size·n_buckets = 4·n_docs (every doc
+    emits 4 band keys), pair arithmetic is exact per size class, and
+    capped <= total with equality exactly when bucket_size <= 8."""
+    rows = QUERIES["q199_lsh_bucket_skew_census"](spark, SF).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["bucket_size"] * r["n_buckets"] for r in rows) == 4 * n_docs
+    for r in rows:
+        n, c = r["bucket_size"], min(r["bucket_size"], 8)
+        assert r["total_pairs"] == r["n_buckets"] * (n * (n - 1) // 2)
+        assert r["capped_pairs"] == r["n_buckets"] * (c * (c - 1) // 2)
+        assert (r["capped_pairs"] == r["total_pairs"]) == (n <= 8)
+
+
+def test_q200_pipeline_cluster_axioms(spark):
+    """End-to-end portable pipeline: cluster assignments satisfy the
+    partition axioms — every verified pair's endpoints share a
+    cluster, the rep is the member minimum, sizes equal member
+    counts, every member belongs to exactly one cluster, and every
+    clustered doc touches at least one verified edge."""
+    from collections import defaultdict
+
+    rows = QUERIES["q200_portable_dedup_pipeline"](spark, SF).collect()
+    assert rows
+    pairs = (
+        QUERIES["q197_portable_lsh_candidates"](spark, SF)
+        .filter(F.col("jac") >= 0.5)
+        .collect()
+    )
+    assert pairs
+    cl = {}
+    for r in rows:
+        assert r["doc_id"] not in cl
+        cl[r["doc_id"]] = r["cluster_rep"]
+    for p in pairs:
+        assert cl[p["a"]] == cl[p["b"]], p
+    members = defaultdict(list)
+    for r in rows:
+        members[r["cluster_rep"]].append(r["doc_id"])
+    sizes = {r["cluster_rep"]: r["cluster_size"] for r in rows}
+    touched = set()
+    for p in pairs:
+        touched.add(p["a"])
+        touched.add(p["b"])
+    for rep, mem in members.items():
+        assert rep == min(mem)
+        assert sizes[rep] == len(mem) >= 2
+    assert set(cl) == touched
