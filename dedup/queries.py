@@ -12682,6 +12682,236 @@ FROM comp c JOIN sizes s USING (cluster_rep)
 """
 
 
+def q201_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based join-cardinality estimation — the optimizer's
+    planning statistic, materialized and audited: both join sides
+    (high-balance customers, orders) bucket their key through the
+    md5 portable hash into 256 cells; the estimate Σ_b n1_b·n2_b
+    upper-bounds the true join size (within a bucket the product
+    over-counts unless the key is unique), and the query emits
+    estimate, actual, and the overcount ratio — the number a
+    cost-based planner would have used before running the join.
+
+    Scale shape: two partial-aggregated histogram passes (256 cells
+    each, broadcast-merged) + the actual join for the audit column;
+    in production only the histograms are built — the point is that
+    the estimate costs two map-side passes, not a join."""
+    from .sampling import bucket_of
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = lambda df: df.select(  # noqa: E731
+        F.pmod(bucket_of(F.col("k"), "jce-v1"), F.lit(256)).alias("bucket")
+    ).groupBy("bucket").agg(F.count("*").cast("long").alias("n"))
+    h1 = b(cust)
+    h2 = b(orders)
+    est = (
+        h1.join(h2.withColumnRenamed("n", "n2"), "bucket")
+        .agg(
+            F.sum(F.col("n") * F.col("n2")).cast("long").alias("est_pairs"),
+            F.count("*").cast("long").alias("n_buckets_hit"),
+        )
+    )
+    actual = (
+        cust.join(orders, "k")
+        .agg(F.count("*").cast("long").alias("actual_pairs"))
+    )
+    return (
+        est.join(actual)
+        .select(
+            "n_buckets_hit",
+            "est_pairs",
+            "actual_pairs",
+            F.round(
+                F.col("est_pairs") / F.col("actual_pairs"), 4
+            ).alias("overcount_ratio"),
+        )
+    )
+
+
+def _q201_sql() -> str:
+    from .sampling import bucket_sql
+
+    bb = f"({bucket_sql('CAST(k AS VARCHAR)', 'jce-v1')} % 256)"
+    return f"""
+WITH cust AS (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+), ords AS (
+  SELECT o_custkey AS k FROM orders
+), h1 AS (
+  SELECT {bb} AS bucket, COUNT(*) AS n FROM cust GROUP BY 1
+), h2 AS (
+  SELECT {bb} AS bucket, COUNT(*) AS n FROM ords GROUP BY 1
+), est AS (
+  SELECT SUM(h1.n * h2.n) AS est_pairs, COUNT(*) AS n_buckets_hit
+  FROM h1 JOIN h2 USING (bucket)
+), act AS (
+  SELECT COUNT(*) AS actual_pairs FROM cust JOIN ords USING (k)
+)
+SELECT CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
+       CAST(est_pairs AS BIGINT) AS est_pairs,
+       CAST(actual_pairs AS BIGINT) AS actual_pairs,
+       ROUND(CAST(est_pairs AS DOUBLE) / actual_pairs, 4) AS overcount_ratio
+FROM est, act
+"""
+
+
+Q201_SQL = _q201_sql()
+
+
+def q202_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend per event type — q69's sufficient-
+    statistics least squares moved into a sliding window frame: for
+    each (type, day), the slope of daily volume over the trailing 7
+    day-grain rows, from five windowed BIGINT moment sums and ONE
+    double division (NULL where the frame has a single point). The
+    burst-onset detector: slope flips positive at ramp starts days
+    before a threshold alarm would fire.
+
+    Scale shape: the corpus collapses once to the (type, day) grain;
+    all five moments ride ONE window pass over that tiny relation
+    (same partitioning as the collapse — no extra shuffle of the day
+    grain); no join, no self-comparison of days."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    m = (
+        daily.withColumn("cnt", F.count("*").over(w))
+        .withColumn("sx", F.sum("day").over(w))
+        .withColumn("sy", F.sum("n").over(w))
+        .withColumn("sxx", F.sum(F.col("day") * F.col("day")).over(w))
+        .withColumn("sxy", F.sum(F.col("day") * F.col("n")).over(w))
+    )
+    den = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "n",
+        F.col("cnt").cast("int").alias("n_window"),
+        F.round(
+            num.cast("double") / F.nullif(den, F.lit(0)).cast("double"), 4
+        ).alias("slope"),
+    )
+
+
+Q202_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, day, n,
+         COUNT(*) OVER w AS cnt,
+         SUM(day) OVER w AS sx,
+         SUM(n) OVER w AS sy,
+         SUM(day * day) OVER w AS sxx,
+         SUM(day * n) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+       CAST(cnt AS INT) AS n_window,
+       ROUND(CAST(cnt * sxy - sx * sy AS DOUBLE)
+             / CAST(NULLIF(cnt * sxx - sx * sx, 0) AS DOUBLE), 4) AS slope
+FROM m
+"""
+
+
+def q203_percolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup percolation: how the cluster structure dissolves as the
+    verification threshold tightens — at J in {0.5, 0.6, 0.7, 0.8},
+    the edge count, node count, component count, and largest
+    component of the q12 dup graph (q79 sweeps pair COUNTS; this
+    sweeps the component STRUCTURE — the giant-cluster breakup point
+    is where a production threshold wants to sit).
+
+    Scale shape: the pair relation is computed once (checkpointed
+    with its jac); each threshold's components run the log-round CC
+    engine over a FILTER of it — four CC runs over ever-smaller edge
+    sets, never a corpus rescan."""
+    from .cc import connected_components
+
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir).localCheckpoint()
+    pad = lambda c: F.format_string("%020d", F.col(c))  # noqa: E731
+    out = None
+    for t in (0.5, 0.6, 0.7, 0.8):
+        e = pairs.filter(F.col("jac") >= t)
+        comp, _ = connected_components(
+            e.select(pad("a").alias("a"), pad("b").alias("b")), DedupConfig()
+        )
+        sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+        row = (
+            e.agg(F.count("*").cast("long").alias("n_edges"))
+            .crossJoin(
+                F.broadcast(
+                    sizes.agg(
+                        F.count("*").cast("long").alias("n_components"),
+                        F.sum("sz").cast("long").alias("n_nodes"),
+                        F.max("sz").cast("long").alias("largest_component"),
+                    )
+                )
+            )
+            .withColumn("threshold", F.lit(t))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "threshold", "n_edges", "n_nodes", "n_components", "largest_component"
+    )
+
+
+def _q203_sql() -> str:
+    parts = [f"pairs AS ({Q12_SQL})"]
+    sels = []
+    for i, t in enumerate((0.5, 0.6, 0.7, 0.8)):
+        parts.append(
+            f"""e{i} AS (
+  SELECT a AS u, b AS v FROM pairs WHERE jac >= {t}
+  UNION SELECT b, a FROM pairs WHERE jac >= {t}
+), reach{i}(src, node) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e{i}) s
+  UNION
+  SELECT r.src, e2.v FROM reach{i} r JOIN e{i} e2 ON e2.u = r.node
+), comp{i} AS (
+  SELECT src AS node, MIN(node2) AS rep
+  FROM (SELECT src, node AS node2 FROM reach{i}) GROUP BY src
+), stats{i} AS (
+  SELECT CAST({t} AS DOUBLE) AS threshold,
+         (SELECT COUNT(*) FROM pairs WHERE jac >= {t}) AS n_edges,
+         (SELECT COUNT(*) FROM comp{i}) AS n_nodes,
+         COUNT(*) AS n_components,
+         MAX(cnt) AS largest_component
+  FROM (SELECT rep, COUNT(*) AS cnt FROM comp{i} GROUP BY rep)
+)"""
+        )
+        sels.append(
+            f"SELECT threshold, CAST(n_edges AS BIGINT) AS n_edges, "
+            f"CAST(n_nodes AS BIGINT) AS n_nodes, "
+            f"CAST(n_components AS BIGINT) AS n_components, "
+            f"CAST(largest_component AS BIGINT) AS largest_component "
+            f"FROM stats{i}"
+        )
+    chain = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(sels)
+    return f"WITH RECURSIVE {chain}\n{union}"
+
+
+Q203_SQL = _q203_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -12883,6 +13113,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q198_portable_simhash_pairs": q198_portable_simhash_pairs,
     "q199_lsh_bucket_skew_census": q199_lsh_bucket_skew_census,
     "q200_portable_dedup_pipeline": q200_portable_dedup_pipeline,
+    "q201_join_cardinality_estimate": q201_join_cardinality_estimate,
+    "q202_rolling_trend": q202_rolling_trend,
+    "q203_percolation_curve": q203_percolation_curve,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13088,4 +13321,7 @@ ORACLE_SQL: dict[str, str] = {
     "q198_portable_simhash_pairs": Q198_SQL,
     "q199_lsh_bucket_skew_census": Q199_SQL,
     "q200_portable_dedup_pipeline": Q200_SQL,
+    "q201_join_cardinality_estimate": Q201_SQL,
+    "q202_rolling_trend": Q202_SQL,
+    "q203_percolation_curve": Q203_SQL,
 }

@@ -2112,3 +2112,60 @@ def test_q200_pipeline_cluster_axioms(spark):
         assert rep == min(mem)
         assert sizes[rep] == len(mem) >= 2
     assert set(cl) == touched
+
+
+def test_q201_estimate_upper_bounds_actual(spark):
+    """Join-cardinality estimation: the bucket-histogram product is a
+    PROVEN upper bound on the true join size (within-bucket products
+    over-count key-level products), so est >= actual and the ratio
+    >= 1; one row out."""
+    rows = QUERIES["q201_join_cardinality_estimate"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["est_pairs"] >= r["actual_pairs"] > 0
+    assert r["overcount_ratio"] >= 1.0
+    assert 1 <= r["n_buckets_hit"] <= 256
+
+
+def test_q202_rolling_slope_head_and_window(spark):
+    """Rolling trend: the day grain collapses once and all five
+    moments share ONE day-grain repartition (exactly two exchanges:
+    corpus collapse + window repartition — Catalyst may stack Window
+    operators but they ride the same exchange); n_window ramps 1..7
+    then stays 7; slope is non-NULL whenever the frame has >= 2
+    points."""
+    df = QUERIES["q202_rolling_trend"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert _n_exchanges(df) == 2, plan
+    rows = df.collect()
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r["event_type"]].append(r)
+    for t, days in per_type.items():
+        days.sort(key=lambda r: r["day"])
+        for i, r in enumerate(days):
+            assert r["n_window"] == min(i + 1, 7), (t, i, r)
+            if r["n_window"] >= 2:
+                assert r["slope"] is not None
+
+
+def test_q203_percolation_monotonicity(spark):
+    """Percolation: as the threshold tightens, edges, nodes, and the
+    largest component are non-increasing, while components can only
+    split from merging edges removed — and at every threshold the
+    component count is consistent (n_components <= n_nodes // 2
+    since every component has >= 2 nodes)."""
+    rows = QUERIES["q203_percolation_curve"](spark, SF).collect()
+    rows.sort(key=lambda r: r["threshold"])
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_edges"] <= a["n_edges"]
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["largest_component"] <= a["largest_component"]
+    for r in rows:
+        if r["n_nodes"]:
+            assert 1 <= r["n_components"] <= r["n_nodes"] // 2
+            assert r["largest_component"] >= 2
