@@ -12912,6 +12912,266 @@ def _q203_sql() -> str:
 Q203_SQL = _q203_sql()
 
 
+def q204_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the first and second half of the
+    event-time range (q55's integer midpoint split): did the purchase
+    SHARE of event traffic shift? (Event-level proportions — user-
+    level conversion is degenerate on this corpus: every user
+    purchases in both halves, p = 1, zero pooled variance.) Counts
+    are exact integers; the pooled-variance z statistic runs through
+    IEEE-exact division/multiplication and ONE sqrt (the q189
+    exactness convention) with a NULLIF guard on the degenerate
+    denominator, and the |z| > 1.96 significance verdict is emitted
+    — the A/B-readout primitive.
+
+    Scale shape: one conditional aggregate per half over one
+    broadcast midpoint — a single partial-aggregated corpus pass; no
+    window, no self-join, output is one row."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.select("user_id", "event_type", us.alias("us"))
+    mid = p.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
+    )
+    tagged = p.join(F.broadcast(mid))
+    half = F.when(F.col("us") <= F.col("mid"), 1).otherwise(2)
+    stats = (
+        tagged.withColumn("half", half)
+        .groupBy("half")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_conv"),
+        )
+    )
+    w = stats.groupBy().pivot("half", [1, 2]).agg(
+        F.first("n_events").alias("n"), F.first("n_conv").alias("c")
+    )
+    p1 = F.col("1_c") / F.col("1_n")
+    p2 = F.col("2_c") / F.col("2_n")
+    pp = (F.col("1_c") + F.col("2_c")) / (F.col("1_n") + F.col("2_n"))
+    z = (p1 - p2) / F.nullif(
+        F.sqrt(
+            pp * (1 - pp) * (1.0 / F.col("1_n") + 1.0 / F.col("2_n"))
+        ),
+        F.lit(0.0),
+    )
+    return w.select(
+        F.col("1_n").alias("n1"),
+        F.col("1_c").alias("conv1"),
+        F.col("2_n").alias("n2"),
+        F.col("2_c").alias("conv2"),
+        F.round(z, 4).alias("z"),
+        (F.abs(F.round(z, 4)) > 1.96).alias("significant"),
+    )
+
+
+Q204_SQL = """
+WITH p AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), b AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM p
+), stats AS (
+  SELECT CASE WHEN us <= mid THEN 1 ELSE 2 END AS half,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_conv
+  FROM p, b GROUP BY 1
+), w AS (
+  SELECT
+    MAX(CASE WHEN half = 1 THEN n_events END) AS n1,
+    MAX(CASE WHEN half = 1 THEN n_conv END) AS c1,
+    MAX(CASE WHEN half = 2 THEN n_events END) AS n2,
+    MAX(CASE WHEN half = 2 THEN n_conv END) AS c2
+  FROM stats
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS conv1,
+       CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS conv2,
+       ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+             / NULLIF(sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 0.0), 4) AS z,
+       abs(ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+             / NULLIF(sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 0.0), 4)) > 1.96 AS significant
+FROM w
+"""
+
+
+def q205_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification (Cavnar & Trenkle
+    '94) audited against the labeled corpus: per-language profiles =
+    the top-20 trigrams by count (rank weight 21-rank, deterministic
+    ties), each doc scores every language by the summed weights of
+    its DISTINCT matching trigrams, predicted = argmax (weight DESC,
+    lang ASC) — output is the confusion matrix (lang, predicted, n),
+    the language-ID audit an ingestion pipeline runs before trusting
+    a lang column. On THIS corpus the audit's verdict is negative —
+    the synthetic lang labels share one vocabulary, so the matrix
+    correctly shows ~chance accuracy: exactly the failure the audit
+    exists to catch (a real multilingual corpus separates cleanly
+    under the same profiles).
+
+    Scale shape: trigram extraction is a scan-shaped generator
+    (sequence+explode, no shuffle); profiles collapse to |langs|*20
+    rows and BROADCAST into the doc-side score join; the argmax is a
+    per-doc window over <= |langs| rows each."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", normalize_sql(F.col("text")).alias("s")
+    ).localCheckpoint()
+    tg = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(s) - 2, 0)),"
+                   " i -> substring(s, i, 3))")
+        ).alias("tg"),
+    )
+    prof = (
+        tg.groupBy("lang", "tg")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tg"))
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(
+            F.col("lang").alias("cand"),
+            "tg",
+            (F.lit(21) - F.col("rnk")).cast("long").alias("wgt"),
+        )
+    )
+    dtg = tg.select("doc_id", "lang", "tg").distinct()
+    scores = (
+        dtg.join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.sum("wgt").alias("score"))
+    )
+    wsel = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand").alias("predicted"))
+    )
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+Q205_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_NORM} AS s FROM documents
+), tg AS (
+  SELECT doc_id, lang,
+         substring(s, i, 3) AS tg
+  FROM base, unnest(generate_series(1, greatest(length(s) - 2, 0))) AS u(i)
+), prof AS (
+  SELECT lang AS cand, tg, 21 - rnk AS wgt FROM (
+    SELECT lang, tg, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, tg ASC) AS rnk
+    FROM tg GROUP BY lang, tg
+  ) WHERE rnk <= 20
+), dtg AS (
+  SELECT DISTINCT doc_id, lang, tg FROM tg
+), scores AS (
+  SELECT d.doc_id, d.lang, p.cand, SUM(p.wgt) AS score
+  FROM dtg d JOIN prof p USING (tg)
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT doc_id, lang, cand AS predicted FROM (
+    SELECT doc_id, lang, cand,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+"""
+
+
+def q206_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman JRSS'34):
+    a budget of 100 samples split across sources proportional to
+    N_h·sd_h of doc length — minimum-variance stratification, the
+    survey-sampling step a corpus auditor runs before labeling. The
+    population sd uses exact BIGINT moments and one IEEE sqrt; the
+    integer allocation is floor + largest-remainder (deterministic
+    tie on source), so Σ n_alloc == 100 exactly — pinned.
+
+    Scale shape: one partial-aggregated moment pass per source, then
+    everything is windows over the |sources|-sized relation."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    sd = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) / F.col("n")
+    wtot = Window.partitionBy()
+    a = (
+        m.withColumn("w", F.col("n") * sd)
+        .withColumn("alloc", 100.0 * F.col("w") / F.sum("w").over(wtot))
+        .withColumn("base", F.floor("alloc").cast("long"))
+        .withColumn("rem", F.col("alloc") - F.col("base"))
+        .withColumn("extra_slots", F.lit(100) - F.sum("base").over(wtot))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("rem"), F.asc("source"))
+            ),
+        )
+    )
+    return a.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(sd, 4).alias("sd_len"),
+        F.round("alloc", 4).alias("alloc_exact"),
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("extra_slots"), 1).otherwise(0)
+        ).cast("long").alias("n_alloc"),
+    )
+
+
+Q206_SQL = """
+WITH m AS (
+  SELECT source, COUNT(*) AS n, SUM(n_chars) AS sx,
+         SUM(n_chars * n_chars) AS sxx
+  FROM documents GROUP BY source
+), a AS (
+  SELECT source, n,
+         sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS sd,
+         n * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n) AS w
+  FROM m
+), b AS (
+  SELECT source, n, sd,
+         100.0 * w / SUM(w) OVER () AS alloc
+  FROM a
+), c AS (
+  SELECT source, n, sd, alloc,
+         CAST(FLOOR(alloc) AS BIGINT) AS base,
+         alloc - FLOOR(alloc) AS rem,
+         100 - SUM(CAST(FLOOR(alloc) AS BIGINT)) OVER () AS extra_slots,
+         ROW_NUMBER() OVER (ORDER BY alloc - FLOOR(alloc) DESC, source ASC)
+           AS rnk
+  FROM b
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, ROUND(sd, 4) AS sd_len,
+       ROUND(alloc, 4) AS alloc_exact,
+       CAST(base + CASE WHEN rnk <= extra_slots THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -13116,6 +13376,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q201_join_cardinality_estimate": q201_join_cardinality_estimate,
     "q202_rolling_trend": q202_rolling_trend,
     "q203_percolation_curve": q203_percolation_curve,
+    "q204_two_proportion_ztest": q204_two_proportion_ztest,
+    "q205_ngram_language_id": q205_ngram_language_id,
+    "q206_neyman_allocation": q206_neyman_allocation,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13324,4 +13587,7 @@ ORACLE_SQL: dict[str, str] = {
     "q201_join_cardinality_estimate": Q201_SQL,
     "q202_rolling_trend": Q202_SQL,
     "q203_percolation_curve": Q203_SQL,
+    "q204_two_proportion_ztest": Q204_SQL,
+    "q205_ngram_language_id": Q205_SQL,
+    "q206_neyman_allocation": Q206_SQL,
 }

@@ -2169,3 +2169,55 @@ def test_q203_percolation_monotonicity(spark):
         if r["n_nodes"]:
             assert 1 <= r["n_components"] <= r["n_nodes"] // 2
             assert r["largest_component"] >= 2
+
+
+def test_q204_ztest_consistency(spark):
+    """z-test: one row; counts partition the corpus (n1 + n2 == total
+    events, conv counts bounded); z recomputed in-process from the
+    emitted integers matches to rounding; significance agrees with
+    |z| > 1.96."""
+    import math
+
+    rows = QUERIES["q204_two_proportion_ztest"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert r["n1"] + r["n2"] == total
+    assert 0 < r["conv1"] < r["n1"] and 0 < r["conv2"] < r["n2"]
+    p1, p2 = r["conv1"] / r["n1"], r["conv2"] / r["n2"]
+    pp = (r["conv1"] + r["conv2"]) / (r["n1"] + r["n2"])
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / r["n1"] + 1 / r["n2"]))
+    assert abs(r["z"] - round(z, 4)) < 1e-9
+    assert r["significant"] == (abs(r["z"]) > 1.96)
+
+
+def test_q205_langid_confusion_accuracy(spark):
+    """Language ID audit: the confusion matrix covers every doc
+    exactly once (each doc predicted exactly one language), both axes
+    draw from the true label set, and the reported accuracy is ~chance
+    — the CORRECT verdict on this corpus, whose synthetic lang labels
+    share a single vocabulary (the audit exists to catch exactly
+    this: a lang column not recoverable from text)."""
+    rows = QUERIES["q205_ngram_language_id"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("lang").collect()
+    n_docs = len(docs)
+    langs = {r["lang"] for r in docs}
+    assert sum(r["n"] for r in rows) == n_docs
+    assert {r["lang"] for r in rows} <= langs
+    assert {r["predicted"] for r in rows} <= langs
+    correct = sum(r["n"] for r in rows if r["lang"] == r["predicted"])
+    # shared-vocabulary labels: accuracy must sit near chance, far from
+    # the ~100% a genuinely multilingual corpus would produce
+    assert correct < 0.6 * n_docs, correct
+
+
+def test_q206_allocation_sums_to_budget(spark):
+    """Neyman allocation: integer allocations sum to exactly 100
+    (largest-remainder closure), every source appears once, and the
+    integer allocation differs from the exact share by < 1."""
+    rows = QUERIES["q206_neyman_allocation"](spark, SF).collect()
+    assert len(rows) == len({r["source"] for r in rows})
+    assert sum(r["n_alloc"] for r in rows) == 100
+    for r in rows:
+        assert abs(r["n_alloc"] - r["alloc_exact"]) < 1.0
+        assert r["sd_len"] >= 0
