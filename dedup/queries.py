@@ -13172,6 +13172,241 @@ FROM c
 """
 
 
+def q207_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification audit (k = 5, exact integer squared-L2 on
+    the 1e-4-quantized embeddings, majority vote with ties to the
+    smaller label): per true label, how many vectors the vote
+    recovers — the eval every embedding pipeline runs to check that
+    the space actually separates its classes. On THIS corpus the
+    verdict is negative and correctly so: within-class spread (~1.0)
+    dwarfs centroid separation (~0.2 measured), so point-level 5-NN
+    sits at chance while only centroid-level signal exists — the
+    audit catches a space whose labels are not point-recoverable.
+    Deterministic end to end: quantized distances are BIGINTs,
+    neighbor ties break on vec_id, vote ties on label.
+
+    Scale shape: this is the deliberate brute-force oracle (the
+    board's q24 IVF is the scale path): the pair fan-out is the
+    quadratic self-join, but distances stay one JVM higher-order
+    aggregate per pair — no explode to the dim grain, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000)"
+        " as bigint))"
+    )
+    e = emb.select("vec_id", "label", q.alias("q")).localCheckpoint()
+    l, r = e.alias("l"), e.alias("r")
+    d2 = F.expr(
+        "aggregate(zip_with(l.q, r.q, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        l.join(r, F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vid"),
+            F.col("l.label").alias("label"),
+            F.col("r.vec_id").alias("nid"),
+            F.col("r.label").alias("nlabel"),
+            d2.alias("d2"),
+        )
+    )
+    w5 = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("nid"))
+    top5 = pairs.withColumn("rn", F.row_number().over(w5)).filter(
+        F.col("rn") <= 5
+    )
+    vote = (
+        top5.groupBy("vid", "label", "nlabel")
+        .agg(F.count("*").alias("v"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(
+                    F.desc("v"), F.asc("nlabel")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        vote.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("nlabel") == F.col("label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .select(F.col("label").cast("int").alias("label"), "n", "n_correct")
+    )
+
+
+Q207_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+), pairs AS (
+  SELECT l.vec_id AS vid, l.label AS label, r.vec_id AS nid,
+         r.label AS nlabel,
+         list_sum(list_transform(list_zip(l.q, r.q),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM e l JOIN e r ON l.vec_id <> r.vec_id
+), top5 AS (
+  SELECT * FROM (
+    SELECT vid, label, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY vid
+                              ORDER BY d2 ASC, nid ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+), vote AS (
+  SELECT vid, label, nlabel FROM (
+    SELECT vid, label, nlabel, COUNT(*) AS v,
+           ROW_NUMBER() OVER (PARTITION BY vid
+                              ORDER BY COUNT(*) DESC, nlabel ASC) AS rn
+    FROM top5 GROUP BY vid, label, nlabel
+  ) WHERE rn = 1
+)
+SELECT CAST(label AS INT) AS label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM vote GROUP BY label
+"""
+
+
+def q208_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve (reliability diagram) of the MinHash
+    estimator: per lanes-matched level, how far is the predicted
+    similarity lanes/16 from the mean TRUE Jaccard of pairs at that
+    level — the model-calibration audit, run on an estimator the
+    board actually ships (q196). The mean avoids float-sum
+    nondeterminism by accumulating the already-4dp-rounded jac as
+    exact integer 1e-4 units.
+
+    Scale shape: one aggregate over q196's pair-sized relation."""
+    acc = q196_minhash_estimate_accuracy(spark, sf_dir)
+    jm = F.round(F.col("jac") * 10000).cast("long")
+    g = (
+        acc.withColumn("jm", jm)
+        .groupBy("lanes_matched")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("jm").alias("_sj"),
+        )
+    )
+    mean_jac = (F.round(F.col("_sj") / F.col("n_pairs")) / 10000.0)
+    est = F.col("lanes_matched") / 16.0
+    return g.select(
+        "lanes_matched",
+        "n_pairs",
+        F.round(est, 4).alias("est_jac"),
+        mean_jac.alias("mean_true_jac"),
+        F.round(est - mean_jac, 4).alias("calibration_gap"),
+    )
+
+
+def _q208_sql() -> str:
+    return f"""
+WITH acc AS ({Q196_SQL}),
+g AS (
+  SELECT lanes_matched, COUNT(*) AS n_pairs,
+         SUM(CAST(ROUND(jac * 10000) AS BIGINT)) AS sj
+  FROM acc GROUP BY 1
+)
+SELECT lanes_matched, CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(lanes_matched / 16.0, 4) AS est_jac,
+       ROUND(sj / n_pairs) / 10000.0 AS mean_true_jac,
+       ROUND(lanes_matched / 16.0
+             - ROUND(sj / n_pairs) / 10000.0, 4) AS calibration_gap
+FROM g
+"""
+
+
+Q208_SQL = _q208_sql()
+
+
+def q209_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution in integer milli-credits: each
+    purchase splits 1000 credits equally across the user's views
+    since their previous purchase (floor division; the remainder
+    sticks to the purchase row so credit is conserved EXACTLY —
+    pinned), completing the attribution trio: q107 first-touch, q104
+    interval-window, this one linear multi-touch. Purchases with no
+    prior views are 'direct' (n_prior_views = 0, full remainder).
+
+    Scale shape: segment ids are ONE exclusive-frame running count
+    over the user exchange; the view census per segment is a
+    co-partitioned aggregate joined back at the purchase grain — two
+    exchanges, no self-join, no per-row state beyond the window."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = (
+        ev.select("user_id", "event_id", "event_type", us.alias("us"))
+        .withColumn(
+            "seg",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    )
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "seg")
+        .agg(F.count("*").cast("long").alias("n_views"))
+    )
+    buys = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), "seg"
+    )
+    j = buys.join(views, ["user_id", "seg"], "left").withColumn(
+        "n_prior_views", F.coalesce(F.col("n_views"), F.lit(0))
+    )
+    credit = F.when(
+        F.col("n_prior_views") > 0,
+        F.expr("1000 div n_prior_views"),
+    ).otherwise(F.lit(0))
+    return j.select(
+        "user_id",
+        "purchase_event_id",
+        F.col("n_prior_views").cast("long").alias("n_prior_views"),
+        credit.cast("long").alias("credit_each_milli"),
+        (F.lit(1000) - F.col("n_prior_views") * credit)
+        .cast("long")
+        .alias("remainder_milli"),
+    )
+
+
+Q209_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), base AS (
+  SELECT user_id, event_id, event_type, us,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+  FROM e
+), views AS (
+  SELECT user_id, seg, COUNT(*) AS n_views
+  FROM base WHERE event_type = 'view' GROUP BY 1, 2
+), buys AS (
+  SELECT user_id, event_id AS purchase_event_id, seg
+  FROM base WHERE event_type = 'purchase'
+)
+SELECT b.user_id, b.purchase_event_id,
+       CAST(COALESCE(v.n_views, 0) AS BIGINT) AS n_prior_views,
+       CAST(CASE WHEN COALESCE(v.n_views, 0) > 0
+                 THEN 1000 // v.n_views ELSE 0 END AS BIGINT)
+         AS credit_each_milli,
+       CAST(1000 - COALESCE(v.n_views, 0)
+            * CASE WHEN COALESCE(v.n_views, 0) > 0
+                   THEN 1000 // v.n_views ELSE 0 END AS BIGINT)
+         AS remainder_milli
+FROM buys b LEFT JOIN views v USING (user_id, seg)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -13379,6 +13614,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q204_two_proportion_ztest": q204_two_proportion_ztest,
     "q205_ngram_language_id": q205_ngram_language_id,
     "q206_neyman_allocation": q206_neyman_allocation,
+    "q207_knn_label_accuracy": q207_knn_label_accuracy,
+    "q208_minhash_calibration": q208_minhash_calibration,
+    "q209_linear_attribution": q209_linear_attribution,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13590,4 +13828,7 @@ ORACLE_SQL: dict[str, str] = {
     "q204_two_proportion_ztest": Q204_SQL,
     "q205_ngram_language_id": Q205_SQL,
     "q206_neyman_allocation": Q206_SQL,
+    "q207_knn_label_accuracy": Q207_SQL,
+    "q208_minhash_calibration": Q208_SQL,
+    "q209_linear_attribution": Q209_SQL,
 }

@@ -2221,3 +2221,59 @@ def test_q206_allocation_sums_to_budget(spark):
     for r in rows:
         assert abs(r["n_alloc"] - r["alloc_exact"]) < 1.0
         assert r["sd_len"] >= 0
+
+
+def test_q207_knn_separability(spark):
+    """kNN audit: per-label rows cover every vector exactly once, and
+    the audit's verdict on this corpus is the CORRECT one — near
+    chance (the within-class spread dwarfs centroid separation, so
+    point-level 5-NN cannot recover labels; a separable space would
+    read high under the same query). Bounds stay sane per label."""
+    rows = QUERIES["q207_knn_label_accuracy"](spark, SF).collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    correct = sum(r["n_correct"] for r in rows)
+    assert correct < 0.3 * n_vecs, (correct, n_vecs)
+    assert all(0 <= r["n_correct"] <= r["n"] for r in rows)
+
+
+def test_q208_calibration_monotone_support(spark):
+    """Calibration: levels partition the q196 pairs; mean true
+    Jaccard rises with the estimator level overall (Spearman-positive
+    across levels weighted by support), and every gap is the exact
+    difference of its columns."""
+    rows = QUERIES["q208_minhash_calibration"](spark, SF).collect()
+    assert rows
+    tot = sum(r["n_pairs"] for r in rows)
+    n196 = len(QUERIES["q196_minhash_estimate_accuracy"](spark, SF).collect())
+    assert tot == n196
+    for r in rows:
+        assert abs(r["est_jac"] - round(r["lanes_matched"] / 16.0, 4)) < 1e-9
+        assert abs(
+            r["calibration_gap"] - round(r["est_jac"] - r["mean_true_jac"], 4)
+        ) < 1e-3
+    lv = sorted(rows, key=lambda r: r["lanes_matched"])
+    if len(lv) >= 2:
+        assert lv[-1]["mean_true_jac"] > lv[0]["mean_true_jac"]
+
+
+def test_q209_credit_conservation(spark):
+    """Attribution: every purchase's credit decomposes exactly —
+    n_prior_views * credit_each + remainder == 1000 (credit conserved
+    to the milli); direct purchases carry the full 1000 as remainder;
+    purchase rows cover every purchase event exactly once."""
+    rows = QUERIES["q209_linear_attribution"](spark, SF).collect()
+    n_buys = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(rows) == n_buys
+    assert len({r["purchase_event_id"] for r in rows}) == n_buys
+    for r in rows:
+        assert (
+            r["n_prior_views"] * r["credit_each_milli"] + r["remainder_milli"]
+            == 1000
+        ), r
+        if r["n_prior_views"] == 0:
+            assert r["remainder_milli"] == 1000 and r["credit_each_milli"] == 0
