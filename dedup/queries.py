@@ -13407,6 +13407,213 @@ FROM buys b LEFT JOIN views v USING (user_id, seg)
 """
 
 
+def q210_range_splitter_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner planning audit (the TeraSort splitter step):
+    estimate 8-way range boundaries for the (n_chars, doc_id) sort
+    key from a deterministic ~5% sample (doc_id % 19 == 0), assign
+    the FULL corpus against the broadcast splitters, and report the
+    per-range counts plus the skew ratio max/avg — the measurement
+    that decides whether a global sort's ranges will straddle
+    stragglers before the sort runs.
+
+    Scale shape: the splitter estimate sorts only the SAMPLE (a
+    sample-sized single-partition window — the corpus never globally
+    sorts); assignment is a stateless comparison against 7 broadcast
+    boundary rows; the census is one partial-aggregated count."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    samp = docs.filter(F.col("doc_id") % 19 == 0)
+    wr = Window.orderBy("n_chars", "doc_id")
+    ranked = samp.withColumn("rn", F.row_number().over(wr)).crossJoin(
+        F.broadcast(samp.agg(F.count("*").cast("long").alias("ns")))
+    )
+    split = ranked.filter(
+        F.expr("rn % greatest(ns div 8, 1) = 0 AND rn div greatest(ns div 8, 1) <= 7")
+    ).select(
+        F.expr("rn div greatest(ns div 8, 1)").cast("int").alias("k"),
+        F.col("n_chars").alias("b_nc"),
+        F.col("doc_id").alias("b_doc"),
+    )
+    assigned = (
+        docs.crossJoin(F.broadcast(split))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("n_chars") > F.col("b_nc"))
+                    | (
+                        (F.col("n_chars") == F.col("b_nc"))
+                        & (F.col("doc_id") > F.col("b_doc"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("int").alias("range_id")
+        )
+    )
+    census = assigned.groupBy("range_id").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    wall = Window.partitionBy()
+    return census.select(
+        "range_id",
+        "n_docs",
+        F.round(
+            F.col("n_docs")
+            * F.count("*").over(wall)
+            / F.sum("n_docs").over(wall),
+            4,
+        ).alias("load_factor"),
+    )
+
+
+Q210_SQL = """
+WITH samp AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 19 = 0
+), ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS ns
+  FROM samp
+), split AS (
+  SELECT CAST(rn // greatest(ns // 8, 1) AS INT) AS k,
+         n_chars AS b_nc, doc_id AS b_doc
+  FROM ranked
+  WHERE rn % greatest(ns // 8, 1) = 0
+    AND rn // greatest(ns // 8, 1) <= 7
+), assigned AS (
+  SELECT d.doc_id,
+         CAST(SUM(CASE WHEN d.n_chars > s.b_nc
+                        OR (d.n_chars = s.b_nc AND d.doc_id > s.b_doc)
+                       THEN 1 ELSE 0 END) AS INT) AS range_id
+  FROM documents d CROSS JOIN split s
+  GROUP BY d.doc_id
+), census AS (
+  SELECT range_id, COUNT(*) AS n_docs FROM assigned GROUP BY 1
+)
+SELECT range_id, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) * COUNT(*) OVER ()
+             / SUM(n_docs) OVER (), 4) AS load_factor
+FROM census
+"""
+
+
+def q211_naive_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality baseline (MASE, Hyndman & Koehler '06) for
+    each event type's daily volume: the seasonal-naive lag-7 forecast
+    error against the naive lag-1 scale — Σ|x_t − x_{t−7}| over
+    Σ|x_t − x_{t−1}|, BOTH exact BIGINT sums over the observed-day
+    series, one final division. MASE < 1 means weekly seasonality is
+    real (the lag-7 forecast beats persistence) — the go/no-go for
+    any fancier forecaster.
+
+    Scale shape: corpus collapses once to the day grain; both lag
+    columns ride one window pass; one rollup — the q202 cost class."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("l1", F.lag("n", 1).over(w)).withColumn(
+        "l7", F.lag("n", 7).over(w)
+    )
+    g = lagged.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("n") - F.col("l7"))).cast("long").alias("e7"),
+        F.count("l7").cast("long").alias("n7"),
+        F.sum(F.abs(F.col("n") - F.col("l1"))).cast("long").alias("e1"),
+        F.count("l1").cast("long").alias("n1"),
+    )
+    mase = (F.col("e7") / F.col("n7")) / F.nullif(
+        F.col("e1") / F.col("n1"), F.lit(0.0)
+    )
+    return g.select(
+        "event_type", "e7", "n7", "e1", "n1", F.round(mase, 4).alias("mase")
+    )
+
+
+Q211_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, n,
+         LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+         LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+  FROM daily
+), g AS (
+  SELECT event_type,
+         SUM(abs(n - l7)) AS e7, COUNT(l7) AS n7,
+         SUM(abs(n - l1)) AS e1, COUNT(l1) AS n1
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, CAST(e7 AS BIGINT) AS e7, CAST(n7 AS BIGINT) AS n7,
+       CAST(e1 AS BIGINT) AS e1, CAST(n1 AS BIGINT) AS n1,
+       ROUND((CAST(e7 AS DOUBLE) / n7)
+             / NULLIF(CAST(e1 AS DOUBLE) / n1, 0.0), 4) AS mase
+FROM g
+"""
+
+
+def q212_arrow_char_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The board's one deliberately Arrow-backed row: per-doc modal
+    non-space character computed in a mapInPandas batch UDF (pandas
+    str ops + Counter, tie to the smallest character) and
+    value-checked against a pure-SQL oracle — proving the Python/
+    Arrow lane produces oracle-identical results, not just plausible
+    ones. Every other board row is deliberately JVM-only; the
+    ENGINE's Arrow operators (normalize/minhash/suffix/fixtures) are
+    covered by pytest, and this row covers the lane itself in the
+    driver's correctness harness.
+
+    Scale shape: mapInPandas is a stateless narrow map over Arrow
+    record batches — scan parallelism, zero shuffle; exactly the
+    shape the engine uses for its vectorized UDF stages."""
+    import pandas as pd  # noqa: F401
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import re
+        from collections import Counter
+
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = re.sub(r"\s+", " ", str(text).lower()).strip()
+                cnt = Counter(c for c in norm if c != " ")
+                if cnt:  # all-space docs emit nothing, matching the oracle
+                    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                    out.append((doc_id, top[0], top[1]))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                out, columns=["doc_id", "top_char", "top_char_n"]
+            )
+
+    return docs.mapInPandas(
+        batches, "doc_id long, top_char string, top_char_n long"
+    )
+
+
+Q212_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM} AS s FROM documents
+), chars AS (
+  SELECT doc_id, substring(s, i, 1) AS c
+  FROM base, unnest(generate_series(1, length(s))) AS u(i)
+), cnt AS (
+  SELECT doc_id, c, COUNT(*) AS n FROM chars WHERE c <> ' ' GROUP BY 1, 2
+)
+SELECT doc_id, c AS top_char, CAST(n AS BIGINT) AS top_char_n
+FROM (SELECT doc_id, c, n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, c ASC) AS rn
+      FROM cnt)
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -13617,6 +13824,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_knn_label_accuracy": q207_knn_label_accuracy,
     "q208_minhash_calibration": q208_minhash_calibration,
     "q209_linear_attribution": q209_linear_attribution,
+    "q210_range_splitter_balance": q210_range_splitter_balance,
+    "q211_naive_forecast_mase": q211_naive_forecast_mase,
+    "q212_arrow_char_mode": q212_arrow_char_mode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13831,4 +14041,7 @@ ORACLE_SQL: dict[str, str] = {
     "q207_knn_label_accuracy": Q207_SQL,
     "q208_minhash_calibration": Q208_SQL,
     "q209_linear_attribution": Q209_SQL,
+    "q210_range_splitter_balance": Q210_SQL,
+    "q211_naive_forecast_mase": Q211_SQL,
+    "q212_arrow_char_mode": Q212_SQL,
 }

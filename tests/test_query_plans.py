@@ -2277,3 +2277,55 @@ def test_q209_credit_conservation(spark):
         ), r
         if r["n_prior_views"] == 0:
             assert r["remainder_milli"] == 1000 and r["credit_each_milli"] == 0
+
+
+def test_q210_splitter_census_coverage(spark):
+    """Range splitters: ranges cover the corpus exactly (counts sum to
+    n_docs), range ids are within 0..7, and the sample-estimated
+    splitters keep every range loaded (no empty range, load factors
+    positive and averaging ~1)."""
+    rows = QUERIES["q210_range_splitter_balance"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(0 <= r["range_id"] <= 7 for r in rows)
+    assert len(rows) >= 7
+    lf = [r["load_factor"] for r in rows]
+    assert all(f > 0 for f in lf)
+    assert abs(sum(r["n_docs"] * r["load_factor"] for r in rows) / n_docs - 1) < 0.35
+
+
+def test_q211_mase_counts(spark):
+    """MASE: lag-7 and lag-1 populations are exactly n_days-7 and
+    n_days-1 per type (dense observed-day series at this SF), and
+    mase equals the recomputed ratio."""
+    rows = QUERIES["q211_naive_forecast_mase"](spark, SF).collect()
+    ndays = {
+        r["event_type"]: r["nd"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("day").alias("nd"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n7"] == ndays[r["event_type"]] - 7
+        assert r["n1"] == ndays[r["event_type"]] - 1
+        want = round((r["e7"] / r["n7"]) / (r["e1"] / r["n1"]), 4)
+        assert abs(r["mase"] - want) < 1e-9
+
+
+def test_q212_arrow_lane_in_plan(spark):
+    """The Arrow row: the plan contains a MapInPandas/ArrowEval node
+    and NO shuffle (stateless narrow map at scan parallelism); every
+    doc with non-space content appears exactly once."""
+    df = QUERIES["q212_arrow_char_mode"](spark, SF)
+    plan = _plan(df)
+    assert ("MapInPandas" in plan) or ("ArrowEval" in plan), plan
+    assert _n_exchanges(df) == 0, plan
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs  # no all-space docs at this SF
+    assert all(r["top_char"] != " " and r["top_char_n"] > 0 for r in rows)
