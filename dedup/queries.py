@@ -13614,6 +13614,308 @@ WHERE rn = 1
 """
 
 
+def q213_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user — the telemetry /
+    finance primitive where a reading holds until the next one: each
+    event's value is weighted by its holding duration (exact integer
+    microseconds to the next event; the last reading has no duration
+    and drops out), TWAP = Σ micro_value·dt / Σ dt with BIGINT
+    numerators and ONE division — a plain average would over-weight
+    burst periods; the holding-time weight is the correct integral.
+
+    Scale shape: ONE user_id exchange serves the lead window and the
+    rollup; no join, no state beyond one lead."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    j = (
+        ev.select(
+            "user_id",
+            "event_id",
+            us.alias("us"),
+            F.round(F.col("value") * 10000).cast("long").alias("mv"),
+        )
+        .withColumn("nxt", F.lead("us").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("dt", F.col("nxt") - F.col("us"))
+    )
+    g = j.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum(F.col("mv") * F.col("dt")).alias("_num"),
+        F.sum("dt").alias("_den"),
+    )
+    return g.select(
+        "user_id",
+        "n_intervals",
+        (F.round(F.col("_num") / F.col("_den")) / 10000.0).alias("twap"),
+    )
+
+
+Q213_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 10000) AS BIGINT) AS mv
+  FROM events WHERE value IS NOT NULL
+), j AS (
+  SELECT user_id, mv,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS dt
+  FROM e
+)
+SELECT user_id, COUNT(*) AS n_intervals,
+       ROUND(SUM(mv * dt) / SUM(dt)) / 10000.0 AS twap
+FROM j WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q214_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter-sweep planner: the SAME 16 portable minhash lanes
+    regrouped as (2 bands x 8 rows), (4 x 4), (8 x 2) — each config's
+    S-curve knee (1/b)^(1/r) trades candidates for recall — with the
+    candidate count and the exactly-verified (J >= 0.5) count per
+    config, so precision is measured BEFORE committing a
+    configuration to a 10^12-doc run. The signature relation is
+    computed once; each config re-bands it.
+
+    Scale shape: per config, a bucketed equi-join on the band key
+    (collision-proportional, never n²) followed by a distinct-pair
+    collapse and a broadcast-verified join against the checkpointed
+    token sets; three configs union."""
+    sigs = _mh_sigs(spark, sf_dir).select("doc_id", "sig")
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalize_sql(F.col("text")), " ")).alias(
+            "toks"
+        ),
+    ).localCheckpoint()
+    out = None
+    for n_bands, rows in ((2, 8), (4, 4), (8, 2)):
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows + i].cast("string")
+                                    for i in range(rows)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "doc_id",
+            F.col("bk.band_id").alias("band_id"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        l, r = bands.alias("l"), bands.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+            )
+            .distinct()
+        )
+        inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+        uni = F.size("ta") + F.size("tb") - inter
+        ver = (
+            cand.join(
+                toks.select(
+                    F.col("doc_id").alias("a"), F.col("toks").alias("ta")
+                ),
+                "a",
+            )
+            .join(
+                toks.select(
+                    F.col("doc_id").alias("b"), F.col("toks").alias("tb")
+                ),
+                "b",
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_candidates"),
+                F.sum(
+                    F.when(F.round(inter / uni, 4) >= 0.5, 1).otherwise(0)
+                ).cast("long").alias("n_verified"),
+            )
+            .select(
+                F.lit(n_bands).cast("int").alias("n_bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.round(F.col("n_verified") / F.col("n_candidates"), 4).alias(
+                    "precision"
+                ),
+            )
+        )
+        out = ver if out is None else out.unionByName(ver)
+    return out
+
+
+def _q214_sql() -> str:
+    blocks = []
+    sels = []
+    for n_bands, rows in ((2, 8), (4, 4), (8, 2)):
+        tag = f"b{n_bands}"
+        band_rows = "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {b} AS band_id, "
+            + " || '|' || ".join(
+                f"CAST(s{b * rows + i} AS VARCHAR)" for i in range(rows)
+            ).join(["", " AS band_key FROM sigs"])
+            for b in range(n_bands)
+        )
+        # build band selects explicitly (format quirk above): redo cleanly
+        parts = []
+        for b in range(n_bands):
+            key = " || '|' || ".join(
+                f"CAST(s{b * rows + i} AS VARCHAR)" for i in range(rows)
+            )
+            parts.append(
+                f"  SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+            )
+        band_rows = "\n  UNION ALL\n".join(parts)
+        blocks.append(
+            f"""bands_{tag} AS (
+{band_rows}
+), cand_{tag} AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands_{tag} l JOIN bands_{tag} r
+    ON r.band_id = l.band_id AND r.band_key = l.band_key
+   AND l.doc_id < r.doc_id
+), ver_{tag} AS (
+  SELECT {n_bands} AS n_bands, {rows} AS rows_per_band,
+         COUNT(*) AS n_candidates,
+         SUM(CASE WHEN ROUND(CAST(len(list_intersect(ta.toks, tb.toks))
+                        AS DOUBLE)
+               / (len(ta.toks) + len(tb.toks)
+                  - len(list_intersect(ta.toks, tb.toks))), 4) >= 0.5
+             THEN 1 ELSE 0 END) AS n_verified
+  FROM cand_{tag} c
+  JOIN tset ta ON ta.doc_id = c.a
+  JOIN tset tb ON tb.doc_id = c.b
+)"""
+        )
+        sels.append(
+            f"SELECT CAST(n_bands AS INT) AS n_bands, "
+            f"CAST(rows_per_band AS INT) AS rows_per_band, "
+            f"CAST(n_candidates AS BIGINT) AS n_candidates, "
+            f"CAST(n_verified AS BIGINT) AS n_verified, "
+            f"ROUND(CAST(n_verified AS DOUBLE) / n_candidates, 4) "
+            f"AS precision FROM ver_{tag}"
+        )
+    chain = ",\n".join(blocks)
+    union = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH sigs AS ({_mh_sig_sql()}),
+tset AS (
+  SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+),
+{chain}
+{union}
+"""
+
+
+Q214_SQL = _q214_sql()
+
+
+def q215_state_size_per_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store sizing: for each candidate watermark
+    (1h, 6h, 1d), the PEAK number of events simultaneously inside
+    their retention window — the row count a stateful operator would
+    hold — via the q143 sweep line: +1 at the event minute, −1 at
+    expiry, deltas collapsed to the minute grain (bounded by the
+    calendar, not the corpus), one running sum per watermark. The
+    companion to q179: lateness says how small the watermark CAN be,
+    this says what each choice COSTS in state.
+
+    Scale shape: one corpus pass explodes 2 deltas per event per
+    watermark, partial-aggregates to (watermark, minute), and the
+    running-max window runs on that bounded-grain relation."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select((us.cast("long")).alias("us"))
+    out = None
+    for name, w_us in (
+        ("1h", 3600 * 1000000),
+        ("6h", 6 * 3600 * 1000000),
+        ("1d", 24 * 3600 * 1000000),
+    ):
+        deltas = (
+            base.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.expr("us div 60000000").alias("minute"),
+                            F.lit(1).alias("d"),
+                        ),
+                        F.struct(
+                            F.expr(f"(us + {w_us}) div 60000000").alias(
+                                "minute"
+                            ),
+                            F.lit(-1).alias("d"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.minute", "e.d")
+            .groupBy("minute")
+            .agg(F.sum("d").alias("delta"))
+        )
+        run = deltas.withColumn(
+            "open",
+            F.sum("delta").over(
+                Window.orderBy("minute").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        row = run.agg(
+            F.max("open").cast("long").alias("peak_state_rows")
+        ).select(F.lit(name).alias("watermark"), "peak_state_rows")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _q215_sql() -> str:
+    sels = []
+    for name, w_us in (
+        ("1h", 3600 * 1000000),
+        ("6h", 6 * 3600 * 1000000),
+        ("1d", 24 * 3600 * 1000000),
+    ):
+        sels.append(
+            f"""SELECT '{name}' AS watermark, CAST(MAX(open) AS BIGINT)
+    AS peak_state_rows
+FROM (
+  SELECT SUM(delta) OVER (ORDER BY minute ROWS UNBOUNDED PRECEDING) AS open
+  FROM (
+    SELECT minute, SUM(d) AS delta FROM (
+      SELECT epoch_us(ts) // 60000000 AS minute, 1 AS d FROM events
+      UNION ALL
+      SELECT (epoch_us(ts) + {w_us}) // 60000000, -1 FROM events
+    ) GROUP BY minute
+  )
+)"""
+        )
+    return "\nUNION ALL\n".join(sels)
+
+
+Q215_SQL = _q215_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -13827,6 +14129,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q210_range_splitter_balance": q210_range_splitter_balance,
     "q211_naive_forecast_mase": q211_naive_forecast_mase,
     "q212_arrow_char_mode": q212_arrow_char_mode,
+    "q213_time_weighted_average": q213_time_weighted_average,
+    "q214_lsh_param_sweep": q214_lsh_param_sweep,
+    "q215_state_size_per_watermark": q215_state_size_per_watermark,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -14044,4 +14349,7 @@ ORACLE_SQL: dict[str, str] = {
     "q210_range_splitter_balance": Q210_SQL,
     "q211_naive_forecast_mase": Q211_SQL,
     "q212_arrow_char_mode": Q212_SQL,
+    "q213_time_weighted_average": Q213_SQL,
+    "q214_lsh_param_sweep": Q214_SQL,
+    "q215_state_size_per_watermark": Q215_SQL,
 }

@@ -2329,3 +2329,71 @@ def test_q212_arrow_lane_in_plan(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert len(rows) == n_docs  # no all-space docs at this SF
     assert all(r["top_char"] != " " and r["top_char_n"] > 0 for r in rows)
+
+
+def test_q213_twap_single_exchange_and_bounds(spark):
+    """TWAP: the lead window and the user rollup share ONE user_id
+    exchange (Catalyst reuses the window's partitioning for the
+    groupBy); each user's TWAP lies within [min, max] of their
+    observed values, and n_intervals is exactly (non-null readings - 1)
+    for users with >= 2 readings."""
+    df = QUERIES["q213_time_weighted_average"](spark, SF)
+    assert _n_exchanges(df) == 1, _plan(df)
+    rows = {r["user_id"]: r for r in df.collect()}
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    )
+    for e in ev:
+        if e["n"] >= 2:
+            r = rows[e["user_id"]]
+            assert r["n_intervals"] == e["n"] - 1
+            assert e["lo"] - 1e-4 <= r["twap"] <= e["hi"] + 1e-4
+        else:
+            assert e["user_id"] not in rows
+
+
+def test_q214_sweep_monotone_in_banding(spark):
+    """LSH sweep: bands of (2x8) are unions of (4x4) bands which are
+    unions of (8x2) bands, so the candidate set (and thus the verified
+    set) is monotone non-decreasing as rows-per-band shrinks; verified
+    <= candidates everywhere and precision is their exact ratio."""
+    rows = {
+        (r["n_bands"], r["rows_per_band"]): r
+        for r in QUERIES["q214_lsh_param_sweep"](spark, SF).collect()
+    }
+    assert set(rows) == {(2, 8), (4, 4), (8, 2)}
+    assert (
+        rows[(2, 8)]["n_candidates"]
+        <= rows[(4, 4)]["n_candidates"]
+        <= rows[(8, 2)]["n_candidates"]
+    )
+    assert (
+        rows[(2, 8)]["n_verified"]
+        <= rows[(4, 4)]["n_verified"]
+        <= rows[(8, 2)]["n_verified"]
+    )
+    for r in rows.values():
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert abs(r["precision"] - round(r["n_verified"] / r["n_candidates"], 4)) < 1e-9
+
+
+def test_q215_state_monotone_in_watermark(spark):
+    """State sizing: a longer retention window can only hold MORE rows
+    at peak (the 1h window's live set is a subset of 1d's at every
+    instant), and no peak exceeds the corpus row count; every peak is
+    at least 1 while events exist."""
+    rows = {
+        r["watermark"]: r["peak_state_rows"]
+        for r in QUERIES["q215_state_size_per_watermark"](spark, SF).collect()
+    }
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert set(rows) == {"1h", "6h", "1d"}
+    assert 1 <= rows["1h"] <= rows["6h"] <= rows["1d"] <= n_events
