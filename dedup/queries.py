@@ -13916,6 +13916,333 @@ FROM (
 Q215_SQL = _q215_sql()
 
 
+def q216_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the Iceberg/Delta OPTIMIZE
+    bin-pack primitive): per-source "files" (doc_id div 4 groups of
+    documents, bytes = Σ n_chars) are packed into ~8 KiB output bins
+    by the prefix-sum rule bin = cum_bytes_before div target — the
+    deterministic, fully-parallel cousin of greedy first-fit: every
+    file lands in the bin its running offset falls in, so bytes are
+    conserved exactly and each bin overshoots the target by less
+    than one file (both pinned as tests). The emitted plan (files
+    and bytes per output bin) is what a table-maintenance service
+    executes.
+
+    Scale shape: ONE partial-aggregated exchange to the (source,
+    file) grain; the prefix-sum window and the bin rollup run on the
+    files relation (≪ corpus — it IS the file census a real catalog
+    already holds), partitioned by source."""
+    docs = _t(spark, sf_dir, "documents")
+    target = 8192
+    files = (
+        docs.groupBy(
+            "source", F.expr("doc_id div 4").alias("file_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("file_bytes"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "bin_id",
+        (F.coalesce(F.sum("file_bytes").over(w), F.lit(0)) / target)
+        .cast("long"),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("file_bytes").cast("long").alias("bin_bytes"),
+            F.min("file_id").cast("long").alias("first_file"),
+            F.max("file_id").cast("long").alias("last_file"),
+        )
+    )
+
+
+Q216_SQL = """
+WITH files AS (
+  SELECT source, doc_id // 4 AS file_id,
+         COUNT(*) AS n_docs, SUM(n_chars) AS file_bytes
+  FROM documents GROUP BY 1, 2
+), packed AS (
+  SELECT source, file_id, n_docs, file_bytes,
+         CAST(COALESCE(SUM(file_bytes) OVER (
+           PARTITION BY source ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192
+           AS BIGINT) AS bin_id
+  FROM files
+)
+SELECT source, bin_id,
+       COUNT(*) AS n_files, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes,
+       MIN(file_id) AS first_file, MAX(file_id) AS last_file
+FROM packed GROUP BY 1, 2
+"""
+
+
+def q217_sample_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based quantile estimation with an exact rank-error
+    audit — the planner statistic a 100-TB engine uses where exact
+    percentiles are unaffordable: a deterministic 512-row uniform
+    sample of lineitem prices by bottom-k 60-bit md5 order (the q56
+    KMV convention, so both engines draw the IDENTICAL sample), the
+    p25/p50/p75/p90 estimates read off the sample's order statistics
+    (type-1, integer cents — no interpolation to diverge on), and
+    each estimate's TRUE rank measured exactly against the corpus:
+    rank_err = |n_le/n − q|, which the DKW inequality bounds by
+    ~sqrt(ln(2/δ)/2k) ≈ 0.072 at k=512, δ=1% (pinned at 0.1).
+
+    Scale shape: the hash prefilter hval < (2^60 div n)·4096 keeps an
+    expected 4096 rows AT ANY n — only survivors sort (the q210
+    sample-only-sort discipline); the audit pass is one conditional
+    aggregation against 4 broadcast estimate rows; the count pass
+    comes free from table statistics in a real catalog."""
+    k = 512
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    n_row = li.agg(F.count("*").cast("long").alias("n"))
+    hx = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("sq-v1"),
+        )
+    )
+    hval = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    thr = (F.floor(F.lit(1152921504606846976) / F.col("n")) * 4096).cast(
+        "long"
+    )
+    surv = (
+        li.withColumn("hval", hval)
+        .crossJoin(F.broadcast(n_row))
+        .filter(F.col("hval") < thr)
+    )
+    rk = Window.orderBy("hval", "l_orderkey", "l_linenumber")
+    srk = Window.orderBy("cents", "hval")
+    sample = (
+        surv.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= k)
+        .select("cents", "hval")
+        .withColumn("srk", F.row_number().over(srk))
+    )
+    levels = spark.createDataFrame(
+        [(25, 128), (50, 256), (75, 384), (90, 461)], "level int, srk int"
+    )
+    est = F.broadcast(
+        levels.join(sample, "srk").select(
+            "level", F.col("cents").alias("est_cents")
+        )
+    )
+    audit = (
+        li.crossJoin(est)
+        .groupBy("level", "est_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") <= F.col("est_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_le"),
+            F.count("*").cast("long").alias("n_total"),
+        )
+    )
+    return audit.select(
+        "level",
+        (F.col("est_cents") / 100.0).alias("est_value"),
+        "n_le",
+        "n_total",
+        F.round(
+            F.abs(F.col("n_le") / F.col("n_total") - F.col("level") / 100.0),
+            6,
+        ).alias("rank_err"),
+    ).orderBy("level")
+
+
+Q217_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST('0x' || substring(md5(concat(
+           CAST(l_orderkey AS VARCHAR), '|',
+           CAST(l_linenumber AS VARCHAR), '|', 'sq-v1')), 1, 15) AS BIGINT)
+           AS hval
+  FROM lineitem
+), nrow AS (
+  SELECT COUNT(*) AS n FROM li
+), sample AS (
+  SELECT cents, hval,
+         ROW_NUMBER() OVER (ORDER BY hval, l_orderkey, l_linenumber) AS rk
+  FROM li, nrow
+  WHERE hval < (1152921504606846976 // n) * 4096
+), ordered AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, hval) AS srk
+  FROM sample WHERE rk <= 512
+), est AS (
+  SELECT level, cents AS est_cents FROM ordered
+  JOIN (VALUES (25, 128), (50, 256), (75, 384), (90, 461))
+    AS lv(level, srk) USING (srk)
+)
+SELECT level, est_cents / 100.0 AS est_value,
+       CAST(SUM(CASE WHEN li.cents <= est_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_le,
+       COUNT(*) AS n_total,
+       ROUND(ABS(SUM(CASE WHEN li.cents <= est_cents THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) - level / 100.0), 6) AS rank_err
+FROM li CROSS JOIN est
+GROUP BY level, est_cents
+ORDER BY level
+"""
+
+
+def q218_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (Ester KDD'96) over the embedding
+    space — the fourth clustering family on the board next to
+    connectivity (q20/q200), centroids (q192) and graph communities
+    (q188): the ε-neighborhood graph is the exact cos ≥ 0.30 pair
+    relation (q14), core points have ≥ 4 neighbors, clusters are
+    connected components over CORE-CORE edges only (large-star/
+    small-star engine, min-id reps — the density-reachability
+    closure), border points attach to the smallest-rep core
+    neighbor, everything else is noise (rep −1). Roles partition the
+    corpus exactly (pinned).
+
+    Scale shape: degree + role assignment are aggregations over the
+    pair relation (≪ corpus); CC runs on the core-core subgraph
+    only; at 100 TB the ε-graph comes from q23's SRP-LSH candidates
+    instead of the brute-force baseline — the clustering stages are
+    unchanged."""
+    from .cc import connected_components
+    from .embedding import cosine_pairs
+
+    min_pts = 4
+    pairs = (
+        cosine_pairs(spark, sf_dir, threshold=0.30)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id")
+    )
+    nodes = emb.join(
+        deg.select(F.col("a").alias("vec_id"), "deg"), "vec_id", "left"
+    ).select("vec_id", F.coalesce("deg", F.lit(0)).alias("deg"))
+    core = nodes.filter(F.col("deg") >= min_pts).select("vec_id")
+    cc_edges = (
+        pairs.join(core.select(F.col("vec_id").alias("a")), "a")
+        .join(core.select(F.col("vec_id").alias("b")), "b")
+        .select("a", "b")
+    )
+    pad = lambda c: F.format_string("%020d", F.col(c))  # noqa: E731
+    comp, _ = connected_components(
+        cc_edges.select(pad("a").alias("a"), pad("b").alias("b")),
+        DedupConfig(),
+    )
+    rep = comp.select(
+        F.col("conv_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("rep"),
+    )
+    core_rep = (
+        core.join(rep, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("rep", F.col("vec_id")).alias("cluster_rep")
+        )
+        .localCheckpoint()
+    )
+    border = (
+        edges.join(
+            core_rep.select(
+                F.col("vec_id").alias("b"), F.col("cluster_rep").alias("br")
+            ),
+            "b",
+        )
+        .join(
+            core_rep.select(F.col("vec_id").alias("a")),
+            "a",
+            "left_anti",
+        )
+        .groupBy(F.col("a").alias("vec_id"))
+        .agg(F.min("br").alias("cluster_rep"))
+    )
+    out = (
+        core_rep.select("vec_id", F.lit("core").alias("role"), "cluster_rep")
+        .unionByName(
+            border.select(
+                "vec_id", F.lit("border").alias("role"), "cluster_rep"
+            )
+        )
+    )
+    return (
+        nodes.select("vec_id")
+        .join(out, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.coalesce("cluster_rep", F.lit(-1)).cast("long").alias(
+                "cluster_rep"
+            ),
+        )
+    )
+
+
+Q218_SQL = """
+WITH RECURSIVE n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM n l JOIN n r ON l.vec_id < r.vec_id
+  WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.30
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT a AS vec_id, COUNT(*) AS deg FROM edges GROUP BY 1
+), core AS (
+  SELECT vec_id FROM deg WHERE deg >= 4
+), cce AS (
+  SELECT a, b FROM pairs
+  WHERE a IN (SELECT vec_id FROM core) AND b IN (SELECT vec_id FROM core)
+), sym AS (
+  SELECT a AS u, b AS v FROM cce UNION SELECT b, a FROM cce
+), reach(src, node) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) s
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN sym e ON e.u = r.node
+), comp AS (
+  SELECT src AS vec_id, MIN(node) AS rep FROM reach GROUP BY src
+), core_rep AS (
+  SELECT c.vec_id, COALESCE(p.rep, c.vec_id) AS cluster_rep
+  FROM core c LEFT JOIN comp p USING (vec_id)
+), border AS (
+  SELECT e.a AS vec_id, MIN(cr.cluster_rep) AS cluster_rep
+  FROM edges e JOIN core_rep cr ON cr.vec_id = e.b
+  WHERE e.a NOT IN (SELECT vec_id FROM core)
+  GROUP BY e.a
+), labeled AS (
+  SELECT vec_id, 'core' AS role, cluster_rep FROM core_rep
+  UNION ALL
+  SELECT vec_id, 'border', cluster_rep FROM border
+)
+SELECT em.vec_id, COALESCE(l.role, 'noise') AS role,
+       CAST(COALESCE(l.cluster_rep, -1) AS BIGINT) AS cluster_rep
+FROM embeddings em LEFT JOIN labeled l ON l.vec_id = em.vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -14132,6 +14459,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q213_time_weighted_average": q213_time_weighted_average,
     "q214_lsh_param_sweep": q214_lsh_param_sweep,
     "q215_state_size_per_watermark": q215_state_size_per_watermark,
+    "q216_compaction_planner": q216_compaction_planner,
+    "q217_sample_quantile_audit": q217_sample_quantile_audit,
+    "q218_dbscan_embeddings": q218_dbscan_embeddings,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -14352,4 +14682,7 @@ ORACLE_SQL: dict[str, str] = {
     "q213_time_weighted_average": Q213_SQL,
     "q214_lsh_param_sweep": Q214_SQL,
     "q215_state_size_per_watermark": Q215_SQL,
+    "q216_compaction_planner": Q216_SQL,
+    "q217_sample_quantile_audit": Q217_SQL,
+    "q218_dbscan_embeddings": Q218_SQL,
 }

@@ -2397,3 +2397,64 @@ def test_q215_state_monotone_in_watermark(spark):
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert set(rows) == {"1h", "6h", "1d"}
     assert 1 <= rows["1h"] <= rows["6h"] <= rows["1d"] <= n_events
+
+
+def test_q216_packing_conservation_and_overshoot(spark):
+    """Compaction plan: bytes and docs are conserved exactly; within
+    each source every bin overshoots the 8 KiB target by less than
+    one file (the prefix-sum rule's guarantee); bin ids start at 0."""
+    rows = QUERIES["q216_compaction_planner"](spark, SF).collect()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("b"))
+        .collect()[0]
+    )
+    assert sum(r["n_docs"] for r in rows) == docs["n"]
+    assert sum(r["bin_bytes"] for r in rows) == docs["b"]
+    max_file = {}
+    for r in rows:
+        assert r["bin_id"] >= 0 and r["n_files"] >= 1
+        max_file.setdefault(r["source"], 0)
+    per_file = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("source", F.expr("doc_id div 4").alias("f"))
+        .agg(F.sum("n_chars").alias("fb"))
+        .groupBy("source")
+        .agg(F.max("fb").alias("mx"))
+        .collect()
+    )
+    mx = {r["source"]: r["mx"] for r in per_file}
+    for r in rows:
+        assert r["bin_bytes"] < 8192 + mx[r["source"]]
+
+
+def test_q217_dkw_envelope(spark):
+    """Sample quantiles: all four levels present, the exact measured
+    rank error of each estimate is inside a loose DKW envelope
+    (bound ~0.072 at k=512, delta=1%; pinned at 0.1), and n_le/n is
+    consistent with the emitted rank_err."""
+    rows = QUERIES["q217_sample_quantile_audit"](spark, SF).collect()
+    assert [r["level"] for r in rows] == [25, 50, 75, 90]
+    for r in rows:
+        assert r["rank_err"] <= 0.1, r
+        want = round(abs(r["n_le"] / r["n_total"] - r["level"] / 100.0), 6)
+        assert abs(r["rank_err"] - want) < 1e-9
+
+
+def test_q218_dbscan_axioms(spark):
+    """DBSCAN: roles partition the vector set exactly; noise has rep
+    -1 and no core/border does; every border's rep is some core's
+    rep; a core's rep is <= its own id (min-id convention)."""
+    rows = QUERIES["q218_dbscan_embeddings"](spark, SF).collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    core_reps = {r["cluster_rep"] for r in rows if r["role"] == "core"}
+    assert core_reps, "expected some core points at this SF"
+    for r in rows:
+        if r["role"] == "noise":
+            assert r["cluster_rep"] == -1
+        elif r["role"] == "core":
+            assert 0 <= r["cluster_rep"] <= r["vec_id"]
+        else:
+            assert r["role"] == "border"
+            assert r["cluster_rep"] in core_reps
