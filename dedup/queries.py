@@ -14243,6 +14243,267 @@ FROM embeddings em LEFT JOIN labeled l ON l.vec_id = em.vec_id
 """
 
 
+def q219_bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) Jaccard on the q12 dup pairs — the tf-weighted
+    similarity variant (Σ min(tf) / Σ max(tf)) that set-Jaccard
+    collapses: a doc that repeats one template line 50 times and one
+    that says it once are set-identical but bag-different, so the
+    bag/set DELTA is the repetition-sensitivity audit a dedup
+    threshold needs. Σmax is never materialized: Σmax = n_a + n_b −
+    Σmin (multiset identity), so one inner token join on the common
+    support suffices — all integers, one division.
+
+    Scale shape: tf and per-doc token totals come from ONE tokenize
+    pass; the Σmin join is pair-relation-sized (each pair touches
+    only its common tokens), never a corpus self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_sql(F.col("text")), " ")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tok"))
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir)
+    inter = (
+        pairs.join(
+            tf.select(
+                F.col("doc_id").alias("a"),
+                "token",
+                F.col("tf").alias("tfa"),
+            ),
+            "a",
+        )
+        .join(
+            tf.select(
+                F.col("doc_id").alias("b"),
+                "token",
+                F.col("tf").alias("tfb"),
+            ),
+            ["b", "token"],
+        )
+        .groupBy("a", "b", "jac")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("inter_min"))
+    )
+    return (
+        inter.join(
+            totals.select(F.col("doc_id").alias("a"), F.col("n_tok").alias("na")),
+            "a",
+        )
+        .join(
+            totals.select(F.col("doc_id").alias("b"), F.col("n_tok").alias("nb")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.col("jac").alias("set_jac"),
+            F.round(
+                F.col("inter_min")
+                / (F.col("na") + F.col("nb") - F.col("inter_min")),
+                6,
+            ).alias("bag_jac"),
+        )
+        .withColumn(
+            "delta", F.round(F.col("bag_jac") - F.col("set_jac"), 6)
+        )
+    )
+
+
+Q219_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents
+  ) WHERE token != '' GROUP BY doc_id, token
+), totals AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id
+), pairs AS ({Q12_SQL}),
+inter AS (
+  SELECT p.a, p.b, p.jac,
+         CAST(SUM(LEAST(ta.tf, tb.tf)) AS BIGINT) AS inter_min
+  FROM pairs p
+  JOIN tf ta ON ta.doc_id = p.a
+  JOIN tf tb ON tb.doc_id = p.b AND tb.token = ta.token
+  GROUP BY p.a, p.b, p.jac
+)
+SELECT i.a, i.b, i.jac AS set_jac,
+       ROUND(CAST(inter_min AS DOUBLE) / (na.n_tok + nb.n_tok - inter_min),
+             6) AS bag_jac,
+       ROUND(ROUND(CAST(inter_min AS DOUBLE)
+                   / (na.n_tok + nb.n_tok - inter_min), 6) - i.jac, 6)
+         AS delta
+FROM inter i
+JOIN totals na ON na.doc_id = i.a
+JOIN totals nb ON nb.doc_id = i.b
+"""
+
+
+def q220_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit (Sweeney '02,
+    Machanavajjhala '07) over the events table — the release-gate a
+    training-data pipeline runs before shipping telemetry: rows
+    grouped by the quasi-identifier (event_type, hour-of-day,
+    value decile bucket); each equivalence class reports its size
+    (k — classes below 5 are re-identification risks) and its count
+    of distinct user_ids (l-diversity — a class with one user leaks
+    membership even when large). All exact integer counts.
+
+    Scale shape: ONE partial-aggregated exchange to the QI grain
+    (two aggregates, count + approx-free exact distinct via the
+    same exchange); the class relation is bounded by the QI domain,
+    not the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+        F.coalesce(
+            F.floor(F.col("value") / 10).cast("long"), F.lit(-1)
+        ).alias("vbucket"),
+        "user_id",
+    )
+    return qi.groupBy("event_type", "hour", "vbucket").agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.when(F.count("*") < 5, 1).otherwise(0).cast("int").alias("at_risk"),
+    )
+
+
+Q220_SQL = """
+SELECT event_type,
+       EXTRACT(hour FROM ts) AS hour,
+       COALESCE(CAST(FLOOR(value / 10) AS BIGINT), -1) AS vbucket,
+       COUNT(*) AS class_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS at_risk
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q221_threshold_algorithm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fagin's Threshold Algorithm stopping certificate (Fagin
+    PODS'01) — the rank-join primitive: top-5 docs by combined
+    score from two ranked lists (s1 = n_chars, s2 = 8·distinct
+    tokens), audited at sorted-access depths 8..256: at each depth
+    the TA threshold τ(d) = s1@d + s2@d upper-bounds every unseen
+    doc's total, so the scan may STOP as soon as the 5th-best seen
+    total ≥ τ — the curve shows exactly how deep the sorted lists
+    must be read (the certified fraction of the corpus a rank join
+    can skip). The TA correctness theorem (the true top-5 is fully
+    seen at the first stopped depth) is pinned as a test.
+
+    Scale shape: the two rank windows materialize the sorted access
+    lists once (at 100 TB via the q172 two-phase distributed rank);
+    each depth's audit row aggregates the checkpointed ranked
+    relation — 6 depth rows, no corpus re-scan."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("s1"),
+        (
+            F.size(
+                F.array_distinct(
+                    F.split(normalize_sql(F.col("text")), " ")
+                )
+            ).cast("long")
+            * 8
+        ).alias("s2"),
+    ).withColumn("total", F.col("s1") + F.col("s2"))
+    w1 = Window.orderBy(F.desc("s1"), "doc_id")
+    w2 = Window.orderBy(F.desc("s2"), "doc_id")
+    ranked = (
+        scored.withColumn("rank1", F.row_number().over(w1))
+        .withColumn("rank2", F.row_number().over(w2))
+        .withColumn("minrank", F.least("rank1", "rank2"))
+        .localCheckpoint()
+    )
+    depths = spark.createDataFrame(
+        [(8,), (16,), (32,), (64,), (128,), (256,)], "depth int"
+    )
+    tau = (
+        depths.join(ranked, F.col("rank1") == F.col("depth"))
+        .select("depth", F.col("s1").alias("t1"))
+        .join(
+            depths.join(ranked, F.col("rank2") == F.col("depth")).select(
+                "depth", F.col("s2").alias("t2")
+            ),
+            "depth",
+        )
+        .select("depth", (F.col("t1") + F.col("t2")).alias("tau"))
+    )
+    seen = depths.join(ranked, F.col("minrank") <= F.col("depth"))
+    wk = Window.partitionBy("depth").orderBy(F.desc("total"), "doc_id")
+    kth = (
+        seen.withColumn("rk", F.row_number().over(wk))
+        .groupBy("depth")
+        .agg(
+            F.count("*").cast("long").alias("n_seen"),
+            F.max(F.when(F.col("rk") == 5, F.col("total"))).alias(
+                "kth_best_seen"
+            ),
+        )
+    )
+    return (
+        tau.join(kth, "depth")
+        .select(
+            "depth",
+            "tau",
+            "kth_best_seen",
+            "n_seen",
+            F.when(F.col("kth_best_seen") >= F.col("tau"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stopped"),
+        )
+        .orderBy("depth")
+    )
+
+
+Q221_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS s1,
+         CAST(len(list_distinct(string_split({_NORM}, ' '))) AS BIGINT) * 8
+           AS s2
+  FROM documents
+), ranked AS (
+  SELECT doc_id, s1, s2, s1 + s2 AS total,
+         ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id) AS rank1,
+         ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS rank2,
+         LEAST(ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id),
+               ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id)) AS minrank
+  FROM scored
+), depths AS (
+  SELECT unnest([8, 16, 32, 64, 128, 256]) AS depth
+), tau AS (
+  SELECT d.depth, r1.s1 + r2.s2 AS tau
+  FROM depths d
+  JOIN ranked r1 ON r1.rank1 = d.depth
+  JOIN ranked r2 ON r2.rank2 = d.depth
+), kth AS (
+  SELECT depth, COUNT(*) AS n_seen,
+         MAX(CASE WHEN rk = 5 THEN total END) AS kth_best_seen
+  FROM (
+    SELECT d.depth, r.total,
+           ROW_NUMBER() OVER (PARTITION BY d.depth
+                              ORDER BY r.total DESC, r.doc_id) AS rk
+    FROM depths d JOIN ranked r ON r.minrank <= d.depth
+  ) GROUP BY depth
+)
+SELECT CAST(t.depth AS INT) AS depth, t.tau, k.kth_best_seen, k.n_seen,
+       CAST(CASE WHEN k.kth_best_seen >= t.tau THEN 1 ELSE 0 END AS INT)
+         AS stopped
+FROM tau t JOIN kth k USING (depth)
+ORDER BY depth
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -14462,6 +14723,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q216_compaction_planner": q216_compaction_planner,
     "q217_sample_quantile_audit": q217_sample_quantile_audit,
     "q218_dbscan_embeddings": q218_dbscan_embeddings,
+    "q219_bag_jaccard_pairs": q219_bag_jaccard_pairs,
+    "q220_k_anonymity_audit": q220_k_anonymity_audit,
+    "q221_threshold_algorithm_audit": q221_threshold_algorithm_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -14685,4 +14949,7 @@ ORACLE_SQL: dict[str, str] = {
     "q216_compaction_planner": Q216_SQL,
     "q217_sample_quantile_audit": Q217_SQL,
     "q218_dbscan_embeddings": Q218_SQL,
+    "q219_bag_jaccard_pairs": Q219_SQL,
+    "q220_k_anonymity_audit": Q220_SQL,
+    "q221_threshold_algorithm_audit": Q221_SQL,
 }

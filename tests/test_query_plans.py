@@ -2458,3 +2458,78 @@ def test_q218_dbscan_axioms(spark):
         else:
             assert r["role"] == "border"
             assert r["cluster_rep"] in core_reps
+
+
+def test_q219_bag_jaccard_consistency(spark):
+    """Bag Jaccard: one row per q12 pair; bag_jac in (0, 1]; delta is
+    exactly bag_jac - set_jac; an identical-text pair (if any) would
+    have bag_jac 1.0 — spot-check that pairs with set_jac 1.0 still
+    have bag_jac <= 1."""
+    rows = QUERIES["q219_bag_jaccard_pairs"](spark, SF).collect()
+    n_pairs = QUERIES["q12_docs_token_jaccard_pairs"](spark, SF).count()
+    assert len(rows) == n_pairs
+    for r in rows:
+        assert 0 < r["bag_jac"] <= 1.0
+        assert abs(r["delta"] - round(r["bag_jac"] - r["set_jac"], 6)) < 1e-9
+
+
+def test_q220_class_partition(spark):
+    """k-anonymity: equivalence classes partition the events table
+    exactly; l-diversity never exceeds class size; the at_risk flag
+    is (class_size < 5) everywhere."""
+    rows = QUERIES["q220_k_anonymity_audit"](spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["class_size"] for r in rows) == n_events
+    for r in rows:
+        assert 1 <= r["n_users"] <= r["class_size"]
+        assert r["at_risk"] == (1 if r["class_size"] < 5 else 0)
+
+
+def test_q221_ta_theorem(spark):
+    """TA correctness: tau is non-increasing and kth_best_seen
+    non-decreasing in depth; once stopped, stays stopped; and at the
+    FIRST stopped depth the true global top-5 (by total, doc_id
+    tie-break) is entirely within the seen set — the certificate
+    that stopping early loses nothing."""
+    rows = sorted(
+        QUERIES["q221_threshold_algorithm_audit"](spark, SF).collect(),
+        key=lambda r: r["depth"],
+    )
+    for p, n in zip(rows, rows[1:]):
+        assert n["tau"] <= p["tau"]
+        assert n["kth_best_seen"] >= p["kth_best_seen"]
+        assert n["stopped"] >= p["stopped"]
+    stopped = [r for r in rows if r["stopped"] == 1]
+    assert stopped, "TA never certified a stop by depth 256"
+    d_star = stopped[0]["depth"]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from dedup.normalize import normalize_sql
+
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("s1"),
+        (
+            F.size(
+                F.array_distinct(F.split(normalize_sql(F.col("text")), " "))
+            ).cast("long")
+            * 8
+        ).alias("s2"),
+    ).withColumn("total", F.col("s1") + F.col("s2"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        scored.withColumn(
+            "rank1", F.row_number().over(W.orderBy(F.desc("s1"), "doc_id"))
+        )
+        .withColumn(
+            "rank2", F.row_number().over(W.orderBy(F.desc("s2"), "doc_id"))
+        )
+        .withColumn("minrank", F.least("rank1", "rank2"))
+        .withColumn(
+            "trk", F.row_number().over(W.orderBy(F.desc("total"), "doc_id"))
+        )
+        .collect()
+    )
+    top5 = {r["doc_id"] for r in ranked if r["trk"] <= 5}
+    seen = {r["doc_id"] for r in ranked if r["minrank"] <= d_star}
+    assert top5 <= seen, (d_star, top5 - seen)
