@@ -14504,6 +14504,354 @@ ORDER BY depth
 """
 
 
+def q222_ivm_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance merge audit — the partial-
+    aggregation contract a 100-TB rollup rests on, value-checked:
+    the events table splits into a BASE (first 24 observed days) and
+    a DELTA; per-type count/sum/min/max are aggregated on each side
+    and MERGED with the combine rules (+, +, least, greatest), the
+    distinct-user count is merged the only way distincts merge —
+    re-distincting the union of per-side key sets — and every merged
+    statistic is emitted next to the full recompute with a match
+    flag. match=1 everywhere IS the algebraic-mergeability proof the
+    incremental pipeline (dedup/incremental.py) relies on.
+
+    Scale shape: two partial-aggregated passes (base, delta) plus
+    the audit recompute; in production only the delta side runs —
+    the base partials are the stored view state."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000"
+    ).alias("day")
+    micro = F.round(F.col("value") * 10000).cast("long").alias("micro")
+    base0 = ev.select("event_type", "user_id", day, micro)
+    m0 = base0.agg(F.min("day").alias("d0"))
+    tagged = base0.crossJoin(F.broadcast(m0)).withColumn(
+        "is_base", (F.col("day") < F.col("d0") + 24).cast("int")
+    )
+    part = tagged.groupBy("event_type", "is_base").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("micro").alias("s"),
+        F.min("micro").alias("mn"),
+        F.max("micro").alias("mx"),
+    )
+    merged = part.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_merged"),
+        F.sum("s").cast("long").alias("sum_merged"),
+        F.min("mn").cast("long").alias("min_merged"),
+        F.max("mx").cast("long").alias("max_merged"),
+    )
+    users_part = tagged.select(
+        "event_type", "is_base", "user_id"
+    ).distinct()
+    users_merged = (
+        users_part.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("nu_merged"))
+    )
+    full = tagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_full"),
+        F.sum("micro").cast("long").alias("sum_full"),
+        F.min("micro").cast("long").alias("min_full"),
+        F.max("micro").cast("long").alias("max_full"),
+        F.countDistinct("user_id").cast("long").alias("nu_full"),
+    )
+    return (
+        merged.join(users_merged, "event_type")
+        .join(full, "event_type")
+        .select(
+            "event_type",
+            "n_merged",
+            "n_full",
+            "sum_merged",
+            "sum_full",
+            "min_merged",
+            "min_full",
+            "max_merged",
+            "max_full",
+            "nu_merged",
+            "nu_full",
+            F.when(
+                (F.col("n_merged") == F.col("n_full"))
+                & (F.col("sum_merged") == F.col("sum_full"))
+                & (F.col("min_merged") == F.col("min_full"))
+                & (F.col("max_merged") == F.col("max_full"))
+                & (F.col("nu_merged") == F.col("nu_full")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("match"),
+        )
+    )
+
+
+Q222_SQL = """
+WITH e AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(value * 10000) AS BIGINT) AS micro
+  FROM events
+), d0 AS (SELECT MIN(day) AS d0 FROM e),
+tagged AS (
+  SELECT e.*, CASE WHEN day < d0 + 24 THEN 1 ELSE 0 END AS is_base
+  FROM e, d0
+), part AS (
+  SELECT event_type, is_base, COUNT(*) AS n, SUM(micro) AS s,
+         MIN(micro) AS mn, MAX(micro) AS mx
+  FROM tagged GROUP BY 1, 2
+), merged AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_merged,
+         CAST(SUM(s) AS BIGINT) AS sum_merged,
+         CAST(MIN(mn) AS BIGINT) AS min_merged,
+         CAST(MAX(mx) AS BIGINT) AS max_merged
+  FROM part GROUP BY 1
+), users_merged AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu_merged FROM (
+    SELECT DISTINCT event_type, user_id FROM (
+      SELECT DISTINCT event_type, is_base, user_id FROM tagged
+    )
+  ) GROUP BY 1
+), full_agg AS (
+  SELECT event_type, COUNT(*) AS n_full,
+         CAST(SUM(micro) AS BIGINT) AS sum_full,
+         MIN(micro) AS min_full, MAX(micro) AS max_full,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu_full
+  FROM tagged GROUP BY 1
+)
+SELECT m.event_type, n_merged, n_full, sum_merged, sum_full,
+       min_merged, min_full, max_merged, max_full, nu_merged, nu_full,
+       CAST(CASE WHEN n_merged = n_full AND sum_merged = sum_full
+                  AND min_merged = min_full AND max_merged = max_full
+                  AND nu_merged = nu_full THEN 1 ELSE 0 END AS INT) AS match
+FROM merged m
+JOIN users_merged u USING (event_type)
+JOIN full_agg f USING (event_type)
+"""
+
+
+def q223_haar_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Haar (sum/difference) wavelet pyramid of each type's
+    first-16-day volume curve — the compression/synopsis transform
+    behind wavelet histograms (Matias SIGMOD'98): four levels of
+    pairwise (even+odd, even−odd) over the gap-filled day series
+    leave 1 smooth total + 15 detail coefficients per type, all
+    exact BIGINTs, losslessly invertible (a = (s+d)/2 — parity
+    always works out; bit-exact reconstruction pinned as a test).
+    Keeping the top coefficients IS the synopsis a planner stores.
+
+    Scale shape: ONE corpus exchange to the (type, day) grain; the
+    four pyramid levels chain over the calendar-bounded 16-row-per-
+    type relation — free at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    base = ev.select("event_type", day.alias("day"))
+    d0 = base.agg(F.min("day").alias("d0"))
+    counts = (
+        base.crossJoin(F.broadcast(d0))
+        .withColumn("idx", (F.col("day") - F.col("d0")).cast("int"))
+        .filter(F.col("idx") < 16)
+        .groupBy("event_type", "idx")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    types = counts.select("event_type").distinct()
+    spine = types.crossJoin(
+        spark.range(16).select(F.col("id").cast("int").alias("idx"))
+    )
+    cur = spine.join(counts, ["event_type", "idx"], "left").select(
+        "event_type", "idx", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    out = None
+    for level in (1, 2, 3, 4):
+        nxt = cur.groupBy(
+            "event_type", F.expr("idx div 2").cast("int").alias("idx")
+        ).agg(
+            F.sum("v").cast("long").alias("v"),
+            F.sum(
+                F.when(F.col("idx") % 2 == 0, F.col("v")).otherwise(
+                    -F.col("v")
+                )
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        diffs = nxt.select(
+            "event_type",
+            F.lit(level).cast("int").alias("level"),
+            F.col("idx").alias("pos"),
+            F.col("d").alias("coef"),
+        )
+        out = diffs if out is None else out.unionByName(diffs)
+        cur = nxt.select("event_type", "idx", "v")
+    smooth = cur.select(
+        "event_type",
+        F.lit(5).cast("int").alias("level"),
+        F.col("idx").alias("pos"),
+        F.col("v").alias("coef"),
+    )
+    return out.unionByName(smooth)
+
+
+def _q223_sql() -> str:
+    lvl = """
+, c{k} AS (
+  SELECT event_type, idx // 2 AS idx, CAST(SUM(v) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+  FROM c{p} GROUP BY 1, 2
+)"""
+    chain = "".join(lvl.format(k=k, p=k - 1) for k in (1, 2, 3, 4))
+    sels = "\nUNION ALL\n".join(
+        f"SELECT event_type, {k} AS level, idx AS pos, d AS coef FROM c{k}"
+        for k in (1, 2, 3, 4)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+), d0 AS (SELECT MIN(day) AS d0 FROM e),
+counts AS (
+  SELECT event_type, CAST(day - d0 AS INT) AS idx, COUNT(*) AS v
+  FROM e, d0 WHERE day - d0 < 16 GROUP BY 1, 2
+), spine AS (
+  SELECT t.event_type, g.idx
+  FROM (SELECT DISTINCT event_type FROM counts) t
+  CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS idx) g
+), c0 AS (
+  SELECT s.event_type, s.idx, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c.idx = s.idx
+){chain}
+{sels}
+UNION ALL
+SELECT event_type, 5 AS level, idx AS pos, v AS coef FROM c4
+"""
+
+
+Q223_SQL = _q223_sql()
+
+
+def q224_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — the generative
+    complement to q205's discriminative trigram audit: per-(token,
+    lang) add-1-smoothed likelihoods and per-lang priors, both in
+    the engine-exact floor-log2 "bits" fixed point (the q71 binary-
+    digit-length convention), scored per doc as prior_bits +
+    Σ tf·token_bits with the argmin lang taken under a deterministic
+    (bits, lang) tie-break; output is the confusion matrix. On this
+    synthetic shared-vocabulary corpus the audit correctly reports
+    near-chance accuracy — exactly the failure a language-ID audit
+    exists to catch (the q205 honesty posture).
+
+    Scale shape: wordcount-shaped training (one tokenize pass,
+    vocab-grain aggregates); scoring joins the (doc, tok) relation
+    against the lang-fanned weight table (|langs| small) and rolls
+    up per (doc, lang) — no corpus self-join, no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dt = t.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("c_dt")
+    )
+    cnt = t.groupBy("tok", "lang").agg(
+        F.count("*").cast("long").alias("c_tl")
+    )
+    tlang = t.groupBy("lang").agg(F.count("*").cast("long").alias("t_l"))
+    vocab = t.select("tok").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    langs = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs_l")
+    )
+    ndocs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    prior = (
+        langs.crossJoin(F.broadcast(ndocs))
+        .select(
+            "lang",
+            (
+                F.length(F.bin("n_docs")) - F.length(F.bin("n_docs_l"))
+            ).cast("long").alias("prior_bits"),
+        )
+    )
+    fan = dt.crossJoin(
+        F.broadcast(tlang.join(F.broadcast(vocab)))
+    )
+    scored = (
+        fan.join(
+            cnt.withColumnRenamed("lang", "lang"),
+            ["tok", "lang"],
+            "left",
+        )
+        .withColumn(
+            "w",
+            (
+                F.length(F.bin(F.col("t_l") + F.col("v")))
+                - F.length(F.bin(F.coalesce(F.col("c_tl"), F.lit(0)) + 1))
+            ).cast("long"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c_dt") * F.col("w")).alias("tok_bits"))
+        .join(F.broadcast(prior), "lang")
+        .withColumn("bits", F.col("tok_bits") + F.col("prior_bits"))
+    )
+    pred = scored.groupBy("doc_id").agg(
+        F.min(F.struct("bits", "lang")).alias("_m")
+    ).select("doc_id", F.col("_m.lang").alias("pred_lang"))
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+Q224_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang,
+           unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+  ) WHERE tok != ''
+), dt AS (
+  SELECT doc_id, tok, COUNT(*) AS c_dt FROM t GROUP BY 1, 2
+), cnt AS (
+  SELECT tok, lang, COUNT(*) AS c_tl FROM t GROUP BY 1, 2
+), tlang AS (
+  SELECT lang, COUNT(*) AS t_l FROM t GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM t
+), prior AS (
+  SELECT lang,
+         length(bin(CAST((SELECT COUNT(*) FROM documents) AS BIGINT)))
+         - length(bin(CAST(COUNT(*) AS BIGINT))) AS prior_bits
+  FROM documents GROUP BY lang
+), scored AS (
+  SELECT d.doc_id, tl.lang,
+         SUM(d.c_dt * (length(bin(CAST(tl.t_l + vocab.v AS BIGINT)))
+             - length(bin(CAST(COALESCE(c.c_tl, 0) + 1 AS BIGINT)))))
+           + ANY_VALUE(p.prior_bits) AS bits
+  FROM dt d
+  CROSS JOIN tlang tl
+  CROSS JOIN vocab
+  LEFT JOIN cnt c ON c.tok = d.tok AND c.lang = tl.lang
+  JOIN prior p ON p.lang = tl.lang
+  GROUP BY d.doc_id, tl.lang
+), pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY bits, lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT dd.lang AS true_lang, p.pred_lang, COUNT(*) AS n_docs
+FROM documents dd JOIN pred p ON p.doc_id = dd.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -14726,6 +15074,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q219_bag_jaccard_pairs": q219_bag_jaccard_pairs,
     "q220_k_anonymity_audit": q220_k_anonymity_audit,
     "q221_threshold_algorithm_audit": q221_threshold_algorithm_audit,
+    "q222_ivm_merge_audit": q222_ivm_merge_audit,
+    "q223_haar_pyramid": q223_haar_pyramid,
+    "q224_naive_bayes_langid": q224_naive_bayes_langid,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -14952,4 +15303,7 @@ ORACLE_SQL: dict[str, str] = {
     "q219_bag_jaccard_pairs": Q219_SQL,
     "q220_k_anonymity_audit": Q220_SQL,
     "q221_threshold_algorithm_audit": Q221_SQL,
+    "q222_ivm_merge_audit": Q222_SQL,
+    "q223_haar_pyramid": Q223_SQL,
+    "q224_naive_bayes_langid": Q224_SQL,
 }

@@ -2533,3 +2533,79 @@ def test_q221_ta_theorem(spark):
     top5 = {r["doc_id"] for r in ranked if r["trk"] <= 5}
     seen = {r["doc_id"] for r in ranked if r["minrank"] <= d_star}
     assert top5 <= seen, (d_star, top5 - seen)
+
+
+def test_q222_merge_equals_recompute(spark):
+    """IVM: every merged statistic equals the full recompute — the
+    algebraic-mergeability contract holds for +/least/greatest and
+    for the re-distincted user sets; one row per event type."""
+    rows = QUERIES["q222_ivm_merge_audit"](spark, SF).collect()
+    n_types = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_types
+    for r in rows:
+        assert r["match"] == 1, r
+        assert r["n_merged"] == r["n_full"]
+        assert r["nu_merged"] == r["nu_full"]
+
+
+def test_q223_haar_reconstruction(spark):
+    """Haar: 16 coefficients per type (8+4+2+1 details + 1 smooth),
+    and inverting the pyramid (a=(s+d)/2, b=(s-d)/2, top-down)
+    reproduces the gap-filled first-16-day counts bit-exactly."""
+    rows = QUERIES["q223_haar_pyramid"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type",
+        "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+    )
+    d0 = ev.agg(F.min("day")).collect()[0][0]
+    truth = {}
+    for r in (
+        ev.withColumn("idx", (F.col("day") - F.lit(d0)).cast("int"))
+        .filter(F.col("idx") < 16)
+        .groupBy("event_type", "idx")
+        .count()
+        .collect()
+    ):
+        truth.setdefault(r["event_type"], [0] * 16)[r["idx"]] = r["count"]
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {}).setdefault(r["level"], {})[
+            r["pos"]
+        ] = r["coef"]
+    for et, levels in by_type.items():
+        assert sorted(len(levels[k]) for k in (1, 2, 3, 4, 5)) == [
+            1, 1, 2, 4, 8,
+        ]
+        vals = [levels[5][0]]
+        for lv in (4, 3, 2, 1):
+            nxt = []
+            for i, s in enumerate(vals):
+                d = levels[lv][i]
+                assert (s + d) % 2 == 0
+                nxt += [(s + d) // 2, (s - d) // 2]
+            vals = nxt
+        assert vals == truth.get(et, [0] * 16), et
+
+
+def test_q224_confusion_partition(spark):
+    """Naive Bayes: every doc is classified exactly once — confusion
+    matrix cells sum to the corpus, and each true-lang row sums to
+    that language's doc count."""
+    rows = QUERIES["q224_naive_bayes_langid"](spark, SF).collect()
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(r["n_docs"] for r in rows) == sum(per_lang.values())
+    got = {}
+    for r in rows:
+        got[r["true_lang"]] = got.get(r["true_lang"], 0) + r["n_docs"]
+    assert got == per_lang
