@@ -14852,6 +14852,354 @@ GROUP BY 1, 2
 """
 
 
+def q225_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (view vs purchase event values) —
+    the distribution-free two-sample test completing the board's
+    nonparametric trio (q74 KS, q146 Spearman): pooled ranks with
+    exact tie handling carried as DOUBLED integer ranks (a tie block
+    of size c spanning ranks after cum gets doubled-average
+    2·cum + c + 1, so every rank sum is a BIGINT), U from the
+    rank-sum identity, and the tie-corrected normal z with exactly
+    ONE IEEE sqrt at the boundary (the q204 convention). Computed on
+    the distinct-value grain, never per-row.
+
+    Scale shape: one partial-aggregated exchange to the distinct-
+    value grain, a value-ordered window on that bounded relation,
+    and a 1-row rollup."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+    )
+    g = ev.select(
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is1"),
+    )
+    byv = g.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        F.sum(1 - F.col("is1")).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = byv.withColumn(
+        "cum", F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+    ).withColumn(
+        "r2", 2 * F.col("cum") + F.col("c1") + F.col("c2") + 1
+    )
+    agg = r.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("r2")).cast("long").alias("s2"),
+        F.sum(
+            (F.col("c1") + F.col("c2"))
+            * (F.col("c1") + F.col("c2"))
+            * (F.col("c1") + F.col("c2"))
+            - (F.col("c1") + F.col("c2"))
+        )
+        .cast("long")
+        .alias("tie_t"),
+    )
+    n = F.col("n1") + F.col("n2")
+    # ties make U half-integer; DOUBLED U stays an exact BIGINT in
+    # both engines (no .5-rounding divergence)
+    u1x2 = F.col("s2") - F.col("n1") * (F.col("n1") + 1)
+    var = (
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * ((n + 1) - F.col("tie_t") / (n * (n - 1)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1x2.cast("long").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1x2).cast("long").alias("u2_x2"),
+        F.round(
+            (u1x2 / 2.0 - F.col("n1") * F.col("n2") / 2) / F.sqrt(var), 6
+        ).alias("z"),
+    )
+
+
+Q225_SQL = """
+WITH g AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+), byv AS (
+  SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+         CAST(SUM(1 - is1) AS BIGINT) AS c2
+  FROM g GROUP BY v
+), r AS (
+  SELECT c1, c2,
+         CAST(2 * COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c1 + c2 + 1 AS BIGINT) AS r2
+  FROM byv
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * r2) AS BIGINT) AS s2,
+         CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+              AS BIGINT) AS tie_t
+  FROM r
+)
+SELECT n1, n2,
+       CAST(s2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * n1 * n2 - (s2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+       ROUND(((s2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - tie_t / (CAST(n1 + n2 AS DOUBLE)
+                                  * (n1 + n2 - 1)))), 6) AS z
+FROM agg
+"""
+
+
+def q226_item_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar WWW'01, the
+    Amazon-style recommender): part-part cosine similarities from
+    the customer×part quantity matrix (co-occurrence self-join on
+    the customer key — pair work bounded by per-customer basket
+    size, never |items|²), then top-3 unseen-part recommendations
+    per customer scored by Σ qty·cos over their basket. Cosines
+    cross the IEEE-sqrt boundary ONCE and are immediately fixed to
+    integer micro-units, so the recommendation score is an exact
+    BIGINT sum (float-order-proof across engines).
+
+    Scale shape: basket self-join partial-aggregates to the
+    (part, part) grain; the scoring join fans each basket row by
+    its co-item list and rolls up per (customer, candidate) — both
+    relations ≪ corpus; top-3 via per-customer window."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    basket = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .localCheckpoint()
+    )
+    norms = basket.groupBy("part").agg(
+        F.sum(F.col("qty") * F.col("qty")).alias("sq")
+    )
+    l, r = basket.alias("l"), basket.alias("r")
+    dots = (
+        l.join(
+            r,
+            (F.col("l.cust") == F.col("r.cust"))
+            & (F.col("l.part") != F.col("r.part")),
+        )
+        .groupBy(
+            F.col("l.part").alias("pi"), F.col("r.part").alias("pj")
+        )
+        .agg(F.sum(F.col("l.qty") * F.col("r.qty")).alias("dot"))
+    )
+    sims = (
+        dots.join(norms.select(F.col("part").alias("pi"), F.col("sq").alias("qi")), "pi")
+        .join(norms.select(F.col("part").alias("pj"), F.col("sq").alias("qj")), "pj")
+        .select(
+            "pi",
+            "pj",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("qi")) * F.sqrt(F.col("qj")))
+                * 1000000
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    scored = (
+        basket.join(sims, basket.part == sims.pi)
+        .groupBy(F.col("cust"), F.col("pj").alias("cand"))
+        .agg(F.sum(F.col("qty") * F.col("cos_micro")).alias("score"))
+    )
+    unseen = scored.join(
+        basket.select(
+            F.col("cust"), F.col("part").alias("cand")
+        ),
+        ["cust", "cand"],
+        "left_anti",
+    )
+    wk = Window.partitionBy("cust").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    return (
+        unseen.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "cust",
+            "cand",
+            F.col("score").cast("long").alias("score_micro"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+Q226_SQL = """
+WITH basket AS (
+  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), norms AS (
+  SELECT part, CAST(SUM(qty * qty) AS BIGINT) AS sq FROM basket GROUP BY 1
+), dots AS (
+  SELECT l.part AS pi, r.part AS pj, CAST(SUM(l.qty * r.qty) AS BIGINT) AS dot
+  FROM basket l JOIN basket r
+    ON l.cust = r.cust AND l.part != r.part
+  GROUP BY 1, 2
+), sims AS (
+  SELECT pi, pj,
+         CAST(ROUND(dot / (sqrt(ni.sq) * sqrt(nj.sq)) * 1000000) AS BIGINT)
+           AS cos_micro
+  FROM dots
+  JOIN norms ni ON ni.part = pi
+  JOIN norms nj ON nj.part = pj
+), scored AS (
+  SELECT b.cust, s.pj AS cand,
+         CAST(SUM(b.qty * s.cos_micro) AS BIGINT) AS score
+  FROM basket b JOIN sims s ON s.pi = b.part
+  GROUP BY 1, 2
+), unseen AS (
+  SELECT sc.* FROM scored sc
+  LEFT JOIN basket b ON b.cust = sc.cust AND b.part = sc.cand
+  WHERE b.part IS NULL
+)
+SELECT cust, cand, score AS score_micro,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT cust, cand, score,
+         ROW_NUMBER() OVER (PARTITION BY cust
+                            ORDER BY score DESC, cand) AS rnk
+  FROM unseen
+) WHERE rnk <= 3
+"""
+
+
+def q227_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART decision stump (Breiman '84) predicting purchase-vs-view
+    from the event value, trained by EXACT integer search: at the
+    distinct-value grain, prefix sums give every candidate split's
+    left/right class counts in one window pass, the split minimizes
+    the integer MISCLASSIFICATION count min(L0,L1)+min(R0,R1) (the
+    impurity whose argmin needs no cross-engine float comparison),
+    ties broken on the smaller threshold — the induction step a
+    distributed tree learner runs per feature per node. Emits the
+    chosen threshold, per-side majorities, and training accuracy.
+
+    Scale shape: one partial-aggregated exchange to the distinct-
+    value grain, one value-ordered window on that bounded relation,
+    one argmin rollup — the corpus is never re-scanned per
+    candidate threshold."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+    )
+    g = (
+        ev.select(
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_p").cast("long").alias("p"),
+            F.sum(1 - F.col("is_p")).cast("long").alias("q"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = g.agg(
+        F.sum("p").cast("long").alias("tp"), F.sum("q").cast("long").alias("tq")
+    )
+    cand = (
+        g.withColumn("lp", F.sum("p").over(w))
+        .withColumn("lq", F.sum("q").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "lp",
+            "lq",
+            (F.col("tp") - F.col("lp")).alias("rp"),
+            (F.col("tq") - F.col("lq")).alias("rq"),
+            "tp",
+            "tq",
+        )
+        .withColumn(
+            "errors",
+            F.least("lp", "lq") + F.least("rp", "rq"),
+        )
+    )
+    best = cand.agg(F.min(F.struct("errors", "v")).alias("_b")).select(
+        F.col("_b.v").alias("split_v"),
+        F.col("_b.errors").alias("best_errors"),
+    )
+    return (
+        cand.join(F.broadcast(best), F.col("v") == F.col("split_v"))
+        .select(
+            (F.col("split_v") / 10000.0).alias("threshold"),
+            (F.col("lp") + F.col("lq")).cast("long").alias("n_left"),
+            (F.col("rp") + F.col("rq")).cast("long").alias("n_right"),
+            F.when(F.col("lp") >= F.col("lq"), F.lit("purchase"))
+            .otherwise(F.lit("view"))
+            .alias("left_class"),
+            F.when(F.col("rp") >= F.col("rq"), F.lit("purchase"))
+            .otherwise(F.lit("view"))
+            .alias("right_class"),
+            F.col("best_errors").cast("long").alias("errors"),
+            F.round(
+                1
+                - F.col("best_errors")
+                / (F.col("tp") + F.col("tq")).cast("double"),
+                6,
+            ).alias("train_accuracy"),
+        )
+    )
+
+
+Q227_SQL = """
+WITH g AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS q
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS tp, CAST(SUM(q) AS BIGINT) AS tq FROM g
+), cand AS (
+  SELECT v,
+         CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS lp,
+         CAST(SUM(q) OVER (ORDER BY v) AS BIGINT) AS lq,
+         tp, tq
+  FROM g, tot
+), scored AS (
+  SELECT v, lp, lq, tp - lp AS rp, tq - lq AS rq, tp, tq,
+         LEAST(lp, lq) + LEAST(tp - lp, tq - lq) AS errors
+  FROM cand
+), best AS (
+  SELECT v AS split_v, errors FROM scored
+  ORDER BY errors, v LIMIT 1
+)
+SELECT b.split_v / 10000.0 AS threshold,
+       s.lp + s.lq AS n_left,
+       s.rp + s.rq AS n_right,
+       CASE WHEN s.lp >= s.lq THEN 'purchase' ELSE 'view' END AS left_class,
+       CASE WHEN s.rp >= s.rq THEN 'purchase' ELSE 'view' END
+         AS right_class,
+       b.errors,
+       ROUND(1 - b.errors / CAST(s.tp + s.tq AS DOUBLE), 6)
+         AS train_accuracy
+FROM scored s JOIN best b ON s.v = b.split_v
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -15077,6 +15425,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q222_ivm_merge_audit": q222_ivm_merge_audit,
     "q223_haar_pyramid": q223_haar_pyramid,
     "q224_naive_bayes_langid": q224_naive_bayes_langid,
+    "q225_mann_whitney_u": q225_mann_whitney_u,
+    "q226_item_item_recommendations": q226_item_item_recommendations,
+    "q227_decision_stump": q227_decision_stump,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15306,4 +15657,7 @@ ORACLE_SQL: dict[str, str] = {
     "q222_ivm_merge_audit": Q222_SQL,
     "q223_haar_pyramid": Q223_SQL,
     "q224_naive_bayes_langid": Q224_SQL,
+    "q225_mann_whitney_u": Q225_SQL,
+    "q226_item_item_recommendations": Q226_SQL,
+    "q227_decision_stump": Q227_SQL,
 }

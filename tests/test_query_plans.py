@@ -2609,3 +2609,56 @@ def test_q224_confusion_partition(spark):
     for r in rows:
         got[r["true_lang"]] = got.get(r["true_lang"], 0) + r["n_docs"]
     assert got == per_lang
+
+
+def test_q225_u_identity(spark):
+    """Mann-Whitney: the U identity u1+u2 = n1*n2 holds exactly in
+    doubled-integer space, and group sizes match the corpus."""
+    r = QUERIES["q225_mann_whitney_u"](spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    n1 = ev.filter(F.col("event_type") == "view").count()
+    n2 = ev.filter(F.col("event_type") == "purchase").count()
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["u1_x2"] + r["u2_x2"] == 2 * n1 * n2
+    assert 0 <= r["u1_x2"] <= 2 * n1 * n2
+
+
+def test_q226_rec_validity(spark):
+    """Item-item CF: at most 3 recommendations per customer with
+    consecutive ranks, and no recommended part is already in that
+    customer's basket."""
+    rows = QUERIES["q226_item_item_recommendations"](spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    basket = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).select("o_custkey", "l_partkey").distinct().collect()
+    }
+    per = {}
+    for r in rows:
+        assert (r["cust"], r["cand"]) not in basket
+        per.setdefault(r["cust"], []).append(r["rnk"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+def test_q227_stump_beats_majority(spark):
+    """Decision stump: the split's error count never exceeds the
+    majority-class baseline, sides partition the data, and accuracy
+    is the exact recomputed ratio."""
+    r = QUERIES["q227_decision_stump"](spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    )
+    tp = ev.filter(F.col("event_type") == "purchase").count()
+    tq = ev.count() - tp
+    assert r["n_left"] + r["n_right"] == tp + tq
+    assert r["errors"] <= min(tp, tq)
+    want = round(1 - r["errors"] / (tp + tq), 6)
+    assert abs(r["train_accuracy"] - want) < 1e-9
