@@ -15200,6 +15200,293 @@ FROM scored s JOIN best b ON s.v = b.split_v
 """
 
 
+def q228_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar storage encoding advisor — the parquet/ORC writer
+    decision, materialized: three lineitem string columns profiled
+    under the table key order (l_orderkey, l_linenumber) for
+    cardinality, run count, and the exact byte cost of PLAIN
+    (Σ value lengths), DICT (distinct lengths + one 1-byte code per
+    row, eligible ≤ 256 symbols), and RLE (run-start lengths + one
+    count byte per run); the chosen encoding is the integer-exact
+    byte argmin with a deterministic (bytes, name) tie-break.
+
+    Scale shape: one scan unpivots the three columns; runs need the
+    key-ordered lag exactly as a writer sees rows — a real encoder
+    evaluates this per row-group during the write, so the global
+    per-column window here is the audit-sized stand-in; the byte
+    rollups are partial-aggregated."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'returnflag', l_returnflag,"
+            " 'linestatus', l_linestatus,"
+            " 'shipdate', cast(cast(l_shipdate as date) as string))"
+            " AS (col, val)"
+        ),
+    )
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data;
+    # val as the last key makes the writer order total where it matters
+    w = Window.partitionBy("col").orderBy(
+        "l_orderkey", "l_linenumber", "val"
+    )
+    runs = cols.withColumn(
+        "is_start",
+        F.when(
+            F.lag("val").over(w).isNull()
+            | (F.lag("val").over(w) != F.col("val")),
+            1,
+        ).otherwise(0),
+    )
+    prof = runs.groupBy("col").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.sum("is_start").cast("long").alias("n_runs"),
+        F.sum(F.length("val")).cast("long").alias("plain_bytes"),
+        F.sum(F.col("is_start") * F.length("val")).cast("long").alias(
+            "_run_len"
+        ),
+    )
+    dist_bytes = (
+        cols.select("col", "val")
+        .distinct()
+        .groupBy("col")
+        .agg(F.sum(F.length("val")).cast("long").alias("_dict_lens"))
+    )
+    j = prof.join(dist_bytes, "col").select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        "plain_bytes",
+        F.when(
+            F.col("n_distinct") <= 256,
+            F.col("_dict_lens") + F.col("n_rows"),
+        ).alias("dict_bytes"),
+        (F.col("_run_len") + F.col("n_runs")).alias("rle_bytes"),
+    )
+    choice = F.array_min(
+        F.array(
+            F.struct(
+                F.coalesce("dict_bytes", F.lit(2**62)).alias("b"),
+                F.lit("dict").alias("e"),
+            ),
+            F.struct(F.col("plain_bytes").alias("b"), F.lit("plain").alias("e")),
+            F.struct(F.col("rle_bytes").alias("b"), F.lit("rle").alias("e")),
+        )
+    )
+    return j.withColumn("chosen", choice["e"])
+
+
+Q228_SQL = """
+WITH cols AS (
+  SELECT l_orderkey, l_linenumber, col, val FROM (
+    SELECT l_orderkey, l_linenumber,
+           'returnflag' AS col, l_returnflag AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'linestatus', l_linestatus
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'shipdate',
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
+  )
+), runs AS (
+  SELECT col, val,
+         CASE WHEN LAG(val) OVER (PARTITION BY col
+                ORDER BY l_orderkey, l_linenumber, val)
+              IS DISTINCT FROM val
+              THEN 1 ELSE 0 END AS is_start
+  FROM cols
+), prof AS (
+  SELECT col, COUNT(*) AS n_rows,
+         CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+         CAST(SUM(is_start) AS BIGINT) AS n_runs,
+         CAST(SUM(length(val)) AS BIGINT) AS plain_bytes,
+         CAST(SUM(is_start * length(val)) AS BIGINT) AS _run_len
+  FROM runs GROUP BY col
+), dist_bytes AS (
+  SELECT col, CAST(SUM(length(val)) AS BIGINT) AS _dict_lens
+  FROM (SELECT DISTINCT col, val FROM cols) GROUP BY col
+), j AS (
+  SELECT p.col, n_rows, n_distinct, n_runs, plain_bytes,
+         CASE WHEN n_distinct <= 256 THEN _dict_lens + n_rows END
+           AS dict_bytes,
+         _run_len + n_runs AS rle_bytes
+  FROM prof p JOIN dist_bytes d ON d.col = p.col
+)
+SELECT col, n_rows, n_distinct, n_runs, plain_bytes, dict_bytes,
+       rle_bytes,
+       CASE
+         WHEN COALESCE(dict_bytes, 4611686018427387904) <= plain_bytes
+          AND COALESCE(dict_bytes, 4611686018427387904) <= rle_bytes
+           THEN 'dict'
+         WHEN plain_bytes <= rle_bytes THEN 'plain'
+         ELSE 'rle'
+       END AS chosen
+FROM j
+"""
+
+
+def q229_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff — the change-data-capture primitive behind
+    MERGE INTO and incremental replication: version 2 of orders is
+    synthesized deterministically (keys ≡0 mod 17 deleted, keys ≡0
+    mod 5 get a priority rewrite, keys ≡0 mod 13 re-inserted shifted
+    past max key), both versions reduce to (key, row fingerprint)
+    and a full outer join classifies every key as insert / delete /
+    update / unchanged; output is the per-class census with an
+    order-insensitive key checksum (the q160 anti-entropy
+    convention) so the diff itself is value-checked.
+
+    Scale shape: two fingerprint scans + ONE key-partitioned full
+    outer join — exactly the shape a snapshot differ runs at any
+    scale; classification is a narrow projection on the joined row."""
+    o = _t(spark, sf_dir, "orders")
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+    )
+    v1 = o.select(F.col("o_orderkey").alias("k"), fp.alias("fp1"))
+    mx = o.agg(F.max("o_orderkey").alias("mxk"))
+    base2 = o.filter(F.col("o_orderkey") % 17 != 0).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.lit("9-CHANGED")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .crossJoin(F.broadcast(mx))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("mxk") + 1)
+        .drop("mxk")
+    )
+    v2 = base2.unionByName(ins).select(
+        F.col("o_orderkey").alias("k"), fp.alias("fp2")
+    )
+    diff = v1.join(v2, "k", "full_outer").select(
+        "k",
+        F.when(F.col("fp1").isNull(), F.lit("insert"))
+        .when(F.col("fp2").isNull(), F.lit("delete"))
+        .when(F.col("fp1") != F.col("fp2"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return diff.groupBy("change").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("k").cast("long").alias("key_sum"),
+    )
+
+
+Q229_SQL = """
+WITH fp1 AS (
+  SELECT o_orderkey AS k,
+         md5(concat(CAST(o_orderkey AS VARCHAR), '|',
+                    CAST(o_custkey AS VARCHAR), '|',
+                    o_orderstatus, '|', o_orderpriority)) AS fp
+  FROM orders
+), mx AS (SELECT MAX(o_orderkey) AS mxk FROM orders),
+v2rows AS (
+  SELECT o_orderkey,
+         o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN '9-CHANGED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 17 != 0
+  UNION ALL
+  SELECT o_orderkey + mxk + 1, o_custkey, o_orderstatus, o_orderpriority
+  FROM orders, mx WHERE o_orderkey % 13 = 0
+), fp2 AS (
+  SELECT o_orderkey AS k,
+         md5(concat(CAST(o_orderkey AS VARCHAR), '|',
+                    CAST(o_custkey AS VARCHAR), '|',
+                    o_orderstatus, '|', o_orderpriority)) AS fp
+  FROM v2rows
+)
+SELECT CASE WHEN f1.fp IS NULL THEN 'insert'
+            WHEN f2.fp IS NULL THEN 'delete'
+            WHEN f1.fp != f2.fp THEN 'update'
+            ELSE 'unchanged' END AS change,
+       COUNT(*) AS n_keys,
+       CAST(SUM(COALESCE(f1.k, f2.k)) AS BIGINT) AS key_sum
+FROM fp1 f1 FULL OUTER JOIN fp2 f2 ON f1.k = f2.k
+GROUP BY 1
+"""
+
+
+def q230_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (total cents) quintiled into 1..5 codes via ntile with full
+    deterministic tie-breaks (metric, custkey), segment =
+    r·100+f·10+m; output is the per-segment census with exact cents
+    totals — the classic marketing cube, built on the customer-
+    grain relation.
+
+    Scale shape: one partial-aggregated exchange to the customer
+    grain; the three quintile windows run on that reduced relation
+    (the q75 discipline: never a corpus sort)."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(day).alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    mxd = cust.agg(F.max("last_day").alias("mx"))
+    base = cust.crossJoin(F.broadcast(mxd)).withColumn(
+        "recency", (F.col("mx") - F.col("last_day")).cast("long")
+    )
+    rw = Window.orderBy(F.asc("recency"), F.asc("cust"))
+    fw = Window.orderBy(F.desc("freq"), F.asc("cust"))
+    mw = Window.orderBy(F.desc("cents"), F.asc("cust"))
+    seg = (
+        base.withColumn("r", F.ntile(5).over(rw))
+        .withColumn("f", F.ntile(5).over(fw))
+        .withColumn("m", F.ntile(5).over(mw))
+        .withColumn(
+            "segment",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"),
+        )
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum("freq").cast("long").alias("total_orders"),
+    )
+
+
+Q230_SQL = """
+WITH cust AS (
+  SELECT o_custkey AS cust,
+         MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+           AS last_day,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), mxd AS (SELECT MAX(last_day) AS mx FROM cust),
+seg AS (
+  SELECT cust, freq, cents,
+         NTILE(5) OVER (ORDER BY mx - last_day, cust) AS r,
+         NTILE(5) OVER (ORDER BY freq DESC, cust) AS f,
+         NTILE(5) OVER (ORDER BY cents DESC, cust) AS m
+  FROM cust, mxd
+)
+SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(freq) AS BIGINT) AS total_orders
+FROM seg GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -15428,6 +15715,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q225_mann_whitney_u": q225_mann_whitney_u,
     "q226_item_item_recommendations": q226_item_item_recommendations,
     "q227_decision_stump": q227_decision_stump,
+    "q228_encoding_advisor": q228_encoding_advisor,
+    "q229_cdc_snapshot_diff": q229_cdc_snapshot_diff,
+    "q230_rfm_segmentation": q230_rfm_segmentation,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15660,4 +15950,7 @@ ORACLE_SQL: dict[str, str] = {
     "q225_mann_whitney_u": Q225_SQL,
     "q226_item_item_recommendations": Q226_SQL,
     "q227_decision_stump": Q227_SQL,
+    "q228_encoding_advisor": Q228_SQL,
+    "q229_cdc_snapshot_diff": Q229_SQL,
+    "q230_rfm_segmentation": Q230_SQL,
 }

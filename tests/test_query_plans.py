@@ -2662,3 +2662,56 @@ def test_q227_stump_beats_majority(spark):
     assert r["errors"] <= min(tp, tq)
     want = round(1 - r["errors"] / (tp + tq), 6)
     assert abs(r["train_accuracy"] - want) < 1e-9
+
+
+def test_q228_encoding_bounds(spark):
+    """Encoding advisor: runs are between n_distinct and n_rows; the
+    chosen encoding has the minimal byte cost among the eligible
+    candidates; dict is only offered under 257 symbols."""
+    rows = QUERIES["q228_encoding_advisor"](spark, SF).collect()
+    assert {r["col"] for r in rows} == {
+        "returnflag", "linestatus", "shipdate",
+    }
+    for r in rows:
+        assert r["n_distinct"] <= r["n_runs"] <= r["n_rows"]
+        cands = {"plain": r["plain_bytes"], "rle": r["rle_bytes"]}
+        if r["n_distinct"] <= 256:
+            assert r["dict_bytes"] is not None
+            cands["dict"] = r["dict_bytes"]
+        else:
+            assert r["dict_bytes"] is None
+        assert cands[r["chosen"]] == min(cands.values())
+
+
+def test_q229_cdc_classes_partition(spark):
+    """CDC diff: the four classes partition the key universe —
+    unchanged+update+delete = v1 keys, unchanged+update+insert = v2
+    keys, and the mutation rules predict the delete and insert
+    counts exactly."""
+    rows = {
+        r["change"]: r for r in QUERIES["q229_cdc_snapshot_diff"](spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    n_v1 = o.count()
+    n_del = o.filter(F.col("o_orderkey") % 17 == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % 13 == 0).count()
+    got = {k: v["n_keys"] for k, v in rows.items()}
+    assert got.get("delete", 0) == n_del
+    assert got.get("insert", 0) == n_ins
+    assert (
+        got.get("unchanged", 0) + got.get("update", 0) + got.get("delete", 0)
+        == n_v1
+    )
+
+
+def test_q230_rfm_partition(spark):
+    """RFM: segments partition the customer base; every code digit is
+    1..5; totals conserve order counts exactly."""
+    rows = QUERIES["q230_rfm_segmentation"](spark, SF).collect()
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["total_orders"] for r in rows) == o.count()
+    for r in rows:
+        s = r["segment"]
+        assert all(1 <= d <= 5 for d in (s // 100, s // 10 % 10, s % 10))
