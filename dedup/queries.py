@@ -15487,6 +15487,331 @@ FROM seg GROUP BY 1
 """
 
 
+def q231_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator:
+    users split into treated/control by the deterministic md5 split
+    rule (q37 convention), time split pre/post at observed day 15,
+    cell means from exact integer micro-sums with the four divisions
+    at the very end, DiD = (T_post − T_pre) − (C_post − C_pre).
+    The parallel-trends table (all four cell means + counts)
+    ships with the estimate so the identifying assumption is
+    inspectable, not hidden.
+
+    Scale shape: ONE partial-aggregated exchange to the 4-cell
+    grain; the membership rule is a stateless hash projection."""
+    from .sampling import bucket_of
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d0 = ev.agg(
+        F.min(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        ).alias("d0")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            F.when(
+                F.pmod(bucket_of(F.col("user_id"), "did-v1"), 2) == 0,
+                F.lit("treated"),
+            )
+            .otherwise(F.lit("control"))
+            .alias("grp"),
+            F.when(
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                < F.col("d0") + 15,
+                F.lit("pre"),
+            )
+            .otherwise(F.lit("post"))
+            .alias("period"),
+            F.round(F.col("value") * 10000).cast("long").alias("micro"),
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("micro").cast("long").alias("s"),
+        )
+    )
+    m = lambda g, per: F.max(  # noqa: E731
+        F.when(
+            (F.col("grp") == g) & (F.col("period") == per),
+            F.col("s") / F.col("n"),
+        )
+    )
+    nn = lambda g, per: F.max(  # noqa: E731
+        F.when(
+            (F.col("grp") == g) & (F.col("period") == per), F.col("n")
+        )
+    )
+    agg = cells.agg(
+        nn("treated", "pre").alias("n_t_pre"),
+        nn("treated", "post").alias("n_t_post"),
+        nn("control", "pre").alias("n_c_pre"),
+        nn("control", "post").alias("n_c_post"),
+        m("treated", "pre").alias("_tp"),
+        m("treated", "post").alias("_tq"),
+        m("control", "pre").alias("_cp"),
+        m("control", "post").alias("_cq"),
+    )
+    r4 = lambda c: F.round(c / 10000.0, 6)  # noqa: E731
+    return agg.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        r4(F.col("_tp")).alias("mean_t_pre"),
+        r4(F.col("_tq")).alias("mean_t_post"),
+        r4(F.col("_cp")).alias("mean_c_pre"),
+        r4(F.col("_cq")).alias("mean_c_post"),
+        F.round(
+            (
+                (F.col("_tq") - F.col("_tp"))
+                - (F.col("_cq") - F.col("_cp"))
+            )
+            / 10000.0,
+            6,
+        ).alias("did"),
+    )
+
+
+def _q231_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("user_id", "did-v1")
+    return f"""
+WITH e AS (
+  SELECT CASE WHEN {b} % 2 = 0 THEN 'treated' ELSE 'control' END AS grp,
+         CASE WHEN epoch_us(ts) // 86400000000
+                   < (SELECT MIN(epoch_us(ts) // 86400000000) FROM events)
+                     + 15
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(ROUND(value * 10000) AS BIGINT) AS micro
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT grp, period, COUNT(*) AS n, CAST(SUM(micro) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2
+)
+SELECT
+  MAX(CASE WHEN grp='treated' AND period='pre' THEN n END) AS n_t_pre,
+  MAX(CASE WHEN grp='treated' AND period='post' THEN n END) AS n_t_post,
+  MAX(CASE WHEN grp='control' AND period='pre' THEN n END) AS n_c_pre,
+  MAX(CASE WHEN grp='control' AND period='post' THEN n END) AS n_c_post,
+  ROUND(MAX(CASE WHEN grp='treated' AND period='pre'
+            THEN s / CAST(n AS DOUBLE) END) / 10000.0, 6) AS mean_t_pre,
+  ROUND(MAX(CASE WHEN grp='treated' AND period='post'
+            THEN s / CAST(n AS DOUBLE) END) / 10000.0, 6) AS mean_t_post,
+  ROUND(MAX(CASE WHEN grp='control' AND period='pre'
+            THEN s / CAST(n AS DOUBLE) END) / 10000.0, 6) AS mean_c_pre,
+  ROUND(MAX(CASE WHEN grp='control' AND period='post'
+            THEN s / CAST(n AS DOUBLE) END) / 10000.0, 6) AS mean_c_post,
+  ROUND(((MAX(CASE WHEN grp='treated' AND period='post'
+              THEN s / CAST(n AS DOUBLE) END)
+          - MAX(CASE WHEN grp='treated' AND period='pre'
+                THEN s / CAST(n AS DOUBLE) END))
+         - (MAX(CASE WHEN grp='control' AND period='post'
+                THEN s / CAST(n AS DOUBLE) END)
+            - MAX(CASE WHEN grp='control' AND period='pre'
+                  THEN s / CAST(n AS DOUBLE) END))) / 10000.0, 6) AS did
+FROM cells
+"""
+
+
+Q231_SQL = _q231_sql()
+
+
+def q232_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng WSDM'13) — the modern A/B
+    precision primitive: per-user PRE-period and POST-period value
+    totals (integer micro-sums so every covariance moment is an
+    exact BIGINT), θ = cov(X,Y)/var(X) from the moment identities
+    with doubles touched only at the final divisions, and the
+    variance of the CUPED-adjusted metric via the closed form
+    var(Y) − cov²/var(X); the emitted reduction fraction is the
+    sample-size saving the experimenter banks.
+
+    Scale shape: one exchange to the user grain (two conditional
+    sums), one 5-moment rollup — no second pass, no per-user
+    float accumulation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d0 = ev.agg(
+        F.min(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        ).alias("d0")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.when(
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                < F.col("d0") + 15,
+                F.round(F.col("value") * 10000).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("x"),
+            F.when(
+                F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                >= F.col("d0") + 15,
+                F.round(F.col("value") * 10000).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("x").alias("x"), F.sum("y").alias("y"))
+    )
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    var_adj = var_y - cov * cov / var_x
+    return mom.select(
+        "n",
+        F.round(cov / var_x, 6).alias("theta"),
+        F.round(var_y / 100000000.0, 6).alias("var_y"),
+        F.round(var_adj / 100000000.0, 6).alias("var_adjusted"),
+        F.round((var_y - var_adj) / var_y, 6).alias("reduction"),
+    )
+
+
+Q232_SQL = """
+WITH d0 AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events
+  WHERE value IS NOT NULL
+), per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < d0 + 15
+                  THEN CAST(ROUND(value * 10000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= d0 + 15
+                  THEN CAST(ROUND(value * 10000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events, d0 WHERE value IS NOT NULL
+  GROUP BY user_id
+), mom AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user
+)
+SELECT n,
+  ROUND(((sxy - sx * CAST(sy AS DOUBLE) / n) / n)
+        / ((sxx - sx * CAST(sx AS DOUBLE) / n) / n), 6) AS theta,
+  ROUND(((syy - sy * CAST(sy AS DOUBLE) / n) / n) / 100000000.0, 6)
+    AS var_y,
+  ROUND((((syy - sy * CAST(sy AS DOUBLE) / n) / n)
+         - ((sxy - sx * CAST(sy AS DOUBLE) / n) / n)
+           * ((sxy - sx * CAST(sy AS DOUBLE) / n) / n)
+           / ((sxx - sx * CAST(sx AS DOUBLE) / n) / n)) / 100000000.0, 6)
+    AS var_adjusted,
+  ROUND((((sxy - sx * CAST(sy AS DOUBLE) / n) / n)
+         * ((sxy - sx * CAST(sy AS DOUBLE) / n) / n)
+         / ((sxx - sx * CAST(sx AS DOUBLE) / n) / n))
+        / ((syy - sy * CAST(sy AS DOUBLE) / n) / n), 6) AS reduction
+FROM mom
+"""
+
+
+_AMS_LANES = 32
+
+
+def q233_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch (Alon-Matias-Szegedy STOC'96) —
+    the tug-of-war estimator joining the board's sketch family (KMV,
+    HLL, CMS, MG, theta): 32 lanes of ±1 md5 signs, lane sums
+    S_l = Σ f(tok)·sign_l(tok) over the vocabulary-grain frequency
+    relation, F2 estimate = mean of S_l² as an exact integer div,
+    emitted beside the exact F2 = Σ f² with the relative error —
+    E[S²] = F2 exactly, sd = √(2/32)·F2, so the estimate audits its
+    own envelope (pinned loose in tests).
+
+    Scale shape: one tokenize pass partial-aggregates to the vocab
+    grain; the 32 lane sums are one further rollup (each sign a
+    per-token md5 expression, no explode fan-out — the q196 lane
+    discipline); the exact F2 rides the same rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = t.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
+
+    def sign(lane: int) -> "F.Column":
+        hx = F.md5(F.concat_ws("|", F.col("tok"), F.lit(f"ams-l{lane}")))
+        d = F.conv(F.substring(hx, 1, 1), 16, 10).cast("int")
+        return (F.pmod(d, F.lit(2)) * 2 - 1).cast("long")
+
+    agg = freq.agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"),
+        *[
+            F.sum(F.col("f") * sign(i)).cast("long").alias(f"s{i}")
+            for i in range(_AMS_LANES)
+        ],
+    )
+    sq = sum(
+        (F.col(f"s{i}") * F.col(f"s{i}") for i in range(_AMS_LANES)),
+        F.lit(0),
+    )
+    return agg.select(
+        "n_tokens",
+        "f2_exact",
+        F.expr(
+            "("
+            + " + ".join(f"s{i} * s{i}" for i in range(_AMS_LANES))
+            + f") div {_AMS_LANES}"
+        ).alias("f2_est"),
+        F.round(
+            F.abs(sq / _AMS_LANES - F.col("f2_exact")) / F.col("f2_exact"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _q233_sql() -> str:
+    def sign(lane: int) -> str:
+        hx = f"md5(concat(tok, '|', 'ams-l{lane}'))"
+        return (
+            f"((instr('0123456789abcdef', substring({hx}, 1, 1)) - 1)"
+            f" % 2 * 2 - 1)"
+        )
+
+    lanes = ", ".join(
+        f"CAST(SUM(f * {sign(i)}) AS BIGINT) AS s{i}"
+        for i in range(_AMS_LANES)
+    )
+    sumsq = " + ".join(f"s{i} * s{i}" for i in range(_AMS_LANES))
+    return f"""
+WITH t AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+  ) WHERE tok != ''
+), freq AS (
+  SELECT tok, COUNT(*) AS f FROM t GROUP BY tok
+), agg AS (
+  SELECT COUNT(*) AS n_tokens,
+         CAST(SUM(f * f) AS BIGINT) AS f2_exact, {lanes}
+  FROM freq
+)
+SELECT n_tokens, f2_exact,
+       CAST(({sumsq}) // {_AMS_LANES} AS BIGINT) AS f2_est,
+       ROUND(ABS(({sumsq}) / {_AMS_LANES}.0 - f2_exact)
+             / CAST(f2_exact AS DOUBLE), 6) AS rel_err
+FROM agg
+"""
+
+
+Q233_SQL = _q233_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -15718,6 +16043,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q228_encoding_advisor": q228_encoding_advisor,
     "q229_cdc_snapshot_diff": q229_cdc_snapshot_diff,
     "q230_rfm_segmentation": q230_rfm_segmentation,
+    "q231_difference_in_differences": q231_difference_in_differences,
+    "q232_cuped_adjustment": q232_cuped_adjustment,
+    "q233_ams_f2_sketch": q233_ams_f2_sketch,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15953,4 +16281,7 @@ ORACLE_SQL: dict[str, str] = {
     "q228_encoding_advisor": Q228_SQL,
     "q229_cdc_snapshot_diff": Q229_SQL,
     "q230_rfm_segmentation": Q230_SQL,
+    "q231_difference_in_differences": Q231_SQL,
+    "q232_cuped_adjustment": Q232_SQL,
+    "q233_ams_f2_sketch": Q233_SQL,
 }

@@ -2715,3 +2715,51 @@ def test_q230_rfm_partition(spark):
     for r in rows:
         s = r["segment"]
         assert all(1 <= d <= 5 for d in (s // 100, s // 10 % 10, s % 10))
+
+
+def test_q231_did_identity(spark):
+    """DiD: cell counts partition the valued events, and did equals
+    the recomputed double difference of the emitted cell means."""
+    r = QUERIES["q231_difference_in_differences"](spark, SF).collect()[0]
+    n_valued = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .count()
+    )
+    assert (
+        r["n_t_pre"] + r["n_t_post"] + r["n_c_pre"] + r["n_c_post"]
+        == n_valued
+    )
+    want = (r["mean_t_post"] - r["mean_t_pre"]) - (
+        r["mean_c_post"] - r["mean_c_pre"]
+    )
+    assert abs(r["did"] - want) < 5e-6
+
+
+def test_q232_cuped_reduces_variance(spark):
+    """CUPED: the closed-form adjusted variance never exceeds var(Y)
+    (cov²/var(X) ≥ 0), the reduction fraction is consistent, and n
+    equals the distinct users with valued events."""
+    r = QUERIES["q232_cuped_adjustment"](spark, SF).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n"] == n_users
+    assert 0 <= r["var_adjusted"] <= r["var_y"]
+    assert 0 <= r["reduction"] <= 1
+    assert abs(r["reduction"] - (r["var_y"] - r["var_adjusted"]) / r["var_y"]) < 1e-3
+
+
+def test_q233_ams_envelope(spark):
+    """AMS: the 32-lane tug-of-war estimate lands inside a loose
+    4-sigma envelope of the exact F2 (sd = sqrt(2/32)·F2), and the
+    emitted rel_err matches the estimate/exact pair."""
+    r = QUERIES["q233_ams_f2_sketch"](spark, SF).collect()[0]
+    assert r["f2_exact"] > 0
+    assert r["rel_err"] <= 4 * (2 / 32) ** 0.5, r
+    want = abs(r["f2_est"] - r["f2_exact"]) / r["f2_exact"]
+    assert abs(r["rel_err"] - want) < 1e-3
