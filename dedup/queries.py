@@ -15812,6 +15812,328 @@ FROM agg
 Q233_SQL = _q233_sql()
 
 
+def _truss_round(edges: DataFrame) -> DataFrame:
+    """One 4-truss peel: keep edges supported by >= 2 triangles
+    within the current edge set."""
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    tri = (
+        edges.alias("e")
+        .join(sym.alias("s"), F.col("s.a") == F.col("e.a"))
+        .filter(F.col("s.b") != F.col("e.b"))
+        .join(
+            edges.alias("t"),
+            (F.col("t.a") == F.least(F.col("e.b"), F.col("s.b")))
+            & (F.col("t.b") == F.greatest(F.col("e.b"), F.col("s.b"))),
+        )
+        .groupBy(
+            F.col("e.a").alias("a"), F.col("e.b").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return tri.filter(F.col("support") >= 2).select("a", "b", "support")
+
+
+def q234_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss decomposition of the q12 dup graph (Cohen '08) — the
+    edge-cohesion refinement of q174's k-core: an edge survives only
+    while ≥ 2 triangles support it within the surviving set, so
+    trusses keep tightly-verified dup neighborhoods and shed the
+    chains/stars that transitive closure happily glues together.
+    Three peel rounds statically unrolled (the q174/q84 static-DAG
+    convention); the fixpoint is verified against an independent
+    peel-to-convergence replay in the test suite.
+
+    Scale shape: every round is two joins over the CURRENT edge
+    relation (monotonically shrinking, ≪ corpus); supports are
+    partial-aggregated; no corpus scan after the pair relation."""
+    edges = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    e = edges.withColumn("support", F.lit(0).cast("long"))
+    for _ in range(3):
+        e = _truss_round(e.select("a", "b")).localCheckpoint()
+    return e
+
+
+def _q234_sql() -> str:
+    rnd = """
+, sym{k} AS (
+  SELECT a, b FROM e{p} UNION ALL SELECT b, a FROM e{p}
+), e{k} AS (
+  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM e{p} e
+  JOIN sym{k} s ON s.a = e.a AND s.b != e.b
+  JOIN e{p} t ON t.a = LEAST(e.b, s.b) AND t.b = GREATEST(e.b, s.b)
+  GROUP BY e.a, e.b
+  HAVING COUNT(*) >= 2
+)"""
+    chain = "".join(rnd.format(k=k, p=k - 1) for k in (1, 2, 3))
+    return f"""
+WITH pairs AS ({Q12_SQL}),
+e0 AS (SELECT a, b FROM pairs)
+{chain}
+SELECT a, b, support FROM e3
+"""
+
+
+Q234_SQL = _q234_sql()
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic ±1 JL projection matrix (16×64) from md5 — no
+    RNG, identical in any process."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"jl-{j}-{i}".encode()).hexdigest()[:1], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(64)
+        ]
+        for j in range(16)
+    ]
+
+
+def q235_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion audit — the
+    dimensionality-reduction contract measured before trusting a
+    16-d index over 64-d embeddings: a deterministic ±1 md5
+    projection matrix (Achlioptas '01 database-friendly JL), each
+    q14 near-dup pair's squared distance computed in BOTH spaces
+    with the q14 sequential-dot-product convention, and the scaled
+    ratio d16²/(16·d64²) per pair (a ±1 projection to k dims
+    inflates squared distances by k in expectation) — concentration around 1 is the JL
+    guarantee (envelope pinned loose at [0.1, 4] for 16 dims).
+
+    Scale shape: the 16 projections are narrow per-vector
+    expressions (broadcast-free, literal sign arrays); distances
+    join the pair relation against the projected vectors twice —
+    pair-sized work, one corpus pass for the projections."""
+    from .embedding import dot_expr
+
+    signs = _jl_signs()
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"p{j}")
+            for j in range(16)
+        ],
+    ).localCheckpoint()
+    pairs = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .alias("l")
+        .join(
+            _t(spark, sf_dir, "embeddings").select("vec_id").alias("r"),
+            F.col("l.vec_id") < F.col("r.vec_id"),
+        )
+        .select(
+            F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b")
+        )
+        .filter((F.col("a") + F.col("b")) % 499 == 0)
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        *[F.col(f"p{j}").alias(f"pa{j}") for j in range(16)],
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        *[F.col(f"p{j}").alias(f"pb{j}") for j in range(16)],
+    )
+    j = pairs.join(pa, "a").join(pb, "b")
+    d64 = (
+        dot_expr("va", "va") + dot_expr("vb", "vb")
+        - 2 * dot_expr("va", "vb")
+    )
+    d16 = None
+    for k in range(16):
+        term = (F.col(f"pa{k}") - F.col(f"pb{k}")) * (
+            F.col(f"pa{k}") - F.col(f"pb{k}")
+        )
+        d16 = term if d16 is None else d16 + term
+    return j.select(
+        "a",
+        "b",
+        F.round(d64, 6).alias("d64_sq"),
+        F.round(d16 / 16, 6).alias("d16_sq_scaled"),
+        F.round(d16 / 16 / d64, 4).alias("ratio"),
+    )
+
+
+def _q235_sql() -> str:
+    signs = _jl_signs()
+    projs = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(str(s) for s in signs[j])
+        + f"]) AS p{j}"
+        for j in range(16)
+    )
+    d16 = " + ".join(
+        f"(a.p{k} - b.p{k}) * (a.p{k} - b.p{k})" for k in range(16)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), proj AS (
+  SELECT vec_id, v, {projs} FROM e
+), pairs AS (
+  SELECT l.vec_id AS pa, r.vec_id AS pb
+  FROM e l JOIN e r ON l.vec_id < r.vec_id
+  WHERE (l.vec_id + r.vec_id) % 499 = 0
+)
+SELECT p.pa AS a, p.pb AS b,
+       ROUND(list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+             - 2 * list_dot_product(a.v, b.v), 6) AS d64_sq,
+       ROUND(({d16}) / 16, 6) AS d16_sq_scaled,
+       ROUND(({d16}) / 16
+             / (list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+                - 2 * list_dot_product(a.v, b.v)), 4) AS ratio
+FROM pairs p
+JOIN proj a ON a.vec_id = p.pa
+JOIN proj b ON b.vec_id = p.pb
+"""
+
+
+Q235_SQL = _q235_sql()
+
+
+def q236_join_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order cost audit — the optimizer decision materialized:
+    for σ(customer) ⋈ orders ⋈ σ(lineitem), both left-deep orders'
+    INTERMEDIATE cardinalities are estimated from the q201 256-cell
+    md5 histograms (two map-side passes per relation) and measured
+    exactly; the planner's pick is the estimate argmin, and the
+    emitted rows carry est vs actual for both orders plus the final
+    join size — which the join-commutativity law fixes to be
+    identical for both (pinned as a test).
+
+    Scale shape: histograms are KB-sized partial aggregates; the
+    audit's actual counts are the joins themselves (run once each);
+    in production only the histogram side runs."""
+    from .sampling import bucket_of
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select(F.col("l_orderkey").alias("ok"))
+    )
+    h = lambda df, key: df.select(  # noqa: E731
+        F.pmod(bucket_of(F.col(key), "joa-v1"), F.lit(256)).alias("bkt")
+    ).groupBy("bkt").agg(F.count("*").cast("long").alias("n"))
+    est = lambda h1, h2: (  # noqa: E731
+        h1.join(h2.withColumnRenamed("n", "n2"), "bkt")
+        .agg(F.sum(F.col("n") * F.col("n2")).cast("long").alias("est"))
+    )
+    est_co = est(h(cust, "ck"), h(orders, "ck"))
+    est_ol = est(h(orders, "ok"), h(li, "ok"))
+    co = cust.join(orders, "ck").localCheckpoint()
+    ol = orders.join(li, "ok").localCheckpoint()
+    act_co = co.agg(F.count("*").cast("long").alias("act"))
+    act_ol = ol.agg(F.count("*").cast("long").alias("act"))
+    final = co.join(li, "ok").agg(
+        F.count("*").cast("long").alias("final_rows")
+    )
+    row = lambda name, e, a: (  # noqa: E731
+        e.join(a).join(final).select(
+            F.lit(name).alias("join_order"),
+            F.col("est").alias("est_intermediate"),
+            F.col("act").alias("actual_intermediate"),
+            "final_rows",
+        )
+    )
+    both = row("customer_orders_first", est_co, act_co).unionByName(
+        row("orders_lineitem_first", est_ol, act_ol)
+    )
+    w = Window.orderBy("est_intermediate", "join_order")
+    return both.withColumn(
+        "chosen",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("int"),
+    )
+
+
+def _q236_sql() -> str:
+    from .sampling import bucket_sql
+
+    bc = bucket_sql("CAST(c_custkey AS VARCHAR)", "joa-v1")
+    bo = bucket_sql("CAST(o_custkey AS VARCHAR)", "joa-v1")
+    bok = bucket_sql("CAST(o_orderkey AS VARCHAR)", "joa-v1")
+    bl = bucket_sql("CAST(ok AS VARCHAR)", "joa-v1")
+    return f"""
+WITH cust AS (
+  SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000
+), li AS (
+  SELECT l_orderkey AS ok FROM lineitem WHERE l_quantity > 30
+), hc AS (
+  SELECT {bc} % 256 AS bkt, COUNT(*) AS n FROM customer
+  WHERE c_acctbal > 5000 GROUP BY 1
+), ho AS (
+  SELECT {bo} % 256 AS bkt, COUNT(*) AS n FROM orders GROUP BY 1
+), hok AS (
+  SELECT {bok} % 256 AS bkt, COUNT(*) AS n FROM orders GROUP BY 1
+), hl AS (
+  SELECT {bl} % 256 AS bkt, COUNT(*) AS n FROM li GROUP BY 1
+), est_co AS (
+  SELECT CAST(SUM(hc.n * ho.n) AS BIGINT) AS est
+  FROM hc JOIN ho ON ho.bkt = hc.bkt
+), est_ol AS (
+  SELECT CAST(SUM(hok.n * hl.n) AS BIGINT) AS est
+  FROM hok JOIN hl ON hl.bkt = hok.bkt
+), act_co AS (
+  SELECT COUNT(*) AS act FROM cust c JOIN orders o ON o.o_custkey = c.ck
+), act_ol AS (
+  SELECT COUNT(*) AS act FROM orders o JOIN li ON li.ok = o.o_orderkey
+), fin AS (
+  SELECT COUNT(*) AS final_rows
+  FROM cust c JOIN orders o ON o.o_custkey = c.ck
+  JOIN li ON li.ok = o.o_orderkey
+), both_orders AS (
+  SELECT 'customer_orders_first' AS join_order, e.est AS est_intermediate,
+         a.act AS actual_intermediate, f.final_rows
+  FROM est_co e, act_co a, fin f
+  UNION ALL
+  SELECT 'orders_lineitem_first', e.est, a.act, f.final_rows
+  FROM est_ol e, act_ol a, fin f
+)
+SELECT join_order, est_intermediate, actual_intermediate, final_rows,
+       CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY est_intermediate,
+                                         join_order) = 1
+            THEN 1 ELSE 0 END AS INT) AS chosen
+FROM both_orders
+"""
+
+
+Q236_SQL = _q236_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -16046,6 +16368,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q231_difference_in_differences": q231_difference_in_differences,
     "q232_cuped_adjustment": q232_cuped_adjustment,
     "q233_ams_f2_sketch": q233_ams_f2_sketch,
+    "q234_ktruss": q234_ktruss,
+    "q235_jl_projection_audit": q235_jl_projection_audit,
+    "q236_join_order_audit": q236_join_order_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -16284,4 +16609,7 @@ ORACLE_SQL: dict[str, str] = {
     "q231_difference_in_differences": Q231_SQL,
     "q232_cuped_adjustment": Q232_SQL,
     "q233_ams_f2_sketch": Q233_SQL,
+    "q234_ktruss": Q234_SQL,
+    "q235_jl_projection_audit": Q235_SQL,
+    "q236_join_order_audit": Q236_SQL,
 }

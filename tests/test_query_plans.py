@@ -2763,3 +2763,60 @@ def test_q233_ams_envelope(spark):
     assert r["rel_err"] <= 4 * (2 / 32) ** 0.5, r
     want = abs(r["f2_est"] - r["f2_exact"]) / r["f2_exact"]
     assert abs(r["rel_err"] - want) < 1e-3
+
+
+def test_q234_truss_fixpoint(spark):
+    """4-truss: the 3 unrolled peels reach the true fixpoint at this
+    SF — an independent python peel-to-convergence from the q12 pair
+    graph yields exactly the surviving edge set, and every survivor
+    reports support >= 2."""
+    rows = QUERIES["q234_ktruss"](spark, SF).collect()
+    pairs = {
+        (r["a"], r["b"])
+        for r in QUERIES["q12_docs_token_jaccard_pairs"](spark, SF)
+        .select("a", "b")
+        .collect()
+    }
+    edges = set(pairs)
+    while True:
+        def support(e):
+            a, b = e
+            na = {y for x, y in edges if x == a} | {x for x, y in edges if y == a}
+            nb = {y for x, y in edges if x == b} | {x for x, y in edges if y == b}
+            return len(na & nb)
+        keep = {e for e in edges if support(e) >= 2}
+        if keep == edges:
+            break
+        edges = keep
+    got = {(r["a"], r["b"]) for r in rows}
+    assert got == edges
+    for r in rows:
+        assert r["support"] >= 2
+
+
+def test_q235_jl_concentration(spark):
+    """JL: every sampled pair's scaled ratio is inside the loose
+    16-dim envelope and the mean ratio concentrates near 1."""
+    rows = QUERIES["q235_jl_projection_audit"](spark, SF).collect()
+    assert rows
+    ratios = [r["ratio"] for r in rows]
+    assert all(0.05 <= x <= 5 for x in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 <= mean <= 1.6, mean
+
+
+def test_q236_commutativity_and_bound(spark):
+    """Join-order audit: both orders report the identical final join
+    size (commutativity), estimates upper-bound actuals (the q201
+    bucket theorem), and exactly one order is chosen — the est
+    argmin."""
+    rows = QUERIES["q236_join_order_audit"](spark, SF).collect()
+    assert len(rows) == 2
+    assert rows[0]["final_rows"] == rows[1]["final_rows"]
+    for r in rows:
+        assert r["est_intermediate"] >= r["actual_intermediate"]
+    chosen = [r for r in rows if r["chosen"] == 1]
+    assert len(chosen) == 1
+    assert chosen[0]["est_intermediate"] == min(
+        r["est_intermediate"] for r in rows
+    )
