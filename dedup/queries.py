@@ -16134,6 +16134,315 @@ FROM both_orders
 Q236_SQL = _q236_sql()
 
 
+def q237_stack_distance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mattson stack-distance analysis (Mattson IBM Sys J '70) — the
+    cache-modeling primitive: every access's LRU reuse distance
+    (distinct OTHER items touched since the previous access to the
+    same item, within each user's event-type stream), folded into
+    the miss-ratio curve for cache sizes 1..4 in ONE pass — an LRU
+    cache of size c hits exactly the accesses with distance < c, so
+    the whole curve falls out without simulating any cache. Cold
+    (first-touch) misses are reported separately.
+
+    Scale shape: the between-accesses join is bounded by per-user
+    stream length (the per-key session, never the corpus); the
+    curve is a 4-row conditional rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    acc = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("prev_pos", F.lag("pos").over(wp))
+        .localCheckpoint()
+    )
+    between = (
+        acc.alias("a")
+        .filter(F.col("prev_pos").isNotNull())
+        .join(
+            acc.alias("m"),
+            (F.col("m.user_id") == F.col("a.user_id"))
+            & (F.col("m.pos") > F.col("a.prev_pos"))
+            & (F.col("m.pos") < F.col("a.pos")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("a.pos").alias("bpos")
+        )
+        .agg(
+            F.countDistinct(F.col("m.event_type")).cast("long").alias("rd")
+        )
+    )
+    dist = (
+        acc.filter(F.col("prev_pos").isNotNull())
+        .join(
+            between,
+            (F.col("user_id") == F.col("u"))
+            & (F.col("pos") == F.col("bpos")),
+            "left",
+        )
+        .select(F.coalesce("rd", F.lit(0)).alias("rd"))
+    )
+    total = acc.count()
+    cold = acc.filter(F.col("prev_pos").isNull()).count()
+    out = None
+    for c in (1, 2, 3, 4):
+        row = dist.agg(
+            F.lit(c).cast("int").alias("cache_size"),
+            F.sum(F.when(F.col("rd") < c, 1).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+        ).select(
+            "cache_size",
+            "hits",
+            F.lit(total).cast("long").alias("accesses"),
+            F.lit(cold).cast("long").alias("cold_misses"),
+            F.round(F.col("hits") / F.lit(total), 6).alias("hit_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _q237_sql() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {c} AS cache_size,
+       CAST(SUM(CASE WHEN rd < {c} THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       (SELECT COUNT(*) FROM acc) AS accesses,
+       (SELECT COUNT(*) FROM acc WHERE prev_pos IS NULL) AS cold_misses,
+       ROUND(SUM(CASE WHEN rd < {c} THEN 1 ELSE 0 END)
+             / CAST((SELECT COUNT(*) FROM acc) AS DOUBLE), 6) AS hit_ratio
+FROM dist"""
+        for c in (1, 2, 3, 4)
+    )
+    return f"""
+WITH acc0 AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events
+), acc AS (
+  SELECT user_id, event_type, pos,
+         LAG(pos) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS prev_pos
+  FROM acc0
+), between_cnt AS (
+  SELECT a.user_id AS u, a.pos,
+         CAST(COUNT(DISTINCT m.event_type) AS BIGINT) AS rd
+  FROM acc a JOIN acc m
+    ON m.user_id = a.user_id AND m.pos > a.prev_pos AND m.pos < a.pos
+  WHERE a.prev_pos IS NOT NULL
+  GROUP BY 1, 2
+), dist AS (
+  SELECT COALESCE(b.rd, 0) AS rd
+  FROM acc a LEFT JOIN between_cnt b
+    ON b.u = a.user_id AND b.pos = a.pos
+  WHERE a.prev_pos IS NOT NULL
+)
+{rows}
+"""
+
+
+Q237_SQL = _q237_sql()
+
+
+def q238_rolling_median_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel rolling-median despiking — the robust time-series
+    repair (Pearson '02) that the global median/MAD screen (q77)
+    can't do: each type's daily volume compared against the ±3-day
+    NEIGHBORHOOD median, MAD from a second pass over the same
+    neighborhood join, spike iff |v − med| > 3·MAD (scaled by 1000
+    into integer micro-units before the compare so no float
+    threshold crosses engines). Exact interpolated medians on
+    BIGINTs (the q46-proven percentile/quantile_cont parity).
+
+    Scale shape: ONE corpus exchange to the (type, day) grain;
+    the ±3-day self-join and both medians run on that calendar-
+    bounded relation."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    c = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+        .localCheckpoint()
+    )
+    nb = (
+        c.alias("x")
+        .join(
+            c.alias("n"),
+            (F.col("n.event_type") == F.col("x.event_type"))
+            & (F.col("n.day") >= F.col("x.day") - 3)
+            & (F.col("n.day") <= F.col("x.day") + 3),
+        )
+        .select(
+            F.col("x.event_type").alias("event_type"),
+            F.col("x.day").alias("day"),
+            F.col("x.v").alias("v"),
+            F.col("n.v").alias("nv"),
+        )
+    )
+    med = nb.groupBy("event_type", "day", "v").agg(
+        F.expr("percentile(nv, 0.5D)").alias("med")
+    )
+    mad = (
+        nb.join(med.select("event_type", "day", "med"), ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("percentile(abs(nv - med), 0.5D)").alias("mad")
+        )
+    )
+    return (
+        med.join(mad, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "v",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            F.when(
+                F.round(F.abs(F.col("v") - F.col("med")) * 1000)
+                > F.round(3 * F.col("mad") * 1000),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_spike"),
+        )
+    )
+
+
+Q238_SQL = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), nb AS (
+  SELECT x.event_type, x.day, x.v, n.v AS nv
+  FROM c x JOIN c n
+    ON n.event_type = x.event_type
+   AND n.day BETWEEN x.day - 3 AND x.day + 3
+), med AS (
+  SELECT event_type, day, v,
+         quantile_cont(CAST(nv AS BIGINT), 0.5) AS med
+  FROM nb GROUP BY 1, 2, 3
+), mad AS (
+  SELECT n.event_type, n.day,
+         quantile_cont(CAST(ABS(n.nv - m.med) AS DOUBLE), 0.5) AS mad
+  FROM nb n JOIN med m ON m.event_type = n.event_type AND m.day = n.day
+  GROUP BY 1, 2
+)
+SELECT m.event_type, m.day, m.v,
+       ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad,
+       CAST(CASE WHEN ROUND(ABS(m.v - m.med) * 1000)
+                      > ROUND(3 * d.mad * 1000)
+            THEN 1 ELSE 0 END AS INT) AS is_spike
+FROM med m JOIN mad d ON d.event_type = m.event_type AND d.day = m.day
+"""
+
+
+def q239_two_phase_rank_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed rank selection — the k-th largest price in
+    lineitem (k=1000) WITHOUT a global sort: phase 1 partial-
+    aggregates value-range bucket counts (cents div 65536), a
+    window over the KB-sized bucket relation locates the single
+    bucket containing global rank k, phase 2 sorts ONLY that
+    bucket's rows and picks rank k − preceding_count — the
+    distributed selection algorithm behind exact percentiles at
+    scale. The emitted certificate columns (rows strictly above /
+    at-or-above the answer) prove kth-largest-ness without trusting
+    the algorithm (pinned as a test).
+
+    Scale shape: one map-side-combined histogram pass + one
+    bucket-filtered scan whose sort is bucket-sized; the corpus
+    never globally sorts."""
+    k = 1000
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    hist = li.groupBy(
+        F.expr("cents div 65536").alias("bkt")
+    ).agg(F.count("*").cast("long").alias("n"))
+    wb = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    target = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("n").over(wb), F.lit(0)))
+        .filter(
+            (F.col("cum_before") < k)
+            & (F.col("cum_before") + F.col("n") >= k)
+        )
+        .select("bkt", "cum_before", F.col("n").alias("bucket_rows"))
+    )
+    in_bkt = li.join(
+        F.broadcast(target), F.expr("cents div 65536") == F.col("bkt")
+    )
+    wr = Window.orderBy(F.desc("cents"))
+    val = (
+        in_bkt.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == k - F.col("cum_before"))
+        .select("bkt", "cum_before", "bucket_rows", F.col("cents").alias("kth"))
+    )
+    audit = li.crossJoin(F.broadcast(val)).agg(
+        F.max("bkt").alias("bucket"),
+        F.max("cum_before").cast("long").alias("rows_in_higher_buckets"),
+        F.max("bucket_rows").cast("long").alias("bucket_rows"),
+        (F.max("kth") / 100.0).alias("kth_value"),
+        F.sum(F.when(F.col("cents") > F.col("kth"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_strictly_above"),
+        F.sum(F.when(F.col("cents") >= F.col("kth"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_or_above"),
+    )
+    return audit.select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "rows_in_higher_buckets",
+        "bucket_rows",
+        "kth_value",
+        "n_strictly_above",
+        "n_at_or_above",
+    )
+
+
+Q239_SQL = """
+WITH li AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), hist AS (
+  SELECT cents // 65536 AS bkt, COUNT(*) AS n FROM li GROUP BY 1
+), cum AS (
+  SELECT bkt, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY bkt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM hist
+), target AS (
+  SELECT bkt, cum_before, n AS bucket_rows FROM cum
+  WHERE cum_before < 1000 AND cum_before + n >= 1000
+), val AS (
+  SELECT t.bkt, t.cum_before, t.bucket_rows, cents AS kth FROM (
+    SELECT li.cents, t.bkt, t.cum_before, t.bucket_rows,
+           ROW_NUMBER() OVER (ORDER BY li.cents DESC) AS rk
+    FROM li JOIN target t ON li.cents // 65536 = t.bkt
+  ) s JOIN target t ON t.bkt = s.bkt
+  WHERE s.rk = 1000 - s.cum_before
+)
+SELECT CAST(1000 AS INT) AS k,
+       CAST(v.bkt AS BIGINT) AS bucket,
+       v.cum_before AS rows_in_higher_buckets,
+       v.bucket_rows,
+       v.kth / 100.0 AS kth_value,
+       CAST(SUM(CASE WHEN li.cents > v.kth THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_strictly_above,
+       CAST(SUM(CASE WHEN li.cents >= v.kth THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_or_above
+FROM li CROSS JOIN val v
+GROUP BY v.bkt, v.cum_before, v.bucket_rows, v.kth
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -16371,6 +16680,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q234_ktruss": q234_ktruss,
     "q235_jl_projection_audit": q235_jl_projection_audit,
     "q236_join_order_audit": q236_join_order_audit,
+    "q237_stack_distance_curve": q237_stack_distance_curve,
+    "q238_rolling_median_despike": q238_rolling_median_despike,
+    "q239_two_phase_rank_select": q239_two_phase_rank_select,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -16612,4 +16924,7 @@ ORACLE_SQL: dict[str, str] = {
     "q234_ktruss": Q234_SQL,
     "q235_jl_projection_audit": Q235_SQL,
     "q236_join_order_audit": Q236_SQL,
+    "q237_stack_distance_curve": Q237_SQL,
+    "q238_rolling_median_despike": Q238_SQL,
+    "q239_two_phase_rank_select": Q239_SQL,
 }

@@ -2820,3 +2820,59 @@ def test_q236_commutativity_and_bound(spark):
     assert chosen[0]["est_intermediate"] == min(
         r["est_intermediate"] for r in rows
     )
+
+
+def test_q237_curve_monotone(spark):
+    """Stack distances: the hit count is non-decreasing in cache
+    size (the LRU inclusion property), hits never exceed non-cold
+    accesses, and cold misses equal distinct (user, type) pairs."""
+    rows = sorted(
+        QUERIES["q237_stack_distance_curve"](spark, SF).collect(),
+        key=lambda r: r["cache_size"],
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cold = ev.select("user_id", "event_type").distinct().count()
+    total = ev.count()
+    for p, n in zip(rows, rows[1:]):
+        assert n["hits"] >= p["hits"]
+    for r in rows:
+        assert r["cold_misses"] == cold
+        assert r["accesses"] == total
+        assert 0 <= r["hits"] <= total - cold
+
+
+def test_q238_spike_rule_consistency(spark):
+    """Despike: one row per (type, observed day); the spike flag
+    exactly matches the emitted med/mad pair under the integer-
+    scaled Hampel rule; MAD is never negative."""
+    rows = QUERIES["q238_rolling_median_despike"](spark, SF).collect()
+    n_cells = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+        )
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_cells
+    for r in rows:
+        assert r["mad"] >= 0
+        want = 1 if round(abs(r["v"] - r["med"]) * 1000) > round(3 * r["mad"] * 1000) else 0
+        assert r["is_spike"] == want
+
+
+def test_q239_kth_certificate(spark):
+    """Rank selection: the certificate proves kth-largest-ness —
+    strictly-above < k <= at-or-above — and an independent exact
+    sort agrees on the value."""
+    r = QUERIES["q239_two_phase_rank_select"](spark, SF).collect()[0]
+    assert r["n_strictly_above"] < r["k"] <= r["n_at_or_above"]
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .selectExpr("CAST(ROUND(l_extendedprice * 100) AS LONG) AS cents")
+        .orderBy(F.desc("cents"))
+        .limit(r["k"])
+        .collect()
+    )
+    assert li[-1]["cents"] / 100.0 == r["kth_value"]
