@@ -16443,6 +16443,348 @@ GROUP BY v.bkt, v.cum_before, v.bucket_rows, v.kth
 """
 
 
+def _lcp16_col(prev: "F.Column", cur: "F.Column") -> "F.Column":
+    """Longest common prefix capped at 16 chars — prefix matching is
+    monotone, so summing the 16 indicator terms is exact."""
+    out = F.lit(0)
+    for i in range(1, 17):
+        out = out + F.when(
+            (F.length(prev) >= i)
+            & (F.length(cur) >= i)
+            & (F.substring(prev, 1, i) == F.substring(cur, 1, i)),
+            1,
+        ).otherwise(0)
+    return out.cast("long")
+
+
+def q240_front_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coded term dictionary sizing (the Lucene/inverted-index
+    dictionary compressor): the sorted vocabulary's adjacent
+    longest-common-prefix lengths (capped at 16 — exactly the cap a
+    front coder uses; computed as a sum of 16 monotone prefix
+    indicators, no LCP builtin needed in either engine), total
+    plain bytes vs front-coded bytes (suffix bytes + one lcp-length
+    byte per term), and the saving fraction — the number that
+    decides whether the term dictionary ships front-coded.
+
+    Scale shape: the vocabulary relation (≪ corpus) sorts once for
+    the adjacency window; everything else is one rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(normalize_sql(F.col("text")), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("tok")
+        .distinct()
+    )
+    w = Window.orderBy("tok")
+    lcp = vocab.withColumn("prev", F.lag("tok").over(w)).withColumn(
+        "lcp",
+        F.when(F.col("prev").isNull(), F.lit(0).cast("long")).otherwise(
+            _lcp16_col(F.col("prev"), F.col("tok"))
+        ),
+    )
+    return lcp.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.length("tok")).cast("long").alias("plain_bytes"),
+        (
+            F.sum(F.length("tok") - F.col("lcp")) + F.count("*")
+        ).cast("long").alias("front_bytes"),
+        F.max("lcp").cast("long").alias("max_lcp"),
+    ).withColumn(
+        "saved_frac",
+        F.round(
+            1 - F.col("front_bytes") / F.col("plain_bytes").cast("double"),
+            6,
+        ),
+    )
+
+
+def _q240_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN length(prev) >= {i} AND length(tok) >= {i}"
+        f" AND substring(prev, 1, {i}) = substring(tok, 1, {i})"
+        f" THEN 1 ELSE 0 END"
+        for i in range(1, 17)
+    )
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+  ) WHERE tok != ''
+), lcp AS (
+  SELECT tok,
+         CASE WHEN prev IS NULL THEN 0 ELSE {terms} END AS lcp
+  FROM (SELECT tok, LAG(tok) OVER (ORDER BY tok) AS prev FROM vocab)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(length(tok)) AS BIGINT) AS plain_bytes,
+       CAST(SUM(length(tok) - lcp) + COUNT(*) AS BIGINT) AS front_bytes,
+       CAST(MAX(lcp) AS BIGINT) AS max_lcp,
+       ROUND(1 - (SUM(length(tok) - lcp) + COUNT(*))
+                 / CAST(SUM(length(tok)) AS DOUBLE), 6) AS saved_frac
+FROM lcp
+"""
+
+
+Q240_SQL = _q240_sql()
+
+
+def q241_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup transitivity violation audit — the methodology
+    number behind connected-components clustering: similarity is
+    NOT transitive, so every OPEN wedge (a−b, a−c verified, b−c
+    not) is a place where CC glues a pair the verifier rejected.
+    Counts wedges/closed/open over the q12 graph, and for the
+    distinct missing pairs computes the exact token Jaccard in
+    integer basis points (inter·10⁴ div union — float-sum-proof),
+    emitting the mean missing-pair similarity: how far below
+    threshold the glued pairs actually are.
+
+    Scale shape: wedge generation is a pair-relation self-join on
+    the shared endpoint; the missing-pair Jaccard join touches only
+    the open-wedge closure pairs — all ≪ corpus."""
+    edges = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    wedges = (
+        sym.alias("l")
+        .join(sym.alias("r"), F.col("l.a") == F.col("r.a"))
+        .filter(F.col("l.b") < F.col("r.b"))
+        .select(
+            F.col("l.b").alias("u"), F.col("r.b").alias("v")
+        )
+    )
+    closed = wedges.join(
+        edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ),
+        ["u", "v"],
+        "left_semi",
+    )
+    missing = (
+        wedges.join(
+            edges.select(
+                F.col("a").alias("u"), F.col("b").alias("v")
+            ),
+            ["u", "v"],
+            "left_anti",
+        )
+        .distinct()
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(normalize_sql(F.col("text")), " ")
+        ).alias("toks"),
+    )
+    inter = F.size(F.array_intersect(F.col("tu"), F.col("tv")))
+    uni = F.size("tu") + F.size("tv") - inter
+    mj = (
+        missing.join(
+            toks.select(F.col("doc_id").alias("u"), F.col("toks").alias("tu")),
+            "u",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("v"), F.col("toks").alias("tv")),
+            "v",
+        )
+        .select(
+            F.floor(inter * 10000 / uni).cast("long").alias("jac_bp"),
+        )
+    )
+    n_wedges = wedges.count()
+    n_closed = closed.count()
+    return mj.agg(
+        F.lit(n_wedges).cast("long").alias("n_wedges"),
+        F.lit(n_closed).cast("long").alias("n_closed"),
+        F.lit(n_wedges - n_closed).cast("long").alias("n_open"),
+        F.count("*").cast("long").alias("n_missing_pairs"),
+        F.round(F.lit(n_closed) / F.lit(n_wedges), 6).alias("closure_rate"),
+        F.round(F.sum("jac_bp") / F.count("*") / 10000.0, 6).alias(
+            "mean_missing_jac"
+        ),
+    )
+
+
+Q241_SQL = f"""
+WITH pairs AS ({Q12_SQL}),
+edges AS (SELECT a, b FROM pairs),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+wedges AS (
+  SELECT l.b AS u, r.b AS v
+  FROM sym l JOIN sym r ON r.a = l.a AND l.b < r.b
+), closed AS (
+  SELECT w.u, w.v FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = w.u AND e.b = w.v)
+), missing AS (
+  SELECT DISTINCT w.u, w.v FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = w.u AND e.b = w.v)
+), tok AS (
+  SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+), mj AS (
+  SELECT CAST(len(list_intersect(tu.toks, tv.toks)) * 10000
+              // (len(tu.toks) + len(tv.toks)
+                  - len(list_intersect(tu.toks, tv.toks))) AS BIGINT)
+           AS jac_bp
+  FROM missing m
+  JOIN tok tu ON tu.doc_id = m.u
+  JOIN tok tv ON tv.doc_id = m.v
+)
+SELECT (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       (SELECT COUNT(*) FROM closed) AS n_closed,
+       (SELECT COUNT(*) FROM wedges) - (SELECT COUNT(*) FROM closed)
+         AS n_open,
+       COUNT(*) AS n_missing_pairs,
+       ROUND((SELECT COUNT(*) FROM closed)
+             / CAST((SELECT COUNT(*) FROM wedges) AS DOUBLE), 6)
+         AS closure_rate,
+       ROUND(SUM(jac_bp) / CAST(COUNT(*) AS DOUBLE) / 10000.0, 6)
+         AS mean_missing_jac
+FROM mj
+"""
+
+
+def q242_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's paradox detector — the aggregation-honesty audit: a
+    treated/control user split (md5 rule), purchase share among
+    view+purchase events as the metric, stratified by day-of-week;
+    each stratum's direction is compared against the pooled
+    direction ENTIRELY in integer cross-multiplications (p_t·n_c vs
+    p_c·n_t — no float rate ever compared), flagging strata whose
+    sign flips: the classic warning that a pooled A/B readout can
+    invert under a lurking stratifier.
+
+    Scale shape: ONE partial-aggregated exchange to the (stratum,
+    group) grain; the pooled row broadcasts back; all comparisons
+    integer."""
+    from .sampling import bucket_of
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    g = ev.select(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000) % 7"
+        ).cast("int").alias("dow"),
+        F.when(
+            F.pmod(bucket_of(F.col("user_id"), "simp-v1"), 2) == 0, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    cells = g.groupBy("dow", "treated").agg(
+        F.sum("p").cast("long").alias("purch"),
+        F.count("*").cast("long").alias("n"),
+    )
+    strata = (
+        cells.groupBy("dow")
+        .agg(
+            F.max(F.when(F.col("treated") == 1, F.col("purch"))).alias("pt"),
+            F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("nt"),
+            F.max(F.when(F.col("treated") == 0, F.col("purch"))).alias("pc"),
+            F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("nc"),
+        )
+    )
+    pooled = strata.agg(
+        F.sum("pt").alias("gpt"),
+        F.sum("nt").alias("gnt"),
+        F.sum("pc").alias("gpc"),
+        F.sum("nc").alias("gnc"),
+    )
+    sgn = lambda a, b: (  # noqa: E731
+        F.when(a > b, 1).when(a < b, -1).otherwise(0)
+    )
+    return (
+        strata.crossJoin(F.broadcast(pooled))
+        .select(
+            "dow",
+            "pt",
+            "nt",
+            "pc",
+            "nc",
+            sgn(
+                F.col("pt") * F.col("nc"), F.col("pc") * F.col("nt")
+            ).cast("int").alias("stratum_dir"),
+            sgn(
+                F.col("gpt") * F.col("gnc"), F.col("gpc") * F.col("gnt")
+            ).cast("int").alias("pooled_dir"),
+        )
+        .withColumn(
+            "flipped",
+            F.when(
+                (F.col("stratum_dir") != 0)
+                & (F.col("pooled_dir") != 0)
+                & (F.col("stratum_dir") != F.col("pooled_dir")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+    )
+
+
+def _q242_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("user_id", "simp-v1")
+    return f"""
+WITH g AS (
+  SELECT CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow,
+         CASE WHEN {b} % 2 = 0 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events WHERE event_type IN ('view', 'purchase')
+), cells AS (
+  SELECT dow, treated, CAST(SUM(p) AS BIGINT) AS purch, COUNT(*) AS n
+  FROM g GROUP BY 1, 2
+), strata AS (
+  SELECT dow,
+         MAX(CASE WHEN treated = 1 THEN purch END) AS pt,
+         MAX(CASE WHEN treated = 1 THEN n END) AS nt,
+         MAX(CASE WHEN treated = 0 THEN purch END) AS pc,
+         MAX(CASE WHEN treated = 0 THEN n END) AS nc
+  FROM cells GROUP BY 1
+), pooled AS (
+  SELECT CAST(SUM(pt) AS BIGINT) AS gpt, CAST(SUM(nt) AS BIGINT) AS gnt,
+         CAST(SUM(pc) AS BIGINT) AS gpc, CAST(SUM(nc) AS BIGINT) AS gnc
+  FROM strata
+)
+SELECT dow, pt, nt, pc, nc,
+       CAST(CASE WHEN pt * nc > pc * nt THEN 1
+                 WHEN pt * nc < pc * nt THEN -1 ELSE 0 END AS INT)
+         AS stratum_dir,
+       CAST(CASE WHEN gpt * gnc > gpc * gnt THEN 1
+                 WHEN gpt * gnc < gpc * gnt THEN -1 ELSE 0 END AS INT)
+         AS pooled_dir,
+       CAST(CASE WHEN (CASE WHEN pt * nc > pc * nt THEN 1
+                            WHEN pt * nc < pc * nt THEN -1 ELSE 0 END) != 0
+                  AND (CASE WHEN gpt * gnc > gpc * gnt THEN 1
+                            WHEN gpt * gnc < gpc * gnt THEN -1
+                            ELSE 0 END) != 0
+                  AND (CASE WHEN pt * nc > pc * nt THEN 1
+                            WHEN pt * nc < pc * nt THEN -1 ELSE 0 END)
+                      != (CASE WHEN gpt * gnc > gpc * gnt THEN 1
+                               WHEN gpt * gnc < gpc * gnt THEN -1
+                               ELSE 0 END)
+            THEN 1 ELSE 0 END AS INT) AS flipped
+FROM strata, pooled
+"""
+
+
+Q242_SQL = _q242_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -16683,6 +17025,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q237_stack_distance_curve": q237_stack_distance_curve,
     "q238_rolling_median_despike": q238_rolling_median_despike,
     "q239_two_phase_rank_select": q239_two_phase_rank_select,
+    "q240_front_coding": q240_front_coding,
+    "q241_transitivity_audit": q241_transitivity_audit,
+    "q242_simpsons_paradox": q242_simpsons_paradox,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -16927,4 +17272,7 @@ ORACLE_SQL: dict[str, str] = {
     "q237_stack_distance_curve": Q237_SQL,
     "q238_rolling_median_despike": Q238_SQL,
     "q239_two_phase_rank_select": Q239_SQL,
+    "q240_front_coding": Q240_SQL,
+    "q241_transitivity_audit": Q241_SQL,
+    "q242_simpsons_paradox": Q242_SQL,
 }

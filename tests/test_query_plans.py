@@ -2876,3 +2876,47 @@ def test_q239_kth_certificate(spark):
         .collect()
     )
     assert li[-1]["cents"] / 100.0 == r["kth_value"]
+
+
+def test_q240_front_coding_bounds(spark):
+    """Front coding: front bytes never exceed plain + n (lcp >= 0),
+    never go below n (suffixes non-negative), lcp cap respected,
+    and the saving fraction is the exact recomputed ratio."""
+    r = QUERIES["q240_front_coding"](spark, SF).collect()[0]
+    assert r["n_terms"] <= r["front_bytes"] <= r["plain_bytes"] + r["n_terms"]
+    assert 0 <= r["max_lcp"] <= 16
+    want = round(1 - r["front_bytes"] / r["plain_bytes"], 6)
+    assert abs(r["saved_frac"] - want) < 1e-9
+
+
+def test_q241_wedge_accounting(spark):
+    """Transitivity audit: closed + open = wedges; every missing
+    pair's mean Jaccard sits BELOW the 0.5 verification threshold
+    (they were rejected) and above zero (they share a neighbor)."""
+    r = QUERIES["q241_transitivity_audit"](spark, SF).collect()[0]
+    assert r["n_closed"] + r["n_open"] == r["n_wedges"]
+    assert r["n_missing_pairs"] <= r["n_open"]
+    assert 0 < r["mean_missing_jac"] < 0.5
+    assert abs(r["closure_rate"] - round(r["n_closed"] / r["n_wedges"], 6)) < 1e-9
+
+
+def test_q242_strata_consistency(spark):
+    """Simpson detector: 7 strata; cell counts partition the
+    view/purchase events; each flip flag matches the emitted
+    integer directions."""
+    rows = QUERIES["q242_simpsons_paradox"](spark, SF).collect()
+    assert len(rows) == 7
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    assert sum(r["nt"] + r["nc"] for r in rows) == ev.count()
+    for r in rows:
+        want = (
+            1
+            if r["stratum_dir"] != 0
+            and r["pooled_dir"] != 0
+            and r["stratum_dir"] != r["pooled_dir"]
+            else 0
+        )
+        assert r["flipped"] == want
+        assert len({x["pooled_dir"] for x in rows}) == 1
