@@ -16785,6 +16785,265 @@ FROM strata, pooled
 Q242_SQL = _q242_sql()
 
 
+def q243_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining — the training-data prep for
+    similarity models: every q12 dup pair becomes (anchor, positive,
+    hard-negative) where the hard negative is the MOST similar
+    non-duplicate in the anchor's (lang, source) block (exact token
+    Jaccard, rounded then tie-broken on doc id — fully
+    deterministic), i.e. exactly the near-miss a bi-encoder must
+    learn to push away. Emits the negative's similarity so the
+    margin distribution is auditable.
+
+    Scale shape: candidates come from the SAME blocking the dedup
+    engine already uses — pair × block-mates join (block-bounded
+    fan-out), left-anti against the edge set, one window argmax per
+    pair; never a corpus cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.split(normalize_sql(F.col("text")), " ")
+        ).alias("toks"),
+    ).localCheckpoint()
+    pairs = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    anc = pairs.join(
+        toks.select(
+            F.col("doc_id").alias("a"),
+            "lang",
+            "source",
+            F.col("toks").alias("ta"),
+        ),
+        "a",
+    )
+    cand = anc.join(
+        toks.select(
+            "lang", "source", F.col("doc_id").alias("c"), F.col("toks").alias("tc")
+        ),
+        ["lang", "source"],
+    ).filter((F.col("c") != F.col("a")) & (F.col("c") != F.col("b")))
+    edges_sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a"), F.col("b").alias("c"))
+    nonadj = cand.join(edges_sym, ["a", "c"], "left_anti")
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tc")))
+    uni = F.size("ta") + F.size("tc") - inter
+    scored = nonadj.select(
+        "a", "b", "c", F.round(inter / uni, 4).alias("jac")
+    )
+    w = Window.partitionBy("a", "b").orderBy(F.desc("jac"), F.asc("c"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a").alias("anchor"),
+            F.col("b").alias("positive"),
+            F.col("c").alias("negative"),
+            F.col("jac").alias("neg_jac"),
+        )
+    )
+
+
+Q243_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+), pairs AS ({Q12_SQL}),
+edges AS (SELECT a, b FROM pairs),
+sym AS (SELECT a, b AS c FROM edges UNION ALL SELECT b, a FROM edges),
+cand AS (
+  SELECT p.a, p.b, tc.doc_id AS c,
+         ROUND(CAST(len(list_intersect(ta.toks, tc.toks)) AS DOUBLE)
+               / (len(ta.toks) + len(tc.toks)
+                  - len(list_intersect(ta.toks, tc.toks))), 4) AS jac
+  FROM edges p
+  JOIN tok ta ON ta.doc_id = p.a
+  JOIN tok tc ON tc.lang = ta.lang AND tc.source = ta.source
+  WHERE tc.doc_id != p.a AND tc.doc_id != p.b
+    AND NOT EXISTS (SELECT 1 FROM sym s
+                    WHERE s.a = p.a AND s.c = tc.doc_id)
+)
+SELECT a AS anchor, b AS positive, c AS negative, jac AS neg_jac
+FROM (
+  SELECT a, b, c, jac,
+         ROW_NUMBER() OVER (PARTITION BY a, b
+                            ORDER BY jac DESC, c) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+def q244_token_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation — the text-side data
+    augmentation op (seeded, so regenerable anywhere): each token
+    position survives unless md5(doc|pos|salt) starts with hex '0'
+    (a fixed 1/16 dropout), the augmented document is rebuilt in
+    position order (the q120 ordered-aggregation convention), and
+    the row ships the original/kept token counts plus the md5 of
+    the augmented text so the strings themselves are value-checked
+    without megabyte rows.
+
+    Scale shape: stateless explode → filter → ordered re-agg at the
+    doc grain; one exchange, no Python, reproducible on any
+    executor by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(normalize_sql(F.col("text")), " ")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    kept = t.withColumn(
+        "keep",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                    F.lit("aug-v1"),
+                )
+            ),
+            1,
+            1,
+        )
+        != "0",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("aug_md5"),
+    )
+    return agg
+
+
+Q244_SQL = f"""
+WITH t AS (
+  SELECT doc_id, pos - 1 AS pos, tok FROM (
+    SELECT doc_id,
+           unnest(string_split({_NORM}, ' ')) AS tok,
+           generate_subscripts(string_split({_NORM}, ' '), 1) AS pos
+    FROM documents
+  ) WHERE tok != ''
+), kept AS (
+  SELECT doc_id, pos, tok,
+         substring(md5(concat(CAST(doc_id AS VARCHAR), '|',
+                              CAST(pos AS VARCHAR), '|', 'aug-v1')), 1, 1)
+           != '0' AS keep
+  FROM t
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos))
+         AS aug_md5
+FROM kept GROUP BY doc_id
+"""
+
+
+def q245_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two deterministic
+    quality labelers (rule A: ≥ 200 chars; rule B: ≥ 40 tokens) —
+    the evaluation metric that separates real agreement from the
+    chance agreement two correlated rules get for free: po from the
+    exact 2×2 confusion counts, pe from the marginals, κ =
+    (po − pe)/(1 − pe), integers until the last divisions.
+
+    Scale shape: both labels are narrow per-row expressions; one
+    4-cell conditional rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(
+                F.array_remove(
+                    F.split(normalize_sql(F.col("text")), " "), ""
+                )
+            )
+            >= 40,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    agg = lab.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    return agg.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+Q245_SQL = f"""
+WITH lab AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(list_filter(string_split({_NORM}, ' '),
+                                   x -> x != '')) >= 40
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM lab
+)
+SELECT n, n11, n10, n01, n00,
+       ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+       ROUND(((n11 + n10) * (n11 + n01)
+              + (n01 + n00) * (n10 + n00))
+             / (CAST(n AS DOUBLE) * n), 6) AS pe,
+       ROUND(((n11 + n00) / CAST(n AS DOUBLE)
+              - ((n11 + n10) * (n11 + n01)
+                 + (n01 + n00) * (n10 + n00)) / (CAST(n AS DOUBLE) * n))
+             / (1 - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -17028,6 +17287,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q240_front_coding": q240_front_coding,
     "q241_transitivity_audit": q241_transitivity_audit,
     "q242_simpsons_paradox": q242_simpsons_paradox,
+    "q243_triplet_mining": q243_triplet_mining,
+    "q244_token_dropout_augmentation": q244_token_dropout_augmentation,
+    "q245_cohens_kappa": q245_cohens_kappa,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -17275,4 +17537,7 @@ ORACLE_SQL: dict[str, str] = {
     "q240_front_coding": Q240_SQL,
     "q241_transitivity_audit": Q241_SQL,
     "q242_simpsons_paradox": Q242_SQL,
+    "q243_triplet_mining": Q243_SQL,
+    "q244_token_dropout_augmentation": Q244_SQL,
+    "q245_cohens_kappa": Q245_SQL,
 }

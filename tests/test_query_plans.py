@@ -2920,3 +2920,57 @@ def test_q242_strata_consistency(spark):
         )
         assert r["flipped"] == want
         assert len({x["pooled_dir"] for x in rows}) == 1
+
+
+def test_q243_triplet_margins(spark):
+    """Triplets: one per q12 pair (when a non-adjacent block-mate
+    exists); the hard negative is never the positive, never
+    adjacent to the anchor, and its similarity sits below the 0.5
+    verification threshold."""
+    rows = QUERIES["q243_triplet_mining"](spark, SF).collect()
+    pairs = {
+        (r["a"], r["b"])
+        for r in QUERIES["q12_docs_token_jaccard_pairs"](spark, SF)
+        .select("a", "b")
+        .collect()
+    }
+    adj = pairs | {(b, a) for a, b in pairs}
+    assert rows and len(rows) <= len(pairs)
+    for r in rows:
+        assert (r["anchor"], r["positive"]) in pairs
+        assert r["negative"] not in (r["anchor"], r["positive"])
+        assert (r["anchor"], r["negative"]) not in adj
+        assert r["neg_jac"] < 0.5
+
+
+def test_q244_dropout_rate(spark):
+    """Augmentation: every doc keeps a subset (n_kept <= n_tokens),
+    the corpus-wide dropout rate concentrates near 1/16, and the
+    md5s are deterministic across two runs."""
+    rows = QUERIES["q244_token_dropout_augmentation"](spark, SF).collect()
+    tot = sum(r["n_tokens"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert all(0 <= r["n_kept"] <= r["n_tokens"] for r in rows)
+    rate = 1 - kept / tot
+    assert 0.03 <= rate <= 0.10, rate
+    again = {
+        r["doc_id"]: r["aug_md5"]
+        for r in QUERIES["q244_token_dropout_augmentation"](spark, SF).collect()
+    }
+    assert all(again[r["doc_id"]] == r["aug_md5"] for r in rows)
+
+
+def test_q245_kappa_identities(spark):
+    """Kappa: cells partition the corpus, po/pe/kappa satisfy their
+    defining identities, and kappa <= po (pe >= 0)."""
+    r = QUERIES["q245_cohens_kappa"](spark, SF).collect()[0]
+    assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
+    po = (r["n11"] + r["n00"]) / r["n"]
+    pe = (
+        (r["n11"] + r["n10"]) * (r["n11"] + r["n01"])
+        + (r["n01"] + r["n00"]) * (r["n10"] + r["n00"])
+    ) / r["n"] ** 2
+    assert abs(r["po"] - round(po, 6)) < 1e-9
+    assert abs(r["pe"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-6
+    assert -1 <= r["kappa"] <= 1
