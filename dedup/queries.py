@@ -17044,6 +17044,242 @@ FROM agg
 """
 
 
+def q246_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-gram count-filtered edit-distance join (Gravano VLDB'01,
+    Ukkonen's theorem: ed(x,y) ≤ k ⇒ common bigrams ≥
+    max(|Gx|,|Gy|) − k·q) — the similarity-join filter that makes
+    edit distance joinable: block-scoped candidate pairs keep only
+    those with enough common positional bigrams (multiset counts,
+    the q219 Σmin identity), then the exact levenshtein (a builtin
+    with identical unit-cost semantics in both engines) verifies
+    ed ≤ 2. The filter's ZERO-FALSE-NEGATIVE theorem is pinned
+    against a brute-force block scan in the tests.
+
+    Scale shape: the bigram join is block+gram bounded (never a
+    corpus cross join); expensive levenshtein runs only on filter
+    survivors — the entire point of the filter."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        normalize_sql(F.col("text")).alias("norm"),
+    ).localCheckpoint()
+    grams = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(norm) - 1, 1)),"
+                " i -> substring(norm, i, 2))"
+            )
+        ).alias("g"),
+    ).groupBy("doc_id", "lang", "source", "g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    la = grams.groupBy("doc_id").agg(F.sum("c").alias("ng"))
+    common = (
+        grams.alias("l")
+        .join(
+            grams.alias("r"),
+            (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.g") == F.col("r.g"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.sum(F.least("l.c", "r.c")).cast("long").alias("common"))
+    )
+    cand = (
+        common.join(la.select(F.col("doc_id").alias("a"), F.col("ng").alias("na")), "a")
+        .join(la.select(F.col("doc_id").alias("b"), F.col("ng").alias("nb")), "b")
+        .filter(
+            F.col("common") >= F.greatest("na", "nb") - 4
+        )
+    )
+    return (
+        cand.join(
+            base.select(F.col("doc_id").alias("a"), F.col("norm").alias("sa")),
+            "a",
+        )
+        .join(
+            base.select(F.col("doc_id").alias("b"), F.col("norm").alias("sb")),
+            "b",
+        )
+        .withColumn("ed", F.levenshtein("sa", "sb").cast("long"))
+        .filter(F.col("ed") <= 2)
+        .select("a", "b", "ed", "common", "na", "nb")
+    )
+
+
+Q246_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, {_NORM} AS norm FROM documents
+), grams AS (
+  SELECT doc_id, lang, source, g, COUNT(*) AS c FROM (
+    SELECT doc_id, lang, source,
+           substring(norm, CAST(i AS INT), 2) AS g
+    FROM base,
+         unnest(range(1, GREATEST(length(norm) - 1, 1) + 1)) AS t(i)
+  ) GROUP BY 1, 2, 3, 4
+), la AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ng FROM grams GROUP BY 1
+), common AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         CAST(SUM(LEAST(l.c, r.c)) AS BIGINT) AS common
+  FROM grams l JOIN grams r
+    ON r.lang = l.lang AND r.source = l.source AND r.g = l.g
+   AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT c.a, c.b, c.common, na.ng AS na, nb.ng AS nb
+  FROM common c
+  JOIN la na ON na.doc_id = c.a
+  JOIN la nb ON nb.doc_id = c.b
+  WHERE c.common >= GREATEST(na.ng, nb.ng) - 4
+)
+SELECT c.a, c.b,
+       CAST(levenshtein(sa.norm, sb.norm) AS BIGINT) AS ed,
+       c.common, c.na, c.nb
+FROM cand c
+JOIN base sa ON sa.doc_id = c.a
+JOIN base sb ON sb.doc_id = c.b
+WHERE levenshtein(sa.norm, sb.norm) <= 2
+"""
+
+
+def q247_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR of daily revenue — the tail
+    risk pair at α = 5%: daily order-revenue totals in exact cents,
+    the k = ⌈0.05·n⌉ worst days selected by exact rank (revenue
+    asc, day asc ties), VaR = the k-th worst day's revenue, CVaR =
+    the exact integer mean of the worst k (one division). The
+    tail-selection is rank-exact, never quantile-interpolated, so
+    both engines pick the identical day set.
+
+    Scale shape: one exchange to the day grain (calendar-bounded);
+    the rank window runs on that bounded relation."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    daily = o.groupBy(day.alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy(F.asc("cents"), F.asc("day"))
+    ranked = daily.withColumn("rk", F.row_number().over(w))
+    nrow = daily.agg(F.count("*").cast("long").alias("n_days"))
+    k = F.ceil(F.col("n_days") * 5 / 100).cast("long")
+    tail = ranked.crossJoin(F.broadcast(nrow)).filter(F.col("rk") <= k)
+    return tail.agg(
+        F.max("n_days").alias("n_days"),
+        F.count("*").cast("long").alias("k"),
+        (F.max(F.when(F.col("rk") == k, F.col("cents"))) / 100.0).alias(
+            "var_value"
+        ),
+        F.round(F.sum("cents") / F.count("*") / 100.0, 4).alias(
+            "cvar_value"
+        ),
+    )
+
+
+Q247_SQL = """
+WITH daily AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT day, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, day) AS rk,
+         COUNT(*) OVER () AS n_days
+  FROM daily
+), tail AS (
+  SELECT * FROM ranked WHERE rk <= CAST(CEIL(n_days * 5 / 100.0) AS BIGINT)
+)
+SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+       COUNT(*) AS k,
+       MAX(CASE WHEN rk = CAST(CEIL(n_days * 5 / 100.0) AS BIGINT)
+           THEN cents END) / 100.0 AS var_value,
+       ROUND(SUM(cents) / CAST(COUNT(*) AS DOUBLE) / 100.0, 4)
+         AS cvar_value
+FROM tail
+"""
+
+
+def q248_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (80/95) Pareto classification of parts by revenue — the
+    inventory-analytics standard on top of q119's Lorenz curve:
+    parts ranked by exact cents revenue (deterministic ties), class
+    boundaries decided by INTEGER cross-multiplication on the
+    cumulative-before share (cum·100 < total·80 → A, < total·95 →
+    B, else C) so no float share ever crosses engines; per-class
+    census with counts, revenue, and exact shares.
+
+    Scale shape: one exchange to the part grain; the cumulative
+    window and class rollup run on the part relation (≪ corpus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("part")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_part.agg(F.sum("cents").cast("long").alias("total"))
+    classed = (
+        per_part.withColumn(
+            "cum_before", F.coalesce(F.sum("cents").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "abc",
+            F.when(
+                F.col("cum_before") * 100 < F.col("total") * 80, "A"
+            )
+            .when(F.col("cum_before") * 100 < F.col("total") * 95, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+        F.round(
+            F.sum("cents") / F.max("total").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+Q248_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS part,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_part),
+classed AS (
+  SELECT part, cents, total,
+         CAST(COALESCE(SUM(cents) OVER (ORDER BY cents DESC, part
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM per_part, tot
+)
+SELECT CASE WHEN cum_before * 100 < total * 80 THEN 'A'
+            WHEN cum_before * 100 < total * 95 THEN 'B'
+            ELSE 'C' END AS abc,
+       COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS class_cents,
+       ROUND(SUM(cents) / CAST(MAX(total) AS DOUBLE), 6) AS revenue_share
+FROM classed GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -17290,6 +17526,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q243_triplet_mining": q243_triplet_mining,
     "q244_token_dropout_augmentation": q244_token_dropout_augmentation,
     "q245_cohens_kappa": q245_cohens_kappa,
+    "q246_qgram_edit_join": q246_qgram_edit_join,
+    "q247_var_cvar": q247_var_cvar,
+    "q248_abc_classification": q248_abc_classification,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -17540,4 +17779,7 @@ ORACLE_SQL: dict[str, str] = {
     "q243_triplet_mining": Q243_SQL,
     "q244_token_dropout_augmentation": Q244_SQL,
     "q245_cohens_kappa": Q245_SQL,
+    "q246_qgram_edit_join": Q246_SQL,
+    "q247_var_cvar": Q247_SQL,
+    "q248_abc_classification": Q248_SQL,
 }

@@ -2974,3 +2974,94 @@ def test_q245_kappa_identities(spark):
     assert abs(r["pe"] - round(pe, 6)) < 1e-9
     assert abs(r["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-6
     assert -1 <= r["kappa"] <= 1
+
+
+def test_q246_filter_zero_false_negatives(spark):
+    """Q-gram filter theorem: brute-forcing levenshtein <= 2 over
+    every same-block pair yields EXACTLY the query's pair set — the
+    count filter dropped nothing it shouldn't, and every output
+    edge satisfies ed <= 2 with the bound-consistent common count."""
+    rows = QUERIES["q246_qgram_edit_join"](spark, SF).collect()
+    got = {(r["a"], r["b"]) for r in rows}
+    from dedup.normalize import normalize_sql as _n
+
+    base = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang", "source", _n(F.col("text")).alias("s"))
+        .collect()
+    )
+    import itertools
+
+    def ed2(x, y):
+        if abs(len(x) - len(y)) > 2:
+            return False
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i] + [0] * len(y)
+            for j, cy in enumerate(y, 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (cx != cy),
+                )
+            if min(cur) > 2:
+                return False
+            prev = cur
+        return prev[-1] <= 2
+
+    blocks = {}
+    for r in base:
+        blocks.setdefault((r["lang"], r["source"]), []).append(r)
+    want = set()
+    for docs in blocks.values():
+        for x, y in itertools.combinations(
+            sorted(docs, key=lambda d: d["doc_id"]), 2
+        ):
+            if ed2(x["s"], y["s"]):
+                want.add((x["doc_id"], y["doc_id"]))
+    assert got == want
+    for r in rows:
+        assert r["ed"] <= 2
+        assert r["common"] >= max(r["na"], r["nb"]) - 4
+
+
+def test_q247_tail_is_exact(spark):
+    """VaR/CVaR: k = ceil(0.05 n); CVaR <= VaR (mean of the worst k
+    is at most the k-th worst); recompute against an exact sort."""
+    r = QUERIES["q247_var_cvar"](spark, SF).collect()[0]
+    daily = sorted(
+        (
+            row["cents"], row["day"]
+        )
+        for row in spark.read.parquet(f"{SF}/orders.parquet")
+        .selectExpr(
+            "unix_micros(cast(o_orderdate as timestamp))"
+            " div 86400000000 AS day",
+            "CAST(ROUND(o_totalprice * 100) AS LONG) AS c",
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    )
+    import math
+
+    k = math.ceil(len(daily) * 0.05)
+    assert r["n_days"] == len(daily) and r["k"] == k
+    assert r["var_value"] == daily[k - 1][0] / 100.0
+    assert r["cvar_value"] <= r["var_value"]
+    want = round(sum(c for c, _ in daily[:k]) / k / 100.0, 4)
+    assert abs(r["cvar_value"] - want) < 1e-9
+
+
+def test_q248_abc_conservation(spark):
+    """ABC: classes partition parts and revenue; shares sum to 1;
+    class A's share is at least class B's at least C's per the
+    descending construction; the A share is ~0.8 by design."""
+    rows = {r["abc"]: r for r in QUERIES["q248_abc_classification"](spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1) < 1e-4
+    assert set(rows) == {"A", "B", "C"}
+    assert rows["A"]["revenue_share"] >= 0.75
+    assert rows["A"]["class_cents"] >= rows["B"]["class_cents"] >= rows["C"]["class_cents"]
