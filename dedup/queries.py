@@ -17280,6 +17280,266 @@ FROM classed GROUP BY 1
 """
 
 
+def q249_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimation of the dup-pair population
+    (Lincoln-Petersen with the Chapman correction) — the dedup-
+    methodology estimator for "how many duplicates exist beyond
+    what we found": two IMPERFECT detectors — the global LSH band
+    join (q197, J ≥ 0.5 verified) and a (lang, source, length-bucket)
+    blocking pass — each capture a subset of the q12 within-block truth; the
+    overlap sizes give Chapman's N̂ = ⌊(n1+1)(n2+1)/(m+1)⌋ − 1 as
+    pure integer arithmetic, emitted NEXT TO the exact true pair
+    count so the estimator itself is audited (this SF affords the
+    brute-force truth; at 10¹² docs only the estimate exists).
+
+    Scale shape: both detectors are the engine's bucketed shapes;
+    the overlap is a pair-relation join; the estimate is one row of
+    integer arithmetic."""
+    truth = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    g1 = (
+        q197_portable_lsh_candidates(spark, sf_dir)
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b")
+        .join(truth, ["a", "b"], "left_semi")
+        .localCheckpoint()
+    )
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 128").alias("lb"),
+        F.array_distinct(
+            F.split(normalize_sql(F.col("text")), " ")
+        ).alias("toks"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
+    uni = (
+        F.size(F.col("l.toks")) + F.size(F.col("r.toks")) - inter
+    )
+    g2 = (
+        l.join(
+            r,
+            (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.lb") == F.col("r.lb"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(F.round(inter / uni, 4) >= 0.5)
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .join(truth, ["a", "b"], "left_semi")
+        .localCheckpoint()
+    )
+    n1 = g1.count()
+    n2 = g2.count()
+    m = g1.join(g2, ["a", "b"], "left_semi").count()
+    n_true = truth.count()
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    return spark.createDataFrame(
+        [(n1, n2, m, est, n_true, round(est / n_true, 4))],
+        "n1 long, n2 long, m long, chapman_est long, true_pairs long,"
+        " est_over_true double",
+    )
+
+
+Q249_SQL = f"""
+WITH truth AS (SELECT a, b FROM ({Q12_SQL})),
+lsh AS (
+  SELECT c.a, c.b FROM ({Q197_SQL}) c
+  JOIN truth t ON t.a = c.a AND t.b = c.b
+  WHERE c.jac >= 0.5
+), base AS (
+  SELECT doc_id, lang, source, n_chars // 128 AS lb,
+         list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+), pfx_pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM base l JOIN base r
+    ON r.lang = l.lang AND r.source = l.source AND r.lb = l.lb
+   AND l.doc_id < r.doc_id
+  WHERE ROUND(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))), 4) >= 0.5
+), g2 AS (
+  SELECT p.a, p.b FROM pfx_pairs p
+  JOIN truth t ON t.a = p.a AND t.b = p.b
+), counts AS (
+  SELECT (SELECT COUNT(*) FROM lsh) AS n1,
+         (SELECT COUNT(*) FROM g2) AS n2,
+         (SELECT COUNT(*) FROM lsh l
+          JOIN g2 g ON g.a = l.a AND g.b = l.b) AS m,
+         (SELECT COUNT(*) FROM truth) AS true_pairs
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(m AS BIGINT) AS m,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_est,
+       CAST(true_pairs AS BIGINT) AS true_pairs,
+       ROUND(((n1 + 1) * (n2 + 1) // (m + 1) - 1)
+             / CAST(true_pairs AS DOUBLE), 4) AS est_over_true
+FROM counts
+"""
+
+
+def q250_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact table (Kimball) — the order
+    lifecycle milestones collapsed to one row per order: order day,
+    first and last ship days across its lines, the exact day lags
+    between milestones, and the line count; the dimensional-
+    modeling pattern that q194's SCD-2 history complements. All
+    integer epoch-day arithmetic.
+
+    Scale shape: one fact-fact join partial-aggregated to the order
+    grain; no windows, no second pass."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    sd = F.expr(
+        "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+    )
+    ships = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.min(sd).alias("first_ship"),
+        F.max(sd).alias("last_ship"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    return (
+        o.select(F.col("o_orderkey").alias("ok"), od.alias("order_day"))
+        .join(ships, "ok")
+        .select(
+            F.col("ok").alias("orderkey"),
+            F.col("order_day").cast("long").alias("order_day"),
+            F.col("first_ship").cast("long").alias("first_ship_day"),
+            F.col("last_ship").cast("long").alias("last_ship_day"),
+            (F.col("first_ship") - F.col("order_day"))
+            .cast("long")
+            .alias("days_to_first_ship"),
+            (F.col("last_ship") - F.col("first_ship"))
+            .cast("long")
+            .alias("ship_span_days"),
+            "n_lines",
+        )
+    )
+
+
+Q250_SQL = """
+WITH ships AS (
+  SELECT l_orderkey AS ok,
+         MIN(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000)
+           AS first_ship,
+         MAX(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000)
+           AS last_ship,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey AS orderkey,
+       CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+            AS BIGINT) AS order_day,
+       CAST(s.first_ship AS BIGINT) AS first_ship_day,
+       CAST(s.last_ship AS BIGINT) AS last_ship_day,
+       CAST(s.first_ship
+            - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+            AS BIGINT) AS days_to_first_ship,
+       CAST(s.last_ship - s.first_ship AS BIGINT) AS ship_span_days,
+       s.n_lines
+FROM orders o JOIN ships s ON s.ok = o.o_orderkey
+"""
+
+
+def q251_feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit — before a
+    model ships with 256 hashed feature buckets, the census that
+    says what the trick costs: vocabulary hashed by the portable
+    md5 bucket rule, occupied buckets, tokens lost to collisions
+    (Σ(load−1)), the max bucket load, and the χ² uniformity
+    statistic with the squared deviations accumulated as EXACT
+    integers (Σ(256·load − V)², one division at the end).
+
+    Scale shape: vocab-grain relation → 256-cell partial aggregate
+    → one rollup; corpus touched once for the vocabulary."""
+    from .sampling import bucket_of
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(normalize_sql(F.col("text")), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("tok")
+        .distinct()
+    )
+    buckets = vocab.groupBy(
+        F.pmod(bucket_of(F.col("tok"), "fh-v1"), F.lit(256)).alias("bkt")
+    ).agg(F.count("*").cast("long").alias("load"))
+    tot = vocab.agg(F.count("*").cast("long").alias("v"))
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("v").alias("n_vocab"),
+            F.count("*").cast("long").alias("occupied_buckets"),
+            F.sum(F.col("load") - 1).cast("long").alias("collision_tokens"),
+            F.max("load").cast("long").alias("max_load"),
+            F.sum(
+                (F.lit(256) * F.col("load") - F.col("v"))
+                * (F.lit(256) * F.col("load") - F.col("v"))
+            )
+            .cast("long")
+            .alias("_chi_num"),
+        )
+        .select(
+            "n_vocab",
+            "occupied_buckets",
+            "collision_tokens",
+            "max_load",
+            F.round(
+                (
+                    F.col("_chi_num")
+                    + (256 - F.col("occupied_buckets"))
+                    * F.col("n_vocab")
+                    * F.col("n_vocab")
+                )
+                / (F.lit(256.0) * F.col("n_vocab")),
+                4,
+            ).alias("chi2"),
+        )
+    )
+
+
+def _q251_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("tok", "fh-v1")
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+  ) WHERE tok != ''
+), buckets AS (
+  SELECT {b} % 256 AS bkt, COUNT(*) AS load FROM vocab GROUP BY 1
+), tot AS (SELECT COUNT(*) AS v FROM vocab)
+SELECT CAST(MAX(v) AS BIGINT) AS n_vocab,
+       COUNT(*) AS occupied_buckets,
+       CAST(SUM(load - 1) AS BIGINT) AS collision_tokens,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       ROUND((CAST(SUM((256 * load - v) * (256 * load - v)) AS BIGINT)
+              + (256 - COUNT(*)) * MAX(v) * MAX(v))
+             / (256.0 * MAX(v)), 4) AS chi2
+FROM buckets, tot
+"""
+
+
+Q251_SQL = _q251_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -17529,6 +17789,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q246_qgram_edit_join": q246_qgram_edit_join,
     "q247_var_cvar": q247_var_cvar,
     "q248_abc_classification": q248_abc_classification,
+    "q249_capture_recapture": q249_capture_recapture,
+    "q250_accumulating_snapshot": q250_accumulating_snapshot,
+    "q251_feature_hashing_audit": q251_feature_hashing_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -17782,4 +18045,7 @@ ORACLE_SQL: dict[str, str] = {
     "q246_qgram_edit_join": Q246_SQL,
     "q247_var_cvar": Q247_SQL,
     "q248_abc_classification": Q248_SQL,
+    "q249_capture_recapture": Q249_SQL,
+    "q250_accumulating_snapshot": Q250_SQL,
+    "q251_feature_hashing_audit": Q251_SQL,
 }

@@ -3065,3 +3065,44 @@ def test_q248_abc_conservation(spark):
     assert set(rows) == {"A", "B", "C"}
     assert rows["A"]["revenue_share"] >= 0.75
     assert rows["A"]["class_cents"] >= rows["B"]["class_cents"] >= rows["C"]["class_cents"]
+
+
+def test_q249_estimator_sanity(spark):
+    """Capture-recapture: both captures are subsets of the truth
+    (m <= min(n1, n2)), the Chapman estimate is at least the union
+    lower bound n1 + n2 - m, and at this SF (near-complete captures)
+    it lands within 25% of the true pair count."""
+    r = QUERIES["q249_capture_recapture"](spark, SF).collect()[0]
+    assert r["m"] <= min(r["n1"], r["n2"])
+    assert r["n1"] <= r["true_pairs"] and r["n2"] <= r["true_pairs"]
+    assert r["chapman_est"] >= r["n1"] + r["n2"] - r["m"]
+    assert 0.75 <= r["est_over_true"] <= 1.25, r
+
+
+def test_q250_milestone_order(spark):
+    """Accumulating snapshot: one row per order with lineitems;
+    ship spans are non-negative and lags are internally consistent
+    (days_to_first_ship may be negative — the synthetic corpus has
+    the ship-before-order violations q124 censuses; the snapshot
+    records them faithfully); line counts conserve lineitem."""
+    rows = QUERIES["q250_accumulating_snapshot"](spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert len(rows) == li.select("l_orderkey").distinct().count()
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert r["days_to_first_ship"] == r["first_ship_day"] - r["order_day"]
+        assert r["ship_span_days"] >= 0
+        assert r["first_ship_day"] <= r["last_ship_day"]
+
+
+def test_q251_hashing_accounting(spark):
+    """Feature hashing: occupied + never-hit <= 256; vocab =
+    occupied + collisions conservation (sum of loads = V); max load
+    >= ceil(V/256); chi2 non-negative."""
+    r = QUERIES["q251_feature_hashing_audit"](spark, SF).collect()[0]
+    assert r["occupied_buckets"] <= 256
+    assert (
+        r["collision_tokens"] == r["n_vocab"] - r["occupied_buckets"]
+    )
+    assert r["max_load"] >= -(-r["n_vocab"] // 256)
+    assert r["chi2"] >= 0
