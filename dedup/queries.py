@@ -17540,6 +17540,274 @@ FROM buckets, tot
 Q251_SQL = _q251_sql()
 
 
+def q252_sprt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential-test replay (Wald '45) — the sequential
+    testing family's entry next to the fixed-horizon z-test (q204):
+    daily purchase-value successes (value ≥ 50) walk a cumulative
+    log-likelihood ratio for H1: p=0.55 vs H0: p=0.45 in EXACT
+    integer milli-nats (per-observation weights ±201 = round(1000·
+    ln(11/9)) baked as literals), against the ±2944 = ln(19)
+    boundaries (α=β=0.05); the replay reports the first boundary-
+    crossing day — the day the experiment could have STOPPED — and
+    the final state. Everything integer until nothing is left to
+    divide.
+
+    Scale shape: one exchange to the day grain; the cumulative walk
+    and crossing argmin run on the calendar-bounded relation."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.sum(F.when(F.col("value") >= 50, 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.withColumn(
+        "cum_milli",
+        F.sum(
+            F.col("s") * 201 + (F.col("n") - F.col("s")) * (-201)
+        ).over(w),
+    )
+    crossed = walk.filter(F.abs(F.col("cum_milli")) >= 2944)
+    first = crossed.agg(
+        F.min(F.struct("day", "cum_milli")).alias("_f")
+    ).select(
+        F.col("_f.day").alias("crossing_day"),
+        F.col("_f.cum_milli").alias("crossing_cum"),
+    )
+    last = walk.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max(F.struct("day", "cum_milli")).alias("_l"),
+    ).select("n_days", F.col("_l.cum_milli").alias("final_cum_milli"))
+    return last.join(first, F.lit(True), "left").select(
+        "n_days",
+        F.col("crossing_day").cast("long").alias("crossing_day"),
+        F.when(F.col("crossing_cum") >= 2944, F.lit("accept_h1"))
+        .when(F.col("crossing_cum") <= -2944, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.col("final_cum_milli").cast("long").alias("final_cum_milli"),
+    )
+
+
+Q252_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+), walk AS (
+  SELECT day,
+         CAST(SUM(s * 201 + (n - s) * (-201))
+              OVER (ORDER BY day) AS BIGINT) AS cum_milli
+  FROM daily
+), first_cross AS (
+  SELECT day AS crossing_day, cum_milli AS crossing_cum
+  FROM walk WHERE ABS(cum_milli) >= 2944
+  ORDER BY day LIMIT 1
+), final AS (
+  SELECT COUNT(*) AS n_days,
+         MAX_BY(cum_milli, day) AS final_cum_milli
+  FROM walk
+)
+SELECT f.n_days,
+       CAST(c.crossing_day AS BIGINT) AS crossing_day,
+       CASE WHEN c.crossing_cum >= 2944 THEN 'accept_h1'
+            WHEN c.crossing_cum <= -2944 THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(f.final_cum_milli AS BIGINT) AS final_cum_milli
+FROM final f LEFT JOIN first_cross c ON TRUE
+"""
+
+
+def q253_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the quantity ranking and the revenue
+    ranking of parts — completing the rank-correlation pair with
+    Spearman (q146) via the OTHER classic: exact concordant /
+    discordant / tied pair counts from the part-grain self-join
+    (integer sign products, no ranks materialized at all), τ-b with
+    its two tie-corrected sqrt denominators at the IEEE boundary.
+
+    Scale shape: the self-join is part-grain² — the reduced
+    relation, never the corpus; counts partial-aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("r"),
+    )
+    l, rr = per.alias("l"), per.alias("r")
+    pairs = l.join(rr, F.col("l.part") < F.col("r.part")).select(
+        (F.col("l.q") - F.col("r.q")).alias("dq"),
+        (F.col("l.r") - F.col("r.r")).alias("dr"),
+    )
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(
+                ((F.col("dq") > 0) & (F.col("dr") > 0))
+                | ((F.col("dq") < 0) & (F.col("dr") < 0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(
+                ((F.col("dq") > 0) & (F.col("dr") < 0))
+                | ((F.col("dq") < 0) & (F.col("dr") > 0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when(F.col("dq") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ties_q"),
+        F.sum(F.when(F.col("dr") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ties_r"),
+    )
+    denom = F.sqrt(
+        (F.col("n_pairs") - F.col("ties_q")).cast("double")
+    ) * F.sqrt((F.col("n_pairs") - F.col("ties_r")).cast("double"))
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_q",
+        "ties_r",
+        F.round(
+            (F.col("concordant") - F.col("discordant")) / denom, 6
+        ).alias("tau_b"),
+    )
+
+
+Q253_SQL = """
+WITH per AS (
+  SELECT l_partkey AS part,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS r
+  FROM lineitem GROUP BY 1
+), pairs AS (
+  SELECT l.q - r.q AS dq, l.r - r.r AS dr
+  FROM per l JOIN per r ON l.part < r.part
+), agg AS (
+  SELECT COUNT(*) AS n_pairs,
+         CAST(SUM(CASE WHEN (dq > 0 AND dr > 0) OR (dq < 0 AND dr < 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN (dq > 0 AND dr < 0) OR (dq < 0 AND dr > 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(SUM(CASE WHEN dq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_q,
+         CAST(SUM(CASE WHEN dr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_r
+  FROM pairs
+)
+SELECT n_pairs, concordant, discordant, ties_q, ties_r,
+       ROUND((concordant - discordant)
+             / (sqrt(CAST(n_pairs - ties_q AS DOUBLE))
+                * sqrt(CAST(n_pairs - ties_r AS DOUBLE))), 6) AS tau_b
+FROM agg
+"""
+
+
+def q254_mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect — the experiment-design number
+    computed BEFORE an A/B test runs: from the actual md5-split arm
+    sizes (distinct users) and the pooled purchase share as the
+    baseline, MDE_abs = (z_{0.975} + z_{0.8})·√(2p(1−p)/n_min)
+    with the z constants as literals (1.959964, 0.841621) — exact
+    counts, two divisions and one sqrt at the end; the relative MDE
+    says what fraction of the baseline the experiment can hope to
+    see.
+
+    Scale shape: two partial-aggregated passes (arm census, pooled
+    share) joined on one row."""
+    from .sampling import bucket_of
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    arms = ev.select(
+        "user_id",
+        F.when(
+            F.pmod(bucket_of(F.col("user_id"), "mde-v1"), 2) == 0, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+    ).distinct().groupBy("treated").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    share = ev.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purch"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n_users"))).alias("n_t"),
+        F.max(F.when(F.col("treated") == 0, F.col("n_users"))).alias("n_c"),
+    )
+    p = F.col("n_purch") / F.col("n_events")
+    n_min = F.least("n_t", "n_c").cast("double")
+    mde = (
+        F.lit(1.959964 + 0.841621)
+        * F.sqrt(2 * p * (1 - p) / n_min)
+    )
+    return wide.join(F.broadcast(share)).select(
+        "n_t",
+        "n_c",
+        F.round(p, 6).alias("p_baseline"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    )
+
+
+def _q254_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("user_id", "mde-v1")
+    return f"""
+WITH arms AS (
+  SELECT CASE WHEN {b} % 2 = 0 THEN 1 ELSE 0 END AS treated,
+         COUNT(*) AS n_users
+  FROM (SELECT DISTINCT user_id FROM events
+        WHERE event_type IN ('view', 'purchase'))
+  GROUP BY 1
+), wide AS (
+  SELECT MAX(CASE WHEN treated = 1 THEN n_users END) AS n_t,
+         MAX(CASE WHEN treated = 0 THEN n_users END) AS n_c
+  FROM arms
+), share AS (
+  SELECT COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purch
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       ROUND(n_purch / CAST(n_events AS DOUBLE), 6) AS p_baseline,
+       ROUND((1.959964 + 0.841621)
+             * sqrt(2 * (n_purch / CAST(n_events AS DOUBLE))
+                    * (1 - n_purch / CAST(n_events AS DOUBLE))
+                    / LEAST(n_t, n_c)), 6) AS mde_abs,
+       ROUND((1.959964 + 0.841621)
+             * sqrt(2 * (n_purch / CAST(n_events AS DOUBLE))
+                    * (1 - n_purch / CAST(n_events AS DOUBLE))
+                    / LEAST(n_t, n_c))
+             / (n_purch / CAST(n_events AS DOUBLE)), 6) AS mde_rel
+FROM wide, share
+"""
+
+
+Q254_SQL = _q254_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -17792,6 +18060,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q249_capture_recapture": q249_capture_recapture,
     "q250_accumulating_snapshot": q250_accumulating_snapshot,
     "q251_feature_hashing_audit": q251_feature_hashing_audit,
+    "q252_sprt_replay": q252_sprt_replay,
+    "q253_kendall_tau": q253_kendall_tau,
+    "q254_mde_power_analysis": q254_mde_power_analysis,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -18048,4 +18319,7 @@ ORACLE_SQL: dict[str, str] = {
     "q249_capture_recapture": Q249_SQL,
     "q250_accumulating_snapshot": Q250_SQL,
     "q251_feature_hashing_audit": Q251_SQL,
+    "q252_sprt_replay": Q252_SQL,
+    "q253_kendall_tau": Q253_SQL,
+    "q254_mde_power_analysis": Q254_SQL,
 }

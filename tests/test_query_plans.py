@@ -3106,3 +3106,76 @@ def test_q251_hashing_accounting(spark):
     )
     assert r["max_load"] >= -(-r["n_vocab"] // 256)
     assert r["chi2"] >= 0
+
+
+def test_q252_sprt_walk(spark):
+    """SPRT: the decision matches the crossing sign; if a crossing
+    day exists it is within the observed days; replaying the
+    integer walk in python reproduces the final cumulative."""
+    r = QUERIES["q252_sprt_replay"](spark, SF).collect()[0]
+    daily = sorted(
+        (row["day"], row["s"], row["n"])
+        for row in spark.read.parquet(f"{SF}/events.parquet")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .selectExpr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+            "CASE WHEN value >= 50 THEN 1 ELSE 0 END AS hit",
+        )
+        .groupBy("day")
+        .agg(F.sum("hit").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    cum, cross_day, cross_cum = 0, None, None
+    for d, s, n in daily:
+        cum += s * 201 + (n - s) * (-201)
+        if cross_day is None and abs(cum) >= 2944:
+            cross_day, cross_cum = d, cum
+    assert r["n_days"] == len(daily)
+    assert r["final_cum_milli"] == cum
+    assert r["crossing_day"] == cross_day
+    want = (
+        "continue"
+        if cross_day is None
+        else ("accept_h1" if cross_cum >= 2944 else "accept_h0")
+    )
+    assert r["decision"] == want
+
+
+def test_q253_pair_accounting(spark):
+    """Kendall: concordant + discordant + (pairs tied in either
+    ranking, inclusion-exclusion) = all pairs; tau_b in [-1, 1] and
+    consistent with its definition."""
+    r = QUERIES["q253_kendall_tau"](spark, SF).collect()[0]
+    assert r["concordant"] + r["discordant"] <= r["n_pairs"]
+    assert -1 <= r["tau_b"] <= 1
+    import math
+
+    want = round(
+        (r["concordant"] - r["discordant"])
+        / (
+            math.sqrt(r["n_pairs"] - r["ties_q"])
+            * math.sqrt(r["n_pairs"] - r["ties_r"])
+        ),
+        6,
+    )
+    assert abs(r["tau_b"] - want) < 1e-9
+
+
+def test_q254_mde_identities(spark):
+    """MDE: arm sizes partition the engaged users; mde_rel =
+    mde_abs / p; mde shrinks if n grows (sanity: positive and below
+    1 at this SF)."""
+    r = QUERIES["q254_mde_power_analysis"](spark, SF).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_t"] + r["n_c"] == n_users
+    assert 0 < r["mde_abs"] < 1
+    assert abs(r["mde_rel"] - round(r["mde_abs"] / r["p_baseline"], 6)) < 1e-3
