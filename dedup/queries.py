@@ -17808,6 +17808,213 @@ FROM wide, share
 Q254_SQL = _q254_sql()
 
 
+def q255_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness and Good-Turing missing-mass
+    estimation — "how much vocabulary exists that the sample never
+    showed": from the exact frequency-of-frequencies (the q90
+    spectrum's first two cells), the bias-corrected Chao1 richness
+    Ŝ = S + N1(N1−1)/(2(N2+1)) and the Good-Turing unseen-mass
+    estimate N1/N — the pair that tells a corpus curator whether
+    more crawling will still buy new tokens. Integer counts, two
+    final divisions.
+
+    Scale shape: one tokenize pass to the vocab grain, one
+    frequency rollup, one row out."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.split(normalize_sql(F.col("text")), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    agg = freq.agg(
+        F.count("*").cast("long").alias("s_observed"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    return agg.select(
+        "s_observed",
+        "n_tokens",
+        "n1",
+        "n2",
+        F.round(
+            F.col("s_observed")
+            + F.col("n1") * (F.col("n1") - 1) / (2 * (F.col("n2") + 1)),
+            4,
+        ).alias("chao1_est"),
+        F.round(F.col("n1") / F.col("n_tokens"), 6).alias(
+            "gt_missing_mass"
+        ),
+    )
+
+
+Q255_SQL = f"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS f FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+  ) WHERE tok != '' GROUP BY tok
+), agg AS (
+  SELECT COUNT(*) AS s_observed, CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM freq
+)
+SELECT s_observed, n_tokens, n1, n2,
+       ROUND(s_observed + n1 * (n1 - 1) / (2.0 * (n2 + 1)), 4)
+         AS chao1_est,
+       ROUND(n1 / CAST(n_tokens AS DOUBLE), 6) AS gt_missing_mass
+FROM agg
+"""
+
+
+def q256_heaps_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve — distinct vocabulary after
+    the first 16, 32, ..., 512 documents (doc_id order): each
+    token's FIRST document is a one-pass min-aggregate, each
+    checkpoint's vocabulary is a count against the checkpoint's
+    boundary doc id, and the per-checkpoint NEW-token delta falls
+    out of a lag over the 6-row curve — the empirical curve a
+    curator fits Heaps' V = K·n^β against to decide whether more
+    data still buys vocabulary.
+
+    Scale shape: one tokenize pass to (token, first_doc); the
+    checkpoint boundaries come from a rank window over the doc-id
+    relation; the curve itself is 6 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    first = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_sql(F.col("text")), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .localCheckpoint()
+    )
+    w = Window.orderBy("doc_id")
+    ranked = docs.select("doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    cps = ranked.filter(
+        F.col("rk").isin(16, 32, 64, 128, 256, 512)
+    ).select(F.col("rk").alias("n_docs"), F.col("doc_id").alias("boundary"))
+    curve = (
+        cps.join(first, first.first_doc <= cps.boundary)
+        .groupBy("n_docs")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    wl = Window.orderBy("n_docs")
+    return (
+        curve.withColumn(
+            "new_tokens",
+            (F.col("vocab") - F.coalesce(F.lag("vocab").over(wl), F.lit(0)))
+            .cast("long"),
+        )
+        .select(F.col("n_docs").cast("int").alias("n_docs"), "vocab", "new_tokens")
+        .orderBy("n_docs")
+    )
+
+
+Q256_SQL = f"""
+WITH first AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+  ) WHERE tok != '' GROUP BY tok
+), ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM documents
+), cps AS (
+  SELECT rk AS n_docs, doc_id AS boundary FROM ranked
+  WHERE rk IN (16, 32, 64, 128, 256, 512)
+), curve AS (
+  SELECT c.n_docs, COUNT(*) AS vocab
+  FROM cps c JOIN first f ON f.first_doc <= c.boundary
+  GROUP BY c.n_docs
+)
+SELECT CAST(n_docs AS INT) AS n_docs, vocab,
+       CAST(vocab - COALESCE(LAG(vocab) OVER (ORDER BY n_docs), 0)
+            AS BIGINT) AS new_tokens
+FROM curve ORDER BY n_docs
+"""
+
+
+def q257_partition_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partition skew census — the ops number that decides
+    whether a key needs salting BEFORE the shuffle runs: events
+    hashed to 32 buckets by the portable user_id rule, per-bucket
+    row counts reduced to the straggler factor (max·32/total — the
+    wall-clock multiplier the slowest task imposes), the min/max
+    spread, and the exact χ²-style imbalance — computed from a
+    KB-sized bucket census, the same arithmetic the engine's
+    salting heuristics consume.
+
+    Scale shape: one map-side-combined pass to 32 cells, one
+    rollup row."""
+    from .sampling import bucket_of
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.pmod(bucket_of(F.col("user_id"), "skew-v1"), F.lit(32)).alias(
+            "bkt"
+        )
+    ).agg(F.count("*").cast("long").alias("n"))
+    return b.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket_rows"),
+        F.min("n").cast("long").alias("min_bucket_rows"),
+    ).select(
+        "n_rows",
+        "n_buckets",
+        "max_bucket_rows",
+        "min_bucket_rows",
+        F.round(
+            F.col("max_bucket_rows") * 32 / F.col("n_rows").cast("double"),
+            4,
+        ).alias("straggler_factor"),
+        F.round(
+            (F.col("max_bucket_rows") - F.col("min_bucket_rows"))
+            * 32
+            / F.col("n_rows").cast("double"),
+            4,
+        ).alias("spread_factor"),
+    )
+
+
+def _q257_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("user_id", "skew-v1")
+    return f"""
+WITH buckets AS (
+  SELECT {b} % 32 AS bkt, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket_rows,
+       CAST(MIN(n) AS BIGINT) AS min_bucket_rows,
+       ROUND(MAX(n) * 32 / CAST(SUM(n) AS DOUBLE), 4)
+         AS straggler_factor,
+       ROUND((MAX(n) - MIN(n)) * 32 / CAST(SUM(n) AS DOUBLE), 4)
+         AS spread_factor
+FROM buckets
+"""
+
+
+Q257_SQL = _q257_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -18063,6 +18270,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q252_sprt_replay": q252_sprt_replay,
     "q253_kendall_tau": q253_kendall_tau,
     "q254_mde_power_analysis": q254_mde_power_analysis,
+    "q255_chao1_richness": q255_chao1_richness,
+    "q256_heaps_growth_curve": q256_heaps_growth_curve,
+    "q257_partition_skew_census": q257_partition_skew_census,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -18322,4 +18532,7 @@ ORACLE_SQL: dict[str, str] = {
     "q252_sprt_replay": Q252_SQL,
     "q253_kendall_tau": Q253_SQL,
     "q254_mde_power_analysis": Q254_SQL,
+    "q255_chao1_richness": Q255_SQL,
+    "q256_heaps_growth_curve": Q256_SQL,
+    "q257_partition_skew_census": Q257_SQL,
 }

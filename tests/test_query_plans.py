@@ -3179,3 +3179,53 @@ def test_q254_mde_identities(spark):
     assert r["n_t"] + r["n_c"] == n_users
     assert 0 < r["mde_abs"] < 1
     assert abs(r["mde_rel"] - round(r["mde_abs"] / r["p_baseline"], 6)) < 1e-3
+
+
+def test_q255_richness_bounds(spark):
+    """Chao1: the estimate is at least the observed richness;
+    missing mass in [0,1]; counts consistent with the corpus."""
+    r = QUERIES["q255_chao1_richness"](spark, SF).collect()[0]
+    assert r["chao1_est"] >= r["s_observed"]
+    assert 0 <= r["gt_missing_mass"] <= 1
+    assert r["n1"] + r["n2"] <= r["s_observed"]
+    assert r["n_tokens"] >= r["s_observed"]
+
+
+def test_q256_growth_monotone(spark):
+    """Heaps curve: vocabulary is non-decreasing in n_docs, deltas
+    reconstruct the curve, and the last checkpoint's vocabulary is
+    bounded by the full corpus vocabulary."""
+    rows = sorted(
+        QUERIES["q256_heaps_growth_curve"](spark, SF).collect(),
+        key=lambda r: r["n_docs"],
+    )
+    assert [r["n_docs"] for r in rows] == [16, 32, 64, 128, 256, 512][: len(rows)]
+    prev = 0
+    for r in rows:
+        assert r["vocab"] >= prev
+        assert r["new_tokens"] == r["vocab"] - prev
+        prev = r["vocab"]
+    from dedup.normalize import normalize_sql as _n
+
+    full_vocab = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split(_n(F.col("text")), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["vocab"] <= full_vocab
+
+
+def test_q257_skew_identities(spark):
+    """Skew census: rows conserve the corpus; straggler factor is
+    >= 1 by the pigeonhole principle and consistent with max."""
+    r = QUERIES["q257_partition_skew_census"](spark, SF).collect()[0]
+    n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert r["n_rows"] == n
+    assert r["n_buckets"] <= 32
+    assert r["straggler_factor"] >= 1.0
+    assert r["min_bucket_rows"] <= r["max_bucket_rows"]
+    want = round(r["max_bucket_rows"] * 32 / n, 4)
+    assert abs(r["straggler_factor"] - want) < 1e-9
