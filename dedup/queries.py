@@ -18015,6 +18015,278 @@ FROM buckets
 Q257_SQL = _q257_sql()
 
 
+def q258_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct active users per day — the batch
+    computation of the stateful-streaming rolling-distinct: each
+    (user, day) membership fans out to the ≤ 7 window-days it
+    keeps alive (a bounded explode, the q215 sweep-line cousin),
+    then one distinct-count per window day; emitted beside the
+    same-day distinct so the 7d/1d stickiness ratio reads off the
+    row. Exact counts; the window days clip to the observed
+    calendar.
+
+    Scale shape: the explode is 7× the USER-DAY relation (already
+    distinct-reduced, ≪ corpus); both distinct counts partial-
+    aggregate on the day grain."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ud = ev.select("user_id", day.alias("day")).distinct().localCheckpoint()
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("wday"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("wday") >= F.col("lo")) & (F.col("wday") <= F.col("hi")))
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_7d"))
+    )
+    daily = ud.groupBy(F.col("day").alias("wday")).agg(
+        F.count("*").cast("long").alias("active_1d")
+    )
+    return (
+        cover.join(daily, "wday", "left")
+        .select(
+            F.col("wday").cast("long").alias("day"),
+            "active_7d",
+            F.coalesce("active_1d", F.lit(0)).cast("long").alias("active_1d"),
+            F.round(
+                F.col("active_7d")
+                / F.coalesce("active_1d", F.lit(0)).cast("double"),
+                4,
+            ).alias("stickiness"),
+        )
+    )
+
+
+Q258_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+cover AS (
+  SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+  FROM (
+    SELECT user_id, day + o AS wday
+    FROM ud, (SELECT unnest(range(7)) AS o)
+  ), bounds
+  WHERE wday BETWEEN lo AND hi
+  GROUP BY wday
+), daily AS (
+  SELECT day AS wday, COUNT(*) AS active_1d FROM ud GROUP BY 1
+)
+SELECT CAST(c.wday AS BIGINT) AS day, c.active_7d,
+       CAST(COALESCE(d.active_1d, 0) AS BIGINT) AS active_1d,
+       ROUND(c.active_7d / CAST(COALESCE(d.active_1d, 0) AS DOUBLE), 4)
+         AS stickiness
+FROM cover c LEFT JOIN daily d ON d.wday = c.wday
+"""
+
+
+def q259_winsorized_vs_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized vs trimmed mean of purchase values at 10% — the
+    two robust-mean variants side by side (q145 ships trimming;
+    winsorizing CLAMPS the tails to the cut boundaries instead of
+    dropping them, keeping n constant): rank-exact cut points, both
+    numerators as exact integer micro-sums, one division each.
+
+    Scale shape: ranks come from one window over the valued-
+    purchase subset (an event-type-filtered slice, ≪ corpus; at
+    full scale the q239 two-phase selection supplies the same cut
+    values without the sort)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.round(F.col("value") * 10000).cast("long").alias("micro"),
+        "event_id",
+    )
+    w = Window.orderBy("micro", "event_id")
+    ranked = v.withColumn("rk", F.row_number().over(w)).localCheckpoint()
+    n_row = ranked.agg(F.count("*").cast("long").alias("n"))
+    j = ranked.crossJoin(F.broadcast(n_row)).withColumn(
+        "k", F.floor(F.col("n") / 10).cast("long")
+    )
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.when(
+                (F.col("rk") > F.col("k"))
+                & (F.col("rk") <= F.col("n") - F.col("k")),
+                F.col("micro"),
+            ).otherwise(0)
+        ).alias("mid_sum"),
+        F.max(
+            F.when(F.col("rk") == F.col("k") + 1, F.col("micro"))
+        ).alias("lo_cut"),
+        F.max(
+            F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("micro"))
+        ).alias("hi_cut"),
+    )
+    return agg.select(
+        "n",
+        "k",
+        (F.col("lo_cut") / 10000.0).alias("lo_cut"),
+        (F.col("hi_cut") / 10000.0).alias("hi_cut"),
+        F.round(
+            F.col("mid_sum")
+            / (F.col("n") - 2 * F.col("k")).cast("double")
+            / 10000.0,
+            4,
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("mid_sum")
+                + F.col("k") * F.col("lo_cut")
+                + F.col("k") * F.col("hi_cut")
+            )
+            / F.col("n").cast("double")
+            / 10000.0,
+            4,
+        ).alias("winsorized_mean"),
+    )
+
+
+Q259_SQL = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS micro, event_id
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), ranked AS (
+  SELECT micro, ROW_NUMBER() OVER (ORDER BY micro, event_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM v
+), j AS (SELECT *, CAST(n // 10 AS BIGINT) AS k FROM ranked),
+agg AS (
+  SELECT MAX(n) AS n, MAX(k) AS k,
+         CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN micro
+                  ELSE 0 END) AS BIGINT) AS mid_sum,
+         MAX(CASE WHEN rk = k + 1 THEN micro END) AS lo_cut,
+         MAX(CASE WHEN rk = n - k THEN micro END) AS hi_cut
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       lo_cut / 10000.0 AS lo_cut, hi_cut / 10000.0 AS hi_cut,
+       ROUND(mid_sum / CAST(n - 2 * k AS DOUBLE) / 10000.0, 4)
+         AS trimmed_mean,
+       ROUND((mid_sum + k * lo_cut + k * hi_cut)
+             / CAST(n AS DOUBLE) / 10000.0, 4) AS winsorized_mean
+FROM agg
+"""
+
+
+def q260_cross_entropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair cross-entropy matrix in the floor-log2 millibits
+    fixed point — the distribution-shift companion to q177's total
+    variation: H(Pa, Qb) ≈ Σ cnt_a(t)·bits_b(t)·1000 div N_a with
+    the q224 add-1-smoothed code lengths, emitted for every ordered
+    source pair next to the self-entropy H(Pa, Qa), so delta =
+    cross − self reads as the (fixed-point) KL mixing penalty of
+    training source a under source b's code. Integer accumulation
+    throughout; one final integer division per pair.
+
+    Scale shape: per-source token counts from one tokenize pass;
+    the pair matrix is a vocab-grain join fanned by |sources|
+    (small), partial-aggregated to the pair grain."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.explode(F.split(normalize_sql(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = t.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint()
+    totals = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("nn"))
+    vocab = cnt.select("tok").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    a = cnt.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")
+    )
+    bt = totals.select(
+        F.col("source").alias("src_b"), F.col("nn").alias("nb")
+    )
+    att = totals.select(
+        F.col("source").alias("src_a"), F.col("nn").alias("na")
+    )
+    fan = (
+        a.crossJoin(F.broadcast(bt.join(F.broadcast(vocab))))
+        .join(b, ["src_b", "tok"], "left")
+        .withColumn(
+            "bits",
+            (
+                F.length(F.bin(F.col("nb") + F.col("v")))
+                - F.length(F.bin(F.coalesce(F.col("cb"), F.lit(0)) + 1))
+            ).cast("long"),
+        )
+    )
+    pairs = (
+        fan.groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("bits")).alias("wsum"))
+        .join(F.broadcast(att), "src_a")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("wsum * 1000 div na").cast("long").alias(
+                "cross_h_millibits"
+            ),
+        )
+    )
+    self_h = pairs.filter(F.col("src_a") == F.col("src_b")).select(
+        "src_a", F.col("cross_h_millibits").alias("self_h")
+    )
+    return pairs.join(self_h, "src_a").select(
+        "src_a",
+        "src_b",
+        "cross_h_millibits",
+        (F.col("cross_h_millibits") - F.col("self_h"))
+        .cast("long")
+        .alias("delta_millibits"),
+    )
+
+
+Q260_SQL = f"""
+WITH t AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+  ) WHERE tok != ''
+), cnt AS (
+  SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS nn FROM cnt GROUP BY 1
+), vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM cnt),
+fan AS (
+  SELECT a.source AS src_a, bt.source AS src_b, a.tok, a.c AS ca,
+         length(bin(CAST(bt.nn + vocab.v AS BIGINT)))
+         - length(bin(CAST(COALESCE(b.c, 0) + 1 AS BIGINT))) AS bits
+  FROM cnt a
+  CROSS JOIN totals bt
+  CROSS JOIN vocab
+  LEFT JOIN cnt b ON b.source = bt.source AND b.tok = a.tok
+), pairs AS (
+  SELECT f.src_a, f.src_b,
+         CAST(SUM(f.ca * f.bits) * 1000 // att.nn AS BIGINT)
+           AS cross_h_millibits
+  FROM fan f JOIN totals att ON att.source = f.src_a
+  GROUP BY f.src_a, f.src_b, att.nn
+), selfh AS (
+  SELECT src_a, cross_h_millibits AS self_h FROM pairs
+  WHERE src_a = src_b
+)
+SELECT p.src_a, p.src_b, p.cross_h_millibits,
+       CAST(p.cross_h_millibits - s.self_h AS BIGINT) AS delta_millibits
+FROM pairs p JOIN selfh s ON s.src_a = p.src_a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -18273,6 +18545,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q255_chao1_richness": q255_chao1_richness,
     "q256_heaps_growth_curve": q256_heaps_growth_curve,
     "q257_partition_skew_census": q257_partition_skew_census,
+    "q258_sliding_distinct_users": q258_sliding_distinct_users,
+    "q259_winsorized_vs_trimmed": q259_winsorized_vs_trimmed,
+    "q260_cross_entropy_matrix": q260_cross_entropy_matrix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -18535,4 +18810,7 @@ ORACLE_SQL: dict[str, str] = {
     "q255_chao1_richness": Q255_SQL,
     "q256_heaps_growth_curve": Q256_SQL,
     "q257_partition_skew_census": Q257_SQL,
+    "q258_sliding_distinct_users": Q258_SQL,
+    "q259_winsorized_vs_trimmed": Q259_SQL,
+    "q260_cross_entropy_matrix": Q260_SQL,
 }

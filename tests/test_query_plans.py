@@ -3229,3 +3229,45 @@ def test_q257_skew_identities(spark):
     assert r["min_bucket_rows"] <= r["max_bucket_rows"]
     want = round(r["max_bucket_rows"] * 32 / n, 4)
     assert abs(r["straggler_factor"] - want) < 1e-9
+
+
+def test_q258_sliding_bounds(spark):
+    """Sliding distinct: active_7d >= active_1d every day; one row
+    per observed calendar day; 7d never exceeds the user universe."""
+    rows = QUERIES["q258_sliding_distinct_users"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    days = (
+        ev.selectExpr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS d"
+        )
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .collect()[0]
+    )
+    assert len(rows) == days["hi"] - days["lo"] + 1
+    for r in rows:
+        assert r["active_7d"] >= r["active_1d"]
+        assert r["active_7d"] <= n_users
+
+
+def test_q259_robust_mean_order(spark):
+    """Winsorized vs trimmed: both means lie within [lo_cut, hi_cut]
+    and n - 2k values fund the trimmed mean; k = n div 10."""
+    r = QUERIES["q259_winsorized_vs_trimmed"](spark, SF).collect()[0]
+    assert r["k"] == r["n"] // 10
+    assert r["lo_cut"] <= r["trimmed_mean"] <= r["hi_cut"]
+    assert r["lo_cut"] <= r["winsorized_mean"] <= r["hi_cut"]
+
+
+def test_q260_entropy_matrix_shape(spark):
+    """Cross-entropy matrix: |sources|² rows; the diagonal has
+    delta 0; deltas are bounded below by a small fixed-point slack
+    (true KL >= 0; floor-log2 costs at most ~2 bits of slack)."""
+    rows = QUERIES["q260_cross_entropy_matrix"](spark, SF).collect()
+    srcs = {r["src_a"] for r in rows}
+    assert len(rows) == len(srcs) ** 2
+    for r in rows:
+        if r["src_a"] == r["src_b"]:
+            assert r["delta_millibits"] == 0
+        assert r["delta_millibits"] >= -2000, r
+        assert r["cross_h_millibits"] > 0
