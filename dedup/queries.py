@@ -18287,6 +18287,283 @@ FROM pairs p JOIN selfh s ON s.src_a = p.src_a
 """
 
 
+def _clustering_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared contingency cells for the cluster-evaluation trio
+    (q261-q263): every doc labeled with its PREDICTED cluster (the
+    portable q197 LSH candidates -> verify -> CC pipeline,
+    restricted to the q12 (lang, source) blocked universe so both
+    clusterings grade the same pair population) and its TRUTH
+    cluster (connected closure of the exact q12 pair relation),
+    singletons their own id; reduced to (pred, truth, n) cells."""
+    from .cc import connected_components
+
+    pad = lambda c: F.format_string("%020d", F.col(c))  # noqa: E731
+
+    def labels(edges: DataFrame, name: str) -> DataFrame:
+        comp, _ = connected_components(
+            edges.select(pad("a").alias("a"), pad("b").alias("b")),
+            DedupConfig(),
+        )
+        return comp.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias(name),
+        )
+
+    truth_edges = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    attrs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    pred_edges = (
+        q197_portable_lsh_candidates(spark, sf_dir)
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b")
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("a"),
+                F.col("lang").alias("la"),
+                F.col("source").alias("sa"),
+            ),
+            "a",
+        )
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("b"),
+                F.col("lang").alias("lb"),
+                F.col("source").alias("sb"),
+            ),
+            "b",
+        )
+        .filter((F.col("la") == F.col("lb")) & (F.col("sa") == F.col("sb")))
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lt = labels(truth_edges, "truth")
+    lp = labels(pred_edges, "pred")
+    lab = (
+        docs.join(lp, "doc_id", "left")
+        .join(lt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred", F.col("doc_id")).alias("pred"),
+            F.coalesce("truth", F.col("doc_id")).alias("truth"),
+        )
+    )
+    return lab.groupBy("pred", "truth").agg(
+        F.count("*").cast("long").alias("n")
+    ).localCheckpoint()
+
+
+_CELLS_SQL = f"""
+truth_pairs AS ({Q12_SQL}),
+pred_pairs AS (
+  SELECT c.a, c.b FROM ({Q197_SQL}) c
+  JOIN documents da ON da.doc_id = c.a
+  JOIN documents db ON db.doc_id = c.b
+  WHERE c.jac >= 0.5 AND da.lang = db.lang AND da.source = db.source
+),
+te AS (SELECT a AS u, b AS v FROM truth_pairs
+       UNION SELECT b, a FROM truth_pairs),
+treach(src, node) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM te) s
+  UNION
+  SELECT r.src, e.v FROM treach r JOIN te e ON e.u = r.node
+), tcomp AS (
+  SELECT src AS doc_id, MIN(node) AS truth FROM treach GROUP BY src
+), pe AS (SELECT a AS u, b AS v FROM pred_pairs
+          UNION SELECT b, a FROM pred_pairs),
+preach(src, node) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM pe) s
+  UNION
+  SELECT r.src, e.v FROM preach r JOIN pe e ON e.u = r.node
+), pcomp AS (
+  SELECT src AS doc_id, MIN(node) AS pred FROM preach GROUP BY src
+), lab AS (
+  SELECT d.doc_id,
+         COALESCE(p.pred, d.doc_id) AS pred,
+         COALESCE(t.truth, d.doc_id) AS truth
+  FROM documents d
+  LEFT JOIN pcomp p ON p.doc_id = d.doc_id
+  LEFT JOIN tcomp t ON t.doc_id = d.doc_id
+), cells AS (
+  SELECT pred, truth, COUNT(*) AS n FROM lab GROUP BY 1, 2
+)"""
+
+
+def q261_bcubed_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall of the shipped clustering against
+    the exact-closure truth (Bagga-Baldwin '98, the entity-
+    resolution standard): per-element precision n_ct/n_pred and
+    recall n_ct/n_truth summed cell-wise as Σ n_ct²/size — each
+    cell's contribution fixed to integer micro-units (floor, so
+    both engines truncate identically), one division per metric.
+    The element-weighted metric that pair-counting (q263) under-
+    weights small clusters on.
+
+    Scale shape: both closures run on pair relations (≪ corpus);
+    the metric is a cells-grain rollup."""
+    cells = _clustering_cells(spark, sf_dir)
+    pred_sz = cells.groupBy("pred").agg(F.sum("n").alias("np"))
+    truth_sz = cells.groupBy("truth").agg(F.sum("n").alias("nt"))
+    j = cells.join(pred_sz, "pred").join(truth_sz, "truth")
+    agg = j.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.expr("n * n * 1000000 div np")).cast("long").alias("pm"),
+        F.sum(F.expr("n * n * 1000000 div nt")).cast("long").alias("rm"),
+    )
+    return agg.select(
+        "n_docs",
+        F.round(F.col("pm") / F.col("n_docs") / 1000000.0, 6).alias(
+            "b3_precision"
+        ),
+        F.round(F.col("rm") / F.col("n_docs") / 1000000.0, 6).alias(
+            "b3_recall"
+        ),
+    )
+
+
+Q261_SQL = f"""
+WITH RECURSIVE {_CELLS_SQL},
+sizes AS (
+  SELECT c.pred, c.truth, c.n,
+         ps.np, ts.nt
+  FROM cells c
+  JOIN (SELECT pred, CAST(SUM(n) AS BIGINT) AS np FROM cells
+        GROUP BY 1) ps ON ps.pred = c.pred
+  JOIN (SELECT truth, CAST(SUM(n) AS BIGINT) AS nt FROM cells
+        GROUP BY 1) ts ON ts.truth = c.truth
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n * n * 1000000 // np) AS BIGINT)
+             / CAST(SUM(n) AS DOUBLE) / 1000000.0, 6) AS b3_precision,
+       ROUND(CAST(SUM(n * n * 1000000 // nt) AS BIGINT)
+             / CAST(SUM(n) AS DOUBLE) / 1000000.0, 6) AS b3_recall
+FROM sizes
+"""
+
+
+def q262_adjusted_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index of the shipped clustering vs the exact-
+    closure truth (Hubert-Arabie '85) — chance-corrected pair
+    agreement, computed ENTIRELY in integers until one final
+    division: Σ C(n_ij,2), Σ C(a_i,2), Σ C(b_j,2), C(n,2), then
+    ARI = (T·Σij − Σa·Σb) / (T·(Σa+Σb)/2 − Σa·Σb) with T = C(n,2).
+    The chance correction is what separates a good score from a
+    score inflated by many singletons.
+
+    Scale shape: three cells-grain rollups; the closures dominate
+    and they are pair-relation-sized."""
+    cells = _clustering_cells(spark, sf_dir)
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    sij = cells.agg(
+        F.sum(c2("n")).cast("long").alias("sij"),
+        F.sum("n").cast("long").alias("n_docs"),
+    )
+    sa = (
+        cells.groupBy("pred")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(c2("a")).cast("long").alias("sa"))
+    )
+    sb = (
+        cells.groupBy("truth")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(c2("b")).cast("long").alias("sb"))
+    )
+    j = sij.join(F.broadcast(sa)).join(F.broadcast(sb))
+    t = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+    num = t * F.col("sij") - F.col("sa") * F.col("sb")
+    den = t * (F.col("sa") + F.col("sb")) / 2 - F.col("sa") * F.col("sb")
+    return j.select(
+        "n_docs",
+        "sij",
+        "sa",
+        "sb",
+        F.round(num / den, 6).alias("ari"),
+    )
+
+
+Q262_SQL = f"""
+WITH RECURSIVE {_CELLS_SQL},
+stats AS (
+  SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS sij,
+         CAST(SUM(n) AS BIGINT) AS n_docs
+  FROM cells
+), pa AS (
+  SELECT CAST(SUM(a * (a - 1) / 2) AS BIGINT) AS sa FROM (
+    SELECT CAST(SUM(n) AS BIGINT) AS a FROM cells GROUP BY pred)
+), pb AS (
+  SELECT CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS sb FROM (
+    SELECT CAST(SUM(n) AS BIGINT) AS b FROM cells GROUP BY truth)
+)
+SELECT n_docs, sij, sa, sb,
+       ROUND((CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) * sij - sa * sb)
+             / (CAST(n_docs * (n_docs - 1) / 2 AS BIGINT)
+                * (sa + sb) / 2.0 - sa * sb), 6) AS ari
+FROM stats, pa, pb
+"""
+
+
+def q263_pairwise_cluster_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise precision/recall/F1 of the shipped clustering vs the
+    exact-closure truth — the pair-counting member of the
+    evaluation trio: TP = Σ C(n_ij,2) co-clustered-in-both pairs,
+    predicted positives Σ C(a_i,2), truth positives Σ C(b_j,2),
+    all exact integers; P, R, F1 as three final divisions. Read
+    with q261 (B³) and q262 (ARI): three lenses, one contingency.
+
+    Scale shape: identical cells-grain rollups."""
+    cells = _clustering_cells(spark, sf_dir)
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    tp = cells.agg(F.sum(c2("n")).cast("long").alias("tp"))
+    pp = (
+        cells.groupBy("pred")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(c2("a")).cast("long").alias("pp"))
+    )
+    ap = (
+        cells.groupBy("truth")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(c2("b")).cast("long").alias("ap"))
+    )
+    j = tp.join(F.broadcast(pp)).join(F.broadcast(ap))
+    p = F.col("tp") / F.col("pp")
+    r = F.col("tp") / F.col("ap")
+    return j.select(
+        "tp",
+        "pp",
+        "ap",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"),
+    )
+
+
+Q263_SQL = f"""
+WITH RECURSIVE {_CELLS_SQL},
+tp AS (
+  SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS tp FROM cells
+), pp AS (
+  SELECT CAST(SUM(a * (a - 1) / 2) AS BIGINT) AS pp FROM (
+    SELECT CAST(SUM(n) AS BIGINT) AS a FROM cells GROUP BY pred)
+), ap AS (
+  SELECT CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS ap FROM (
+    SELECT CAST(SUM(n) AS BIGINT) AS b FROM cells GROUP BY truth)
+)
+SELECT tp.tp, pp.pp, ap.ap,
+       ROUND(tp.tp / CAST(pp.pp AS DOUBLE), 6) AS precision,
+       ROUND(tp.tp / CAST(ap.ap AS DOUBLE), 6) AS recall,
+       ROUND(2 * (tp.tp / CAST(pp.pp AS DOUBLE))
+             * (tp.tp / CAST(ap.ap AS DOUBLE))
+             / (tp.tp / CAST(pp.pp AS DOUBLE)
+                + tp.tp / CAST(ap.ap AS DOUBLE)), 6) AS f1
+FROM tp, pp, ap
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -18548,6 +18825,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q258_sliding_distinct_users": q258_sliding_distinct_users,
     "q259_winsorized_vs_trimmed": q259_winsorized_vs_trimmed,
     "q260_cross_entropy_matrix": q260_cross_entropy_matrix,
+    "q261_bcubed_evaluation": q261_bcubed_evaluation,
+    "q262_adjusted_rand_index": q262_adjusted_rand_index,
+    "q263_pairwise_cluster_prf": q263_pairwise_cluster_prf,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -18813,4 +19093,7 @@ ORACLE_SQL: dict[str, str] = {
     "q258_sliding_distinct_users": Q258_SQL,
     "q259_winsorized_vs_trimmed": Q259_SQL,
     "q260_cross_entropy_matrix": Q260_SQL,
+    "q261_bcubed_evaluation": Q261_SQL,
+    "q262_adjusted_rand_index": Q262_SQL,
+    "q263_pairwise_cluster_prf": Q263_SQL,
 }

@@ -3271,3 +3271,41 @@ def test_q260_entropy_matrix_shape(spark):
             assert r["delta_millibits"] == 0
         assert r["delta_millibits"] >= -2000, r
         assert r["cross_h_millibits"] > 0
+
+
+def test_q261_bcubed_bounds(spark):
+    """B-cubed: predicted edges are a SUBSET of truth edges
+    (verified J >= 0.5 within the same blocks), so predicted
+    clusters refine truth clusters and B³ precision is exactly 1;
+    recall < 1 measures the portable 4x4 banding's miss at
+    J in [0.5, ~0.71) — the gap q214's sweep predicts."""
+    r = QUERIES["q261_bcubed_evaluation"](spark, SF).collect()[0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert r["n_docs"] == n_docs
+    assert r["b3_precision"] == 1.0
+    assert 0 < r["b3_recall"] <= 1
+
+
+def test_q262_ari_identity(spark):
+    """ARI: recomputing from the emitted integer stats reproduces
+    the index; a near-perfect clustering scores near 1."""
+    r = QUERIES["q262_adjusted_rand_index"](spark, SF).collect()[0]
+    t = r["n_docs"] * (r["n_docs"] - 1) // 2
+    num = t * r["sij"] - r["sa"] * r["sb"]
+    den = t * (r["sa"] + r["sb"]) / 2 - r["sa"] * r["sb"]
+    assert abs(r["ari"] - round(num / den, 6)) < 1e-9
+    # refinement: every predicted co-pair is a truth pair
+    assert r["sij"] == r["sa"]
+    assert 0 < r["ari"] <= 1
+
+
+def test_q263_prf_consistency(spark):
+    """Pairwise PRF: the refinement theorem makes precision exactly
+    1 (tp == pp); recall < 1 is the portable banding's measured
+    miss; f1 is the harmonic mean of the emitted P and R."""
+    r = QUERIES["q263_pairwise_cluster_prf"](spark, SF).collect()[0]
+    assert r["tp"] == r["pp"]
+    assert r["tp"] <= r["ap"]
+    p, rec = r["tp"] / r["pp"], r["tp"] / r["ap"]
+    assert abs(r["f1"] - round(2 * p * rec / (p + rec), 6)) < 1e-9
+    assert r["precision"] == 1.0
