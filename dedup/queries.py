@@ -18564,6 +18564,268 @@ FROM tp, pp, ap
 """
 
 
+def q264_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + exact rank-based AUC for "value predicts
+    purchase-vs-view" — the classification-evaluation pair: nine
+    decile threshold points with exact TPR/FPR from value-grain
+    cumulative counts (never per-row), and the exact AUC via the
+    Mann-Whitney identity AUC = U⁺/(n₁n₂) carried in the q225
+    doubled-integer space until one final division — the ROC is
+    sampled, the AUC is NOT.
+
+    Scale shape: one exchange to the distinct-value grain; the
+    decile thresholds come from a window over that bounded
+    relation; nine audit rows out."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+    )
+    byv = (
+        ev.select(
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("isp"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("isp").cast("long").alias("p"),
+            F.sum(1 - F.col("isp")).cast("long").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = byv.withColumn("cp", F.sum("p").over(w)).withColumn(
+        "cq", F.sum("q").over(w)
+    ).withColumn(
+        "cum_all", F.sum(F.col("p") + F.col("q")).over(w)
+    ).withColumn(
+        "r2",
+        2 * F.coalesce(F.sum(F.col("p") + F.col("q")).over(wprev), F.lit(0))
+        + F.col("p")
+        + F.col("q")
+        + 1,
+    )
+    tot = cum.agg(
+        F.max("cp").alias("tp_all"),
+        F.max("cq").alias("tq_all"),
+        F.max("cum_all").alias("n"),
+        F.sum(F.col("p") * F.col("r2")).cast("long").alias("s2p"),
+    )
+    pts = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.expr("ceil(cum_all * 10 / n)").cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.max("v").alias("thr_micro"),
+            F.max("cp").alias("cp"),
+            F.max("cq").alias("cq"),
+            F.max("tp_all").alias("tp_all"),
+            F.max("tq_all").alias("tq_all"),
+            F.max("s2p").alias("s2p"),
+        )
+        .filter(F.col("decile") <= 9)
+    )
+    u2 = F.col("s2p") - F.col("tp_all") * (F.col("tp_all") + 1)
+    return pts.select(
+        "decile",
+        (F.col("thr_micro") / 10000.0).alias("threshold"),
+        F.round(
+            (F.col("tp_all") - F.col("cp")) / F.col("tp_all").cast("double"),
+            6,
+        ).alias("tpr"),
+        F.round(
+            (F.col("tq_all") - F.col("cq")) / F.col("tq_all").cast("double"),
+            6,
+        ).alias("fpr"),
+        F.round(
+            u2 / (2.0 * F.col("tp_all") * F.col("tq_all")), 6
+        ).alias("auc"),
+    ).orderBy("decile")
+
+
+Q264_SQL = """
+WITH byv AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS q
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT v, p, q,
+         SUM(p) OVER (ORDER BY v) AS cp,
+         SUM(q) OVER (ORDER BY v) AS cq,
+         SUM(p + q) OVER (ORDER BY v) AS cum_all,
+         2 * COALESCE(SUM(p + q) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + p + q + 1 AS r2
+  FROM byv
+), tot AS (
+  SELECT MAX(cp) AS tp_all, MAX(cq) AS tq_all, MAX(cum_all) AS n,
+         CAST(SUM(p * r2) AS BIGINT) AS s2p
+  FROM cum
+), pts AS (
+  SELECT CAST(CEIL(cum_all * 10 / CAST(n AS DOUBLE)) AS INT) AS decile,
+         MAX(v) AS thr_micro, MAX(cp) AS cp, MAX(cq) AS cq,
+         MAX(tp_all) AS tp_all, MAX(tq_all) AS tq_all, MAX(s2p) AS s2p
+  FROM cum, tot
+  GROUP BY 1
+)
+SELECT decile, thr_micro / 10000.0 AS threshold,
+       ROUND((tp_all - cp) / CAST(tp_all AS DOUBLE), 6) AS tpr,
+       ROUND((tq_all - cq) / CAST(tq_all AS DOUBLE), 6) AS fpr,
+       ROUND((s2p - tp_all * (tp_all + 1))
+             / (2.0 * tp_all * tq_all), 6) AS auc
+FROM pts WHERE decile <= 9
+ORDER BY decile
+"""
+
+
+_DCG_W = [
+    1.0, 0.630929754, 0.5, 0.430676558, 0.386852807,
+    0.356207187, 0.333333333, 0.315464877, 0.301029996, 0.289064826,
+]
+
+
+def q265_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the quantity ranking as a predictor of revenue
+    relevance — the graded retrieval-evaluation metric (the ranking
+    family's third member after τ-b and Spearman): parts ranked by
+    total quantity, relevance = exact revenue cents, DCG with the
+    ten 1/log2(d+1) discounts baked as LITERALS (so no engine's
+    log differs), IDCG from the revenue-ideal ordering, nDCG one
+    division. Fully deterministic ties.
+
+    Scale shape: two rank windows over the part-grain relation, a
+    10-row weighted sum each."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("rel"),
+    )
+    wq = Window.orderBy(F.desc("qty"), F.asc("part"))
+    wr = Window.orderBy(F.desc("rel"), F.asc("part"))
+    ranked = per.withColumn("rq", F.row_number().over(wq)).withColumn(
+        "rr", F.row_number().over(wr)
+    )
+    wexpr = lambda rc: sum(  # noqa: E731
+        (
+            F.when(F.col(rc) == d + 1, F.col("rel") * F.lit(_DCG_W[d]))
+            .otherwise(0.0)
+            for d in range(10)
+        ),
+        F.lit(0.0),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("rq") <= 10, wexpr("rq")).otherwise(0.0)).alias(
+            "dcg"
+        ),
+        F.sum(F.when(F.col("rr") <= 10, wexpr("rr")).otherwise(0.0)).alias(
+            "idcg"
+        ),
+    )
+    return agg.select(
+        F.round(F.col("dcg") / 100.0, 4).alias("dcg"),
+        F.round(F.col("idcg") / 100.0, 4).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+    )
+
+
+def _q265_sql() -> str:
+    wcase = lambda rc: " + ".join(  # noqa: E731
+        f"CASE WHEN {rc} = {d + 1} THEN rel * {_DCG_W[d]!r} ELSE 0 END"
+        for d in range(10)
+    )
+    return f"""
+WITH per AS (
+  SELECT l_partkey AS part,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rel
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT part, qty, rel,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, part) AS rq,
+         ROW_NUMBER() OVER (ORDER BY rel DESC, part) AS rr
+  FROM per
+), agg AS (
+  SELECT SUM(CASE WHEN rq <= 10 THEN {wcase('rq')} ELSE 0 END) AS dcg,
+         SUM(CASE WHEN rr <= 10 THEN {wcase('rr')} ELSE 0 END) AS idcg
+  FROM ranked
+)
+SELECT ROUND(dcg / 100.0, 4) AS dcg, ROUND(idcg / 100.0, 4) AS idcg,
+       ROUND(dcg / idcg, 6) AS ndcg_at_10
+FROM agg
+"""
+
+
+Q265_SQL = _q265_sql()
+
+
+def q266_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on the corpus mean document
+    length — the data-valuation primitive computed from AGGREGATES
+    alone (no per-ablation rescans): each source's removal shifts
+    the global mean by (S − s_i)/(N − n_i) − S/N, all from one
+    grouped pass's integer sums; the ranking by |influence| is the
+    ablation priority list a curator runs first.
+
+    Scale shape: one partial-aggregated pass to the source grain;
+    every leave-one-out mean is closed-form arithmetic on the
+    broadcast totals — the whole point."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("nn"),
+        F.sum("chars").cast("long").alias("ss"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mean_all = F.col("ss") / F.col("nn")
+    mean_wo = (F.col("ss") - F.col("chars")) / (
+        F.col("nn") - F.col("n_docs")
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "chars",
+        F.round(mean_all, 4).alias("mean_all"),
+        F.round(mean_wo, 4).alias("mean_without"),
+        F.round(mean_wo - mean_all, 4).alias("influence"),
+    )
+
+
+Q266_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+         CAST(SUM(chars) AS BIGINT) AS ss
+  FROM per
+)
+SELECT source, n_docs, chars,
+       ROUND(ss / CAST(nn AS DOUBLE), 4) AS mean_all,
+       ROUND((ss - chars) / CAST(nn - n_docs AS DOUBLE), 4)
+         AS mean_without,
+       ROUND((ss - chars) / CAST(nn - n_docs AS DOUBLE)
+             - ss / CAST(nn AS DOUBLE), 4) AS influence
+FROM per, tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -18828,6 +19090,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q261_bcubed_evaluation": q261_bcubed_evaluation,
     "q262_adjusted_rand_index": q262_adjusted_rand_index,
     "q263_pairwise_cluster_prf": q263_pairwise_cluster_prf,
+    "q264_roc_auc": q264_roc_auc,
+    "q265_ndcg_at_10": q265_ndcg_at_10,
+    "q266_loo_source_influence": q266_loo_source_influence,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -19096,4 +19361,7 @@ ORACLE_SQL: dict[str, str] = {
     "q261_bcubed_evaluation": Q261_SQL,
     "q262_adjusted_rand_index": Q262_SQL,
     "q263_pairwise_cluster_prf": Q263_SQL,
+    "q264_roc_auc": Q264_SQL,
+    "q265_ndcg_at_10": Q265_SQL,
+    "q266_loo_source_influence": Q266_SQL,
 }

@@ -3309,3 +3309,63 @@ def test_q263_prf_consistency(spark):
     p, rec = r["tp"] / r["pp"], r["tp"] / r["ap"]
     assert abs(r["f1"] - round(2 * p * rec / (p + rec), 6)) < 1e-9
     assert r["precision"] == 1.0
+
+
+def test_q264_roc_shape(spark):
+    """ROC: 9 decile points; TPR and FPR are non-increasing as the
+    threshold rises; TPR >= FPR pointwise iff AUC favors positives;
+    the AUC column is constant and recomputable from U."""
+    rows = sorted(
+        QUERIES["q264_roc_auc"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 9
+    aucs = {r["auc"] for r in rows}
+    assert len(aucs) == 1
+    for p, n in zip(rows, rows[1:]):
+        assert n["threshold"] >= p["threshold"]
+        assert n["tpr"] <= p["tpr"] + 1e-9
+        assert n["fpr"] <= p["fpr"] + 1e-9
+    for r in rows:
+        assert 0 <= r["tpr"] <= 1 and 0 <= r["fpr"] <= 1
+    assert 0 <= rows[0]["auc"] <= 1
+
+
+def test_q265_ndcg_bounds(spark):
+    """nDCG: dcg <= idcg (ideal ordering maximizes DCG over top-10
+    prefixes), so ndcg in (0, 1]; idcg recomputed from the true
+    top-10 revenues agrees."""
+    r = QUERIES["q265_ndcg_at_10"](spark, SF).collect()[0]
+    assert 0 < r["ndcg_at_10"] <= 1
+    assert r["dcg"] <= r["idcg"] + 1e-6
+    top = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr("CAST(ROUND(l_extendedprice*100) AS LONG)")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("l_partkey"))
+        .limit(10)
+        .collect()
+    )
+    import math
+
+    idcg = sum(
+        row["rel"] / math.log2(d + 2) for d, row in enumerate(top)
+    )
+    assert abs(r["idcg"] - round(idcg / 100.0, 4)) < 0.01
+
+
+def test_q266_influence_conservation(spark):
+    """LOO influence: one row per source; influences weighted by
+    removed mass approximately cancel (Σ (N-n_i)·infl_i = 0 exactly
+    in the un-rounded algebra); signs oppose the source's own mean
+    vs the global mean."""
+    rows = QUERIES["q266_loo_source_influence"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(rows) == docs.select("source").distinct().count()
+    mean_all = rows[0]["mean_all"]
+    for r in rows:
+        own_mean = r["chars"] / r["n_docs"]
+        if own_mean > mean_all:
+            assert r["influence"] <= 0
+        elif own_mean < mean_all:
+            assert r["influence"] >= 0
