@@ -18826,6 +18826,272 @@ FROM per, tot
 """
 
 
+def q267_revenue_price_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-maximizing single price from the empirical demand
+    curve — the monopoly-pricing primitive: every distinct purchase
+    value is a candidate price, buyers at price v are the exact
+    count with willingness ≥ v (one cumulative window on the
+    value grain), objective = v·n_ge in exact integer micro-units,
+    argmax with deterministic ties; the emitted row carries the
+    demand-curve context (total buyers, revenue share captured).
+
+    Scale shape: one exchange to the distinct-value grain, one
+    descending cumulative window on that bounded relation, one
+    argmax rollup."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    byv = ev.groupBy(
+        F.round(F.col("value") * 10000).cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byv.withColumn("n_ge", F.sum("n").over(w)).withColumn(
+        "rev", F.col("v") * F.col("n_ge")
+    )
+    tot = cum.agg(
+        F.max("n_ge").alias("total_buyers"),
+        F.sum(F.col("v") * F.col("n")).alias("full_surplus"),
+    )
+    best = cum.agg(
+        F.max(F.struct("rev", (-F.col("v")).alias("nv"))).alias("_b")
+    ).select(
+        F.col("_b.rev").alias("best_rev"),
+        (-F.col("_b.nv")).alias("best_v"),
+    )
+    return (
+        cum.join(F.broadcast(best), F.col("v") == F.col("best_v"))
+        .join(F.broadcast(tot))
+        .select(
+            (F.col("v") / 10000.0).alias("price"),
+            F.col("n_ge").cast("long").alias("n_buyers"),
+            "total_buyers",
+            F.round(F.col("rev") / 10000.0, 4).alias("revenue"),
+            F.round(
+                F.col("rev") / F.col("full_surplus").cast("double"), 6
+            ).alias("surplus_capture"),
+        )
+    )
+
+
+Q267_SQL = """
+WITH byv AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v, COUNT(*) AS n
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT v, n,
+         CAST(SUM(n) OVER (ORDER BY v DESC) AS BIGINT) AS n_ge,
+         v * CAST(SUM(n) OVER (ORDER BY v DESC) AS BIGINT) AS rev
+  FROM byv
+), tot AS (
+  SELECT MAX(n_ge) AS total_buyers,
+         CAST(SUM(v * n) AS BIGINT) AS full_surplus
+  FROM cum
+), best AS (
+  SELECT rev AS best_rev, v AS best_v FROM cum
+  ORDER BY rev DESC, v ASC LIMIT 1
+)
+SELECT c.v / 10000.0 AS price,
+       c.n_ge AS n_buyers,
+       CAST(t.total_buyers AS BIGINT) AS total_buyers,
+       ROUND(c.rev / 10000.0, 4) AS revenue,
+       ROUND(c.rev / CAST(t.full_surplus AS DOUBLE), 6)
+         AS surplus_capture
+FROM cum c, tot t, best b
+WHERE c.v = b.best_v
+"""
+
+
+def q268_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Bloom-filter false-positive-rate audit — the
+    companion to q63's zero-FN guarantee, measuring the OTHER side:
+    a 2048-bit, 2-hash portable md5 Bloom built over the order
+    custkeys, probed with guaranteed NON-members (every custkey
+    shifted past the key range), measured FPR from exact counts;
+    the theoretical (1 − e^{-kn/m})^k envelope is pinned test-side
+    (it needs exp, which the engines shouldn't be trusted to agree
+    on — the query ships only exact integers and one ratio).
+
+    Scale shape: members and probes partial-aggregate to bit and
+    key grains; membership tests are two semi-joins against the
+    ≤ 2048-row bit relation (broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    members = o.select(
+        F.col("o_custkey").cast("long").alias("k")
+    ).distinct()
+    hpos = lambda col, salt: F.pmod(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", col.cast("string"), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2048),
+    )
+    bits = (
+        members.select(hpos(F.col("k"), "b1").alias("bit"))
+        .union(members.select(hpos(F.col("k"), "b2").alias("bit")))
+        .distinct()
+        .localCheckpoint()
+    )
+    probes = members.select((F.col("k") + 10000000).alias("k"))
+    hit = (
+        probes.withColumn("h1", hpos(F.col("k"), "b1"))
+        .withColumn("h2", hpos(F.col("k"), "b2"))
+        .join(
+            F.broadcast(bits.select(F.col("bit").alias("h1"))),
+            "h1",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(bits.select(F.col("bit").alias("h2"))),
+            "h2",
+            "left_semi",
+        )
+    )
+    n_members = members.count()
+    n_bits = bits.count()
+    n_probes = probes.count()
+    n_fp = hit.count()
+    return spark.createDataFrame(
+        [
+            (
+                2048,
+                2,
+                n_members,
+                n_bits,
+                n_probes,
+                n_fp,
+                round(n_fp / n_probes, 6),
+            )
+        ],
+        "m int, k int, n_members long, bits_set long, n_probes long,"
+        " n_fp long, fpr double",
+    )
+
+
+Q268_SQL = """
+WITH members AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT CAST('0x' || substring(md5(concat(CAST(k AS VARCHAR), '|',
+      'b1')), 1, 15) AS BIGINT) % 2048 AS bit FROM members
+    UNION ALL
+    SELECT CAST('0x' || substring(md5(concat(CAST(k AS VARCHAR), '|',
+      'b2')), 1, 15) AS BIGINT) % 2048 FROM members
+  )
+), probes AS (
+  SELECT k + 10000000 AS k FROM members
+), hits AS (
+  SELECT p.k FROM probes p
+  WHERE CAST('0x' || substring(md5(concat(CAST(p.k AS VARCHAR), '|',
+          'b1')), 1, 15) AS BIGINT) % 2048 IN (SELECT bit FROM bits)
+    AND CAST('0x' || substring(md5(concat(CAST(p.k AS VARCHAR), '|',
+          'b2')), 1, 15) AS BIGINT) % 2048 IN (SELECT bit FROM bits)
+)
+SELECT CAST(2048 AS INT) AS m, CAST(2 AS INT) AS k,
+       (SELECT COUNT(*) FROM members) AS n_members,
+       (SELECT COUNT(*) FROM bits) AS bits_set,
+       (SELECT COUNT(*) FROM probes) AS n_probes,
+       (SELECT COUNT(*) FROM hits) AS n_fp,
+       ROUND((SELECT COUNT(*) FROM hits)
+             / CAST((SELECT COUNT(*) FROM probes) AS DOUBLE), 6) AS fpr
+"""
+
+
+def q269_newsvendor_fractile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level with the critical-fractile theorem
+    pinned — the inventory-OR classic: daily purchase demand, unit
+    underage cost 3 vs overage cost 1, expected cost of every
+    candidate stocking level computed EXACTLY from the day-grain
+    demand relation (integer Σmax(d−Q,0)·3 + Σmax(Q−d,0)·1), the
+    argmin emitted next to the theory's answer — the smallest Q
+    with empirical CDF ≥ cu/(cu+co) = 0.75 — and they must agree
+    (the discrete newsvendor theorem, pinned as a value equality
+    IN the row).
+
+    Scale shape: candidates × days is a day-grain² cross of two
+    calendar-bounded relations; both answers one rollup each."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("d")
+    ).localCheckpoint()
+    cand = daily.select(F.col("d").alias("q")).distinct()
+    costs = (
+        cand.crossJoin(daily)
+        .groupBy("q")
+        .agg(
+            (
+                3 * F.sum(F.greatest(F.col("d") - F.col("q"), F.lit(0)))
+                + F.sum(F.greatest(F.col("q") - F.col("d"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("cost")
+        )
+    )
+    best = costs.agg(F.min(F.struct("cost", "q")).alias("_b")).select(
+        F.col("_b.q").alias("best_q"), F.col("_b.cost").alias("best_cost")
+    )
+    n_days = daily.count()
+    wq = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    frac = (
+        daily.select("d")
+        .groupBy("d")
+        .agg(F.count("*").alias("nd"))
+        .withColumn("cum", F.sum("nd").over(wq))
+        .filter(F.col("cum") * 4 >= F.lit(n_days) * 3)
+        .agg(F.min("d").cast("long").alias("fractile_q"))
+    )
+    return best.join(F.broadcast(frac)).select(
+        F.col("best_q").cast("long").alias("best_q"),
+        "best_cost",
+        "fractile_q",
+        F.when(F.col("best_q") == F.col("fractile_q"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("theorem_holds"),
+    )
+
+
+Q269_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS d
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), cand AS (SELECT DISTINCT d AS q FROM daily),
+costs AS (
+  SELECT c.q,
+         CAST(3 * SUM(GREATEST(dl.d - c.q, 0))
+              + SUM(GREATEST(c.q - dl.d, 0)) AS BIGINT) AS cost
+  FROM cand c CROSS JOIN daily dl
+  GROUP BY c.q
+), best AS (
+  SELECT q AS best_q, cost AS best_cost FROM costs
+  ORDER BY cost, q LIMIT 1
+), cdf AS (
+  SELECT d, SUM(nd) OVER (ORDER BY d) AS cum,
+         (SELECT COUNT(*) FROM daily) AS n_days
+  FROM (SELECT d, COUNT(*) AS nd FROM daily GROUP BY d)
+), frac AS (
+  SELECT CAST(MIN(d) AS BIGINT) AS fractile_q FROM cdf
+  WHERE cum * 4 >= n_days * 3
+)
+SELECT CAST(b.best_q AS BIGINT) AS best_q, b.best_cost, f.fractile_q,
+       CAST(CASE WHEN b.best_q = f.fractile_q THEN 1 ELSE 0 END AS INT)
+         AS theorem_holds
+FROM best b, frac f
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -19093,6 +19359,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q264_roc_auc": q264_roc_auc,
     "q265_ndcg_at_10": q265_ndcg_at_10,
     "q266_loo_source_influence": q266_loo_source_influence,
+    "q267_revenue_price_point": q267_revenue_price_point,
+    "q268_bloom_fpr_audit": q268_bloom_fpr_audit,
+    "q269_newsvendor_fractile": q269_newsvendor_fractile,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -19364,4 +19633,7 @@ ORACLE_SQL: dict[str, str] = {
     "q264_roc_auc": Q264_SQL,
     "q265_ndcg_at_10": Q265_SQL,
     "q266_loo_source_influence": Q266_SQL,
+    "q267_revenue_price_point": Q267_SQL,
+    "q268_bloom_fpr_audit": Q268_SQL,
+    "q269_newsvendor_fractile": Q269_SQL,
 }

@@ -3369,3 +3369,66 @@ def test_q266_influence_conservation(spark):
             assert r["influence"] <= 0
         elif own_mean < mean_all:
             assert r["influence"] >= 0
+
+
+def test_q267_price_argmax(spark):
+    """Price point: an independent recompute over all candidate
+    prices confirms the argmax; surplus capture in (0, 1]."""
+    r = QUERIES["q267_revenue_price_point"](spark, SF).collect()[0]
+    vals = sorted(
+        row["v"]
+        for row in spark.read.parquet(f"{SF}/events.parquet")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .selectExpr("CAST(ROUND(value*10000) AS LONG) AS v")
+        .collect()
+    )
+    best = max(
+        (v * sum(1 for x in vals if x >= v), -v)
+        for v in sorted(set(vals))
+    )
+    assert round(best[0] / 10000.0, 4) == r["revenue"]
+    assert -best[1] / 10000.0 == r["price"]
+    assert 0 < r["surplus_capture"] <= 1
+    assert r["n_buyers"] <= r["total_buyers"]
+
+
+def test_q268_fpr_envelope(spark):
+    """Bloom FPR: bits_set <= min(2n, m); the measured FPR sits
+    within a generous band of the theoretical (1-e^{-kn/m})^k
+    (binomial noise at these probe counts)."""
+    import math
+
+    r = QUERIES["q268_bloom_fpr_audit"](spark, SF).collect()[0]
+    assert r["bits_set"] <= min(2 * r["n_members"], r["m"])
+    theory = (1 - math.exp(-r["k"] * r["n_members"] / r["m"])) ** r["k"]
+    sd = math.sqrt(theory * (1 - theory) / r["n_probes"])
+    assert abs(r["fpr"] - theory) <= 6 * sd + 0.02, (r["fpr"], theory)
+
+
+def test_q269_theorem_and_local_opt(spark):
+    """Newsvendor: the theorem flag is 1 (argmin == critical
+    fractile), and the chosen Q's cost is a local minimum among
+    candidate demands."""
+    r = QUERIES["q269_newsvendor_fractile"](spark, SF).collect()[0]
+    assert r["theorem_holds"] == 1
+    demands = [
+        row["d"]
+        for row in spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day"
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("d"))
+        .collect()
+    ]
+
+    def cost(q):
+        return 3 * sum(max(d - q, 0) for d in demands) + sum(
+            max(q - d, 0) for d in demands
+        )
+
+    assert cost(r["best_q"]) == r["best_cost"]
+    assert all(cost(r["best_q"]) <= cost(q) for q in set(demands))
