@@ -19092,6 +19092,264 @@ FROM best b, frac f
 """
 
 
+def q270_delta_varint_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta+varint encoding advisor for sorted integer key columns
+    — q228's integer-column sibling (parquet DELTA_BINARY_PACKED
+    territory): each column's sorted-order deltas cost
+    max(1, ceil(bits/7)) varint bytes with bits = binary digit
+    length (the q71 bin() convention — no log in sight), summed
+    exactly against the 8-byte plain cost; the compression ratio a
+    writer banks by sorting on the key before encoding.
+
+    Scale shape: per-column sorted lag (the writer order a real
+    encoder sees per row group), vocab... column-grain rollups;
+    three columns ride one unioned pass."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit("l_orderkey").alias("col"),
+        F.col("l_orderkey").cast("long").alias("val"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("o_orderkey").alias("col"),
+        F.col("o_orderkey").cast("long").alias("val"),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.lit("doc_id").alias("col"), F.col("doc_id").cast("long").alias("val")
+    )
+    allc = li.unionByName(o).unionByName(d)
+    w = Window.partitionBy("col").orderBy("val")
+    deltas = allc.withColumn(
+        "delta", F.col("val") - F.coalesce(F.lag("val").over(w), F.col("val"))
+    )
+    vbytes = F.greatest(
+        F.lit(1),
+        F.ceil(F.length(F.bin(F.col("delta"))) / 7.0).cast("long"),
+    )
+    return deltas.groupBy("col").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") * 8).cast("long").alias("plain_bytes"),
+        F.sum(
+            F.when(F.col("delta") == 0, 1).otherwise(vbytes)
+        ).cast("long").alias("delta_bytes"),
+        F.max("delta").cast("long").alias("max_delta"),
+    ).withColumn(
+        "ratio",
+        F.round(F.col("delta_bytes") / F.col("plain_bytes").cast("double"), 6),
+    )
+
+
+Q270_SQL = """
+WITH allc AS (
+  SELECT 'l_orderkey' AS col, CAST(l_orderkey AS BIGINT) AS val
+  FROM lineitem
+  UNION ALL
+  SELECT 'o_orderkey', CAST(o_orderkey AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'doc_id', CAST(doc_id AS BIGINT) FROM documents
+), deltas AS (
+  SELECT col,
+         val - COALESCE(LAG(val) OVER (PARTITION BY col ORDER BY val),
+                        val) AS delta
+  FROM allc
+)
+SELECT col, COUNT(*) AS n_rows,
+       CAST(COUNT(*) * 8 AS BIGINT) AS plain_bytes,
+       CAST(SUM(CASE WHEN delta = 0 THEN 1
+                ELSE GREATEST(1, CAST(CEIL(length(bin(delta)) / 7.0)
+                                      AS BIGINT)) END) AS BIGINT)
+         AS delta_bytes,
+       CAST(MAX(delta) AS BIGINT) AS max_delta,
+       ROUND(SUM(CASE WHEN delta = 0 THEN 1
+                 ELSE GREATEST(1, CAST(CEIL(length(bin(delta)) / 7.0)
+                                       AS BIGINT)) END)
+             / CAST(COUNT(*) * 8 AS DOUBLE), 6) AS ratio
+FROM deltas GROUP BY col
+"""
+
+
+def q271_leaderboard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-token leaderboard churn between the corpus's first and
+    second halves (by document id median) — the ranking-stability
+    drift monitor: each half's top-50 tokens by exact count with
+    full tie-breaks, overlap and Jaccard of the two leaderboards,
+    and the exact mean absolute rank displacement of the common
+    tokens — the number that says whether "top tokens" dashboards
+    are stable enough to alert on.
+
+    Scale shape: one tokenize pass conditional-aggregated into
+    both halves; two top-50 windows on the vocab-grain relation;
+    the comparison joins two 50-row lists."""
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.expr("percentile(doc_id, 0.5D)").alias("m")
+    )
+    t = (
+        docs.crossJoin(F.broadcast(med))
+        .select(
+            (F.col("doc_id") <= F.col("m")).alias("first_half"),
+            F.explode(
+                F.split(normalize_sql(F.col("text")), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    cnt = t.groupBy("tok").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w1 = Window.orderBy(F.desc("c1"), F.asc("tok"))
+    w2 = Window.orderBy(F.desc("c2"), F.asc("tok"))
+    ranked = cnt.withColumn("r1", F.row_number().over(w1)).withColumn(
+        "r2", F.row_number().over(w2)
+    )
+    top1 = ranked.filter(F.col("r1") <= 50).select("tok", "r1")
+    top2 = ranked.filter(F.col("r2") <= 50).select("tok", "r2")
+    common = top1.join(top2, "tok")
+    stats = common.agg(
+        F.count("*").cast("long").alias("overlap"),
+        F.sum(F.abs(F.col("r1") - F.col("r2"))).cast("long").alias(
+            "_shift_sum"
+        ),
+    )
+    return stats.select(
+        F.lit(50).cast("int").alias("k"),
+        "overlap",
+        F.round(F.col("overlap") / (100 - F.col("overlap")), 6).alias(
+            "jaccard"
+        ),
+        F.round(F.col("_shift_sum") / F.col("overlap").cast("double"), 4).alias(
+            "mean_abs_rank_shift"
+        ),
+    )
+
+
+Q271_SQL = f"""
+WITH med AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+t AS (
+  SELECT doc_id <= m AS first_half, tok FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+  ), med WHERE tok != ''
+), cnt AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM t GROUP BY tok
+), ranked AS (
+  SELECT tok,
+         ROW_NUMBER() OVER (ORDER BY c1 DESC, tok) AS r1,
+         ROW_NUMBER() OVER (ORDER BY c2 DESC, tok) AS r2
+  FROM cnt
+), common AS (
+  SELECT a.tok, a.r1, b.r2
+  FROM (SELECT tok, r1 FROM ranked WHERE r1 <= 50) a
+  JOIN (SELECT tok, r2 FROM ranked WHERE r2 <= 50) b USING (tok)
+)
+SELECT CAST(50 AS INT) AS k,
+       COUNT(*) AS overlap,
+       ROUND(COUNT(*) / CAST(100 - COUNT(*) AS DOUBLE), 6) AS jaccard,
+       ROUND(CAST(SUM(ABS(r1 - r2)) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS mean_abs_rank_shift
+FROM common
+"""
+
+
+def q272_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients of the dup graph (Zhou-Mondragón '04)
+    — do high-degree documents preferentially duplicate EACH OTHER?
+    For degree thresholds 2/3/4: the edge density among nodes of
+    degree ≥ k versus the whole graph's density, with every count
+    exact and the ratio one division — template/boilerplate
+    families show up as rich-club ratios ≫ 1.
+
+    Scale shape: degrees and rich-edge counts are joins over the
+    pair relation; three threshold rows."""
+    edges = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint()
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    out = None
+    for k in (2, 3, 4):
+        rich = deg.filter(F.col("deg") >= k).select("node")
+        n_rich = rich.count()
+        e_rich = (
+            edges.join(rich.select(F.col("node").alias("a")), "a")
+            .join(rich.select(F.col("node").alias("b")), "b")
+            .count()
+        )
+        poss = n_rich * (n_rich - 1) // 2
+        overall = n_edges / (n_nodes * (n_nodes - 1) // 2)
+        row = spark.createDataFrame(
+            [
+                (
+                    k,
+                    n_rich,
+                    e_rich,
+                    poss,
+                    round(e_rich / poss, 6) if poss else None,
+                    round((e_rich / poss) / overall, 4) if poss else None,
+                )
+            ],
+            "k int, n_rich long, e_rich long, possible_pairs long,"
+            " density double, rich_club_ratio double",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _q272_sql() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS INT) AS k,
+       (SELECT COUNT(*) FROM deg WHERE deg >= {k}) AS n_rich,
+       (SELECT COUNT(*) FROM edges e
+        WHERE e.a IN (SELECT node FROM deg WHERE deg >= {k})
+          AND e.b IN (SELECT node FROM deg WHERE deg >= {k})) AS e_rich,
+       (SELECT COUNT(*) FROM deg WHERE deg >= {k})
+         * ((SELECT COUNT(*) FROM deg WHERE deg >= {k}) - 1) // 2
+         AS possible_pairs,
+       ROUND((SELECT COUNT(*) FROM edges e
+        WHERE e.a IN (SELECT node FROM deg WHERE deg >= {k})
+          AND e.b IN (SELECT node FROM deg WHERE deg >= {k}))
+         / CAST((SELECT COUNT(*) FROM deg WHERE deg >= {k})
+                * ((SELECT COUNT(*) FROM deg WHERE deg >= {k}) - 1) // 2
+                AS DOUBLE), 6) AS density,
+       ROUND(((SELECT COUNT(*) FROM edges e
+        WHERE e.a IN (SELECT node FROM deg WHERE deg >= {k})
+          AND e.b IN (SELECT node FROM deg WHERE deg >= {k}))
+         / CAST((SELECT COUNT(*) FROM deg WHERE deg >= {k})
+                * ((SELECT COUNT(*) FROM deg WHERE deg >= {k}) - 1) // 2
+                AS DOUBLE))
+         / ((SELECT COUNT(*) FROM edges)
+            / CAST((SELECT COUNT(*) FROM deg)
+                   * ((SELECT COUNT(*) FROM deg) - 1) // 2 AS DOUBLE)),
+         4) AS rich_club_ratio"""
+        for k in (2, 3, 4)
+    )
+    return f"""
+WITH pairs AS ({Q12_SQL}),
+edges AS (SELECT a, b FROM pairs),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY 1)
+{rows}
+"""
+
+
+Q272_SQL = _q272_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -19362,6 +19620,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q267_revenue_price_point": q267_revenue_price_point,
     "q268_bloom_fpr_audit": q268_bloom_fpr_audit,
     "q269_newsvendor_fractile": q269_newsvendor_fractile,
+    "q270_delta_varint_advisor": q270_delta_varint_advisor,
+    "q271_leaderboard_churn": q271_leaderboard_churn,
+    "q272_rich_club": q272_rich_club,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -19636,4 +19897,7 @@ ORACLE_SQL: dict[str, str] = {
     "q267_revenue_price_point": Q267_SQL,
     "q268_bloom_fpr_audit": Q268_SQL,
     "q269_newsvendor_fractile": Q269_SQL,
+    "q270_delta_varint_advisor": Q270_SQL,
+    "q271_leaderboard_churn": Q271_SQL,
+    "q272_rich_club": Q272_SQL,
 }

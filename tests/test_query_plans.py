@@ -3432,3 +3432,46 @@ def test_q269_theorem_and_local_opt(spark):
 
     assert cost(r["best_q"]) == r["best_cost"]
     assert all(cost(r["best_q"]) <= cost(q) for q in set(demands))
+
+
+def test_q270_varint_bounds(spark):
+    """Delta encoding: sorted deltas compress keys far below 8
+    bytes/row (ratio < 0.5 for dense key spaces); delta_bytes is at
+    least n (one byte per row) and max_delta is non-negative."""
+    rows = QUERIES["q270_delta_varint_advisor"](spark, SF).collect()
+    assert {r["col"] for r in rows} == {
+        "l_orderkey", "o_orderkey", "doc_id",
+    }
+    for r in rows:
+        assert r["n_rows"] <= r["delta_bytes"] or r["delta_bytes"] >= 0
+        assert r["delta_bytes"] >= r["n_rows"]
+        assert r["delta_bytes"] < r["plain_bytes"]
+        assert r["ratio"] < 0.5
+        assert r["max_delta"] >= 0
+
+
+def test_q271_churn_bounds(spark):
+    """Leaderboard churn: overlap <= 50; jaccard consistent with
+    overlap; rank shifts bounded by 49 each."""
+    r = QUERIES["q271_leaderboard_churn"](spark, SF).collect()[0]
+    assert 0 <= r["overlap"] <= 50
+    assert abs(r["jaccard"] - round(r["overlap"] / (100 - r["overlap"]), 6)) < 1e-9
+    assert 0 <= r["mean_abs_rank_shift"] <= 49
+
+
+def test_q272_rich_club_monotone_universe(spark):
+    """Rich club: n_rich shrinks as k rises; e_rich <= possible
+    pairs and <= total edges; densities in [0, 1]."""
+    rows = sorted(
+        QUERIES["q272_rich_club"](spark, SF).collect(),
+        key=lambda r: r["k"],
+    )
+    n_edges = QUERIES["q12_docs_token_jaccard_pairs"](spark, SF).count()
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert r["n_rich"] <= prev
+        prev = r["n_rich"]
+        assert r["e_rich"] <= min(r["possible_pairs"], n_edges)
+        if r["density"] is not None:
+            assert 0 <= r["density"] <= 1
