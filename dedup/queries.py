@@ -19350,6 +19350,290 @@ deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY 1)
 Q272_SQL = _q272_sql()
 
 
+def q273_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test for the weekend effect — the PAIRED
+    nonparametric test completing the family (q225 MWU is the
+    unpaired one): per ISO-ish week, the weekend-vs-weekday mean
+    difference carried as the INTEGER cross-multiplication
+    5·weekend − 2·weekday (sign and ordering need no division),
+    zero differences dropped per the standard procedure, |d| ranks
+    in the q225 doubled-integer tie space, W⁺/W⁻ exact BIGINTs, the
+    normal z with one final sqrt.
+
+    Scale shape: one exchange to the (week, is_weekend) grain; the
+    rank window runs on the weeks relation (calendar-bounded)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    wk = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            ((day - F.col("d0")) / 7).cast("long").alias("week"),
+            F.when((day - F.col("d0")) % 7 >= 5, 1).otherwise(0).alias(
+                "is_we"
+            ),
+        )
+        .groupBy("week")
+        .agg(
+            F.sum("is_we").cast("long").alias("we"),
+            F.sum(1 - F.col("is_we")).cast("long").alias("wd"),
+        )
+        .withColumn("d", 5 * F.col("we") - 2 * F.col("wd"))
+        .filter(F.col("d") != 0)
+    )
+    byv = wk.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nm"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    r = byv.withColumn(
+        "cum", F.coalesce(F.sum(F.col("np") + F.col("nm")).over(w), F.lit(0))
+    ).withColumn("r2", 2 * F.col("cum") + F.col("np") + F.col("nm") + 1)
+    agg = r.agg(
+        F.sum(F.col("np") + F.col("nm")).cast("long").alias("n"),
+        F.sum(F.col("np") * F.col("r2")).cast("long").alias("wp_x2"),
+        F.sum(F.col("nm") * F.col("r2")).cast("long").alias("wm_x2"),
+    )
+    n = F.col("n").cast("double")
+    mean_x2 = n * (n + 1) / 2
+    return agg.select(
+        "n",
+        "wp_x2",
+        "wm_x2",
+        F.round(
+            (F.col("wp_x2") - mean_x2)
+            / F.sqrt(n * (n + 1) * (2 * n + 1) * 2 / 3),
+            6,
+        ).alias("z"),
+    )
+
+
+Q273_SQL = """
+WITH d0 AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+wk AS (
+  SELECT (epoch_us(ts) // 86400000000 - d0) // 7 AS week,
+         CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000 - d0) % 7 >= 5
+                  THEN 1 ELSE 0 END) AS BIGINT) AS we,
+         CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000 - d0) % 7 < 5
+                  THEN 1 ELSE 0 END) AS BIGINT) AS wd
+  FROM events, d0 GROUP BY 1
+), diffs AS (
+  SELECT 5 * we - 2 * wd AS d FROM wk WHERE 5 * we - 2 * wd != 0
+), byv AS (
+  SELECT ABS(d) AS ad,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nm
+  FROM diffs GROUP BY 1
+), r AS (
+  SELECT np, nm,
+         CAST(2 * COALESCE(SUM(np + nm) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + np + nm + 1 AS BIGINT) AS r2
+  FROM byv
+), agg AS (
+  SELECT CAST(SUM(np + nm) AS BIGINT) AS n,
+         CAST(SUM(np * r2) AS BIGINT) AS wp_x2,
+         CAST(SUM(nm * r2) AS BIGINT) AS wm_x2
+  FROM r
+)
+SELECT n, wp_x2, wm_x2,
+       ROUND((wp_x2 - n * (n + 1) / 2.0)
+             / sqrt(n * (n + 1.0) * (2 * n + 1) * 2 / 3), 6) AS z
+FROM agg
+"""
+
+
+def q274_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the day-over-day volume direction
+    — the randomness audit: daily totals diffed (zero changes
+    dropped), runs counted as 1 + sign flips via a lag on the
+    calendar-bounded series, expected runs 2n₁n₂/n + 1 and its
+    variance from the exact counts, z with one sqrt — too FEW runs
+    means trending, too many means oscillation; either breaks the
+    i.i.d. assumption every CI in the suite quietly makes.
+
+    Scale shape: one exchange to the day grain; the diff/flip lags
+    run on the bounded series; one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("v")
+    )
+    w = Window.orderBy("day")
+    sgn = (
+        daily.withColumn("prev", F.lag("v").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("v") != F.col("prev")))
+        .withColumn(
+            "s", F.when(F.col("v") > F.col("prev"), 1).otherwise(-1)
+        )
+    )
+    w2 = Window.orderBy("day")
+    runs = sgn.withColumn("ps", F.lag("s").over(w2)).agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    nn = n1 + n2
+    mu = 2 * n1 * n2 / nn + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1))
+    )
+    return runs.select(
+        "n_moves",
+        "n_up",
+        "n_down",
+        "runs",
+        F.round(mu, 4).alias("expected_runs"),
+        F.round((F.col("runs") - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+Q274_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS v
+  FROM events GROUP BY 1
+), sgn AS (
+  SELECT day, CASE WHEN v > prev THEN 1 ELSE -1 END AS s
+  FROM (SELECT day, v, LAG(v) OVER (ORDER BY day) AS prev FROM daily)
+  WHERE prev IS NOT NULL AND v != prev
+), runs AS (
+  SELECT COUNT(*) AS n_moves,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         CAST(1 + SUM(CASE WHEN ps IS NOT NULL AND s != ps
+                      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM (SELECT s, LAG(s) OVER (ORDER BY day) AS ps, day FROM sgn)
+)
+SELECT n_moves, n_up, n_down, runs,
+       ROUND(2.0 * n_up * n_down / (n_up + n_down) + 1, 4)
+         AS expected_runs,
+       ROUND((runs - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+             / sqrt(2.0 * n_up * n_down
+                    * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((n_up + n_down) * (n_up + n_down)
+                       * (n_up + n_down - 1.0))), 6) AS z
+FROM runs
+"""
+
+
+def q275_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily volume — the median of
+    all pairwise slopes, immune to the outlier days that bend OLS:
+    slopes materialized over the day-grain pair relation (rounded
+    to 9 digits so both engines rank the identical multiset), the
+    median selected by EXACT rank with (slope, day-pair)
+    tie-breaks — never interpolated — and emitted beside the
+    integer-moment OLS slope (q69's machinery) so the robust-vs-
+    least-squares gap is the row's headline.
+
+    Scale shape: the pair relation is day-grain² (calendar², tiny
+    at any corpus size); one rank window; OLS from one 5-moment
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("v")
+    ).localCheckpoint()
+    l, r = daily.alias("l"), daily.alias("r")
+    slopes = l.join(r, F.col("l.day") < F.col("r.day")).select(
+        F.round(
+            (F.col("r.v") - F.col("l.v"))
+            / (F.col("r.day") - F.col("l.day")),
+            9,
+        ).alias("slope"),
+        F.col("l.day").alias("di"),
+        F.col("r.day").alias("dj"),
+    )
+    ws = Window.orderBy("slope", "di", "dj")
+    ranked = slopes.withColumn("rk", F.row_number().over(ws))
+    np_row = slopes.agg(F.count("*").cast("long").alias("n_pairs"))
+    med = (
+        ranked.crossJoin(F.broadcast(np_row))
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("n_pairs", F.col("slope").alias("theil_sen"))
+    )
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("v").cast("long").alias("sy"),
+        F.sum(F.col("day") * F.col("v")).cast("long").alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).cast("long").alias("sxx"),
+    )
+    ols = mom.select(
+        "n_days",
+        F.round(
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.col("n_days") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double"),
+            6,
+        ).alias("ols_slope"),
+    )
+    return med.join(F.broadcast(ols)).select(
+        "n_days",
+        "n_pairs",
+        "theil_sen",
+        "ols_slope",
+        F.round(F.col("theil_sen") - F.col("ols_slope"), 6).alias("gap"),
+    )
+
+
+Q275_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS v
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT ROUND((r.v - l.v) / CAST(r.day - l.day AS DOUBLE), 9) AS slope,
+         l.day AS di, r.day AS dj
+  FROM daily l JOIN daily r ON l.day < r.day
+), ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, di, dj) AS rk,
+         COUNT(*) OVER () AS n_pairs
+  FROM slopes
+), med AS (
+  SELECT CAST(n_pairs AS BIGINT) AS n_pairs, slope AS theil_sen
+  FROM ranked WHERE rk = (n_pairs + 1) // 2
+), mom AS (
+  SELECT COUNT(*) AS n_days,
+         CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+         CAST(SUM(day * v) AS BIGINT) AS sxy,
+         CAST(SUM(day * day) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT m.n_days, d.n_pairs, d.theil_sen,
+       ROUND((m.n_days * m.sxy - m.sx * m.sy)
+             / CAST(m.n_days * m.sxx - m.sx * m.sx AS DOUBLE), 6)
+         AS ols_slope,
+       ROUND(d.theil_sen
+             - ROUND((m.n_days * m.sxy - m.sx * m.sy)
+                     / CAST(m.n_days * m.sxx - m.sx * m.sx AS DOUBLE),
+                     6), 6) AS gap
+FROM med d, mom m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -19623,6 +19907,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q270_delta_varint_advisor": q270_delta_varint_advisor,
     "q271_leaderboard_churn": q271_leaderboard_churn,
     "q272_rich_club": q272_rich_club,
+    "q273_wilcoxon_signed_rank": q273_wilcoxon_signed_rank,
+    "q274_runs_test": q274_runs_test,
+    "q275_theil_sen_slope": q275_theil_sen_slope,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -19900,4 +20187,7 @@ ORACLE_SQL: dict[str, str] = {
     "q270_delta_varint_advisor": Q270_SQL,
     "q271_leaderboard_churn": Q271_SQL,
     "q272_rich_club": Q272_SQL,
+    "q273_wilcoxon_signed_rank": Q273_SQL,
+    "q274_runs_test": Q274_SQL,
+    "q275_theil_sen_slope": Q275_SQL,
 }

@@ -3475,3 +3475,54 @@ def test_q272_rich_club_monotone_universe(spark):
         assert r["e_rich"] <= min(r["possible_pairs"], n_edges)
         if r["density"] is not None:
             assert 0 <= r["density"] <= 1
+
+
+def test_q273_wilcoxon_identity(spark):
+    """Signed-rank: W+ + W- = n(n+1)/2 exactly in doubled space
+    (all ranks distributed), and n counts the non-zero weeks."""
+    r = QUERIES["q273_wilcoxon_signed_rank"](spark, SF).collect()[0]
+    assert r["wp_x2"] + r["wm_x2"] == r["n"] * (r["n"] + 1)
+    assert r["n"] >= 1
+    assert r["wp_x2"] >= 0 and r["wm_x2"] >= 0
+
+
+def test_q274_runs_bounds(spark):
+    """Runs test: runs between 1 and n_moves; up+down = moves; the
+    z recomputes from the emitted integers."""
+    r = QUERIES["q274_runs_test"](spark, SF).collect()[0]
+    assert 1 <= r["runs"] <= r["n_moves"]
+    assert r["n_up"] + r["n_down"] == r["n_moves"]
+    import math
+
+    n1, n2 = r["n_up"], r["n_down"]
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert abs(r["z"] - round((r["runs"] - mu) / math.sqrt(var), 6)) < 1e-9
+
+
+def test_q275_median_slope(spark):
+    """Theil-Sen: a python recompute of the median pairwise slope
+    (same rounding and tie order) matches; n_pairs = C(n_days, 2)."""
+    r = QUERIES["q275_theil_sen_slope"](spark, SF).collect()[0]
+    daily = sorted(
+        (row["day"], row["v"])
+        for row in spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day"
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("v"))
+        .collect()
+    )
+    n = len(daily)
+    assert r["n_days"] == n and r["n_pairs"] == n * (n - 1) // 2
+    slopes = sorted(
+        (round((vj - vi) / (dj - di), 9), di, dj)
+        for i, (di, vi) in enumerate(daily)
+        for dj, vj in daily[i + 1:]
+    )
+    k = (len(slopes) + 1) // 2
+    assert slopes[k - 1][0] == r["theil_sen"]
