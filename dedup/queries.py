@@ -19634,6 +19634,279 @@ FROM med d, mom m
 """
 
 
+def q276_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error of the mean daily volume — the
+    resampling-inference primitive that needs NO randomness: the
+    leave-one-out deviation collapses algebraically to
+    (S − n·v_i)/(n(n−1)), so Σ deviations² is an EXACT BIGINT and
+    jackknife variance = Σ(S − n·v_i)² / (n³(n−1)) with one
+    division; emitted beside the classical s/√n, which for the
+    mean it must EQUAL (the jackknife-mean identity, pinned in the
+    row as a match flag).
+
+    Scale shape: one exchange to the day grain, one broadcast
+    total, one integer rollup."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("v")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    j = daily.crossJoin(F.broadcast(tot))
+    dev = j.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("ss").alias("ss"),
+        F.sum(
+            (F.col("s") - F.col("n") * F.col("v"))
+            * (F.col("s") - F.col("n") * F.col("v"))
+        )
+        .cast("long")
+        .alias("dev2"),
+    )
+    n = F.col("n").cast("double")
+    jack_se = F.sqrt(
+        F.col("dev2") / (n * n * n * (n - 1))
+    )
+    s2 = (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)
+    classical_se = F.sqrt(s2 / n)
+    return dev.select(
+        "n",
+        F.round(F.col("s") / n, 4).alias("mean_daily"),
+        F.round(jack_se, 6).alias("jackknife_se"),
+        F.round(classical_se, 6).alias("classical_se"),
+        F.when(
+            F.abs(jack_se - classical_se) < 1e-9, 1
+        ).otherwise(0).cast("int").alias("identity_holds"),
+    )
+
+
+Q276_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS v
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM daily
+), dev AS (
+  SELECT MAX(n) AS n, MAX(s) AS s, MAX(ss) AS ss,
+         CAST(SUM((s - n * v) * (s - n * v)) AS BIGINT) AS dev2
+  FROM daily, tot
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(s / CAST(n AS DOUBLE), 4) AS mean_daily,
+       ROUND(sqrt(dev2 / (CAST(n AS DOUBLE) * n * n * (n - 1))), 6)
+         AS jackknife_se,
+       ROUND(sqrt(((ss - s * CAST(s AS DOUBLE) / n) / (n - 1)) / n), 6)
+         AS classical_se,
+       CAST(CASE WHEN ABS(sqrt(dev2 / (CAST(n AS DOUBLE) * n * n
+                                       * (n - 1)))
+                      - sqrt(((ss - s * CAST(s AS DOUBLE) / n)
+                              / (n - 1)) / n)) < 1e-9
+            THEN 1 ELSE 0 END AS INT) AS identity_holds
+FROM dev
+"""
+
+
+def q277_aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test calibration sweep — the audit that catches broken
+    randomization BEFORE any A/B result is trusted: the q204
+    two-proportion z-test re-run under 8 DIFFERENT md5 split salts
+    where no true effect can exist; all eight z's from ONE
+    conditional-aggregation pass (8 bucket expressions), each with
+    exact counts and one sqrt. Healthy splits give |z| ~ N(0,1)
+    across salts; a systematic |z| means the "random" split isn't.
+
+    Scale shape: one corpus pass, 8 parallel conditional cells,
+    8 rollup rows."""
+    from .sampling import bucket_of
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    out = None
+    base = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+        *[
+            F.pmod(bucket_of(F.col("user_id"), f"aa-{i}"), 2).alias(
+                f"g{i}"
+            )
+            for i in range(8)
+        ],
+    )
+    agg = base.agg(
+        *[
+            c
+            for i in range(8)
+            for c in (
+                F.sum(F.when(F.col(f"g{i}") == 0, F.col("p")).otherwise(0))
+                .cast("long")
+                .alias(f"pt{i}"),
+                F.sum(F.when(F.col(f"g{i}") == 0, 1).otherwise(0))
+                .cast("long")
+                .alias(f"nt{i}"),
+                F.sum(F.when(F.col(f"g{i}") == 1, F.col("p")).otherwise(0))
+                .cast("long")
+                .alias(f"pc{i}"),
+                F.sum(F.when(F.col(f"g{i}") == 1, 1).otherwise(0))
+                .cast("long")
+                .alias(f"nc{i}"),
+            )
+        ]
+    ).localCheckpoint()
+    for i in range(8):
+        pt, nt, pc, nc = (
+            F.col(f"pt{i}"),
+            F.col(f"nt{i}"),
+            F.col(f"pc{i}"),
+            F.col(f"nc{i}"),
+        )
+        pool = (pt + pc) / (nt + nc)
+        z = (pt / nt - pc / nc) / F.sqrt(
+            pool * (1 - pool) * (1 / nt + 1 / nc)
+        )
+        row = agg.select(
+            F.lit(f"aa-{i}").alias("salt"),
+            nt.alias("n_a"),
+            nc.alias("n_b"),
+            F.round(pt / nt, 6).alias("rate_a"),
+            F.round(pc / nc, 6).alias("rate_b"),
+            F.round(z, 6).alias("z"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _q277_sql() -> str:
+    from .sampling import bucket_sql
+
+    rows = []
+    for i in range(8):
+        b = bucket_sql("user_id", f"aa-{i}")
+        rows.append(
+            f"""SELECT 'aa-{i}' AS salt,
+  CAST(SUM(CASE WHEN {b} % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+  CAST(SUM(CASE WHEN {b} % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+  ROUND(SUM(CASE WHEN {b} % 2 = 0 AND event_type = 'purchase'
+            THEN 1 ELSE 0 END)
+        / CAST(SUM(CASE WHEN {b} % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE),
+        6) AS rate_a,
+  ROUND(SUM(CASE WHEN {b} % 2 = 1 AND event_type = 'purchase'
+            THEN 1 ELSE 0 END)
+        / CAST(SUM(CASE WHEN {b} % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE),
+        6) AS rate_b,
+  ROUND((SUM(CASE WHEN {b} % 2 = 0 AND event_type = 'purchase'
+             THEN 1 ELSE 0 END)
+         / CAST(SUM(CASE WHEN {b} % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         - SUM(CASE WHEN {b} % 2 = 1 AND event_type = 'purchase'
+               THEN 1 ELSE 0 END)
+           / CAST(SUM(CASE WHEN {b} % 2 = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE))
+        / sqrt((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                / CAST(COUNT(*) AS DOUBLE))
+               * (1 - SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END)
+                      / CAST(COUNT(*) AS DOUBLE))
+               * (1.0 / SUM(CASE WHEN {b} % 2 = 0 THEN 1 ELSE 0 END)
+                  + 1.0 / SUM(CASE WHEN {b} % 2 = 1
+                              THEN 1 ELSE 0 END))), 6) AS z
+FROM events WHERE event_type IN ('view', 'purchase')"""
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+Q277_SQL = _q277_sql()
+
+
+def q278_regression_to_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-to-the-mean audit — the selection-bias phenomenon
+    every "top performers" dashboard trips over: the top-decile
+    volume days (rank-exact selection) are followed, and their
+    NEXT-day mean is compared with both their own mean and the
+    overall mean; the reversion fraction (top − next)/(top −
+    overall) says how much of the apparent excellence was luck.
+    All means from exact integer sums, three final divisions.
+
+    Scale shape: day-grain relation, one rank window, one self-
+    join on day+1."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("v")
+    ).localCheckpoint()
+    n_days = daily.count()
+    k = max(1, n_days // 10)
+    w = Window.orderBy(F.desc("v"), F.asc("day"))
+    top = daily.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    nxt = top.alias("t").join(
+        daily.alias("n"), F.col("n.day") == F.col("t.day") + 1
+    )
+    overall = daily.agg(
+        (F.sum("v") / F.count("*")).alias("mean_all")
+    )
+    stats = nxt.agg(
+        F.count("*").cast("long").alias("n_followed"),
+        (F.sum("t.v") / F.count("*")).alias("mean_top"),
+        (F.sum("n.v") / F.count("*")).alias("mean_next"),
+    )
+    return stats.join(F.broadcast(overall)).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_followed",
+        F.round("mean_top", 4).alias("mean_top"),
+        F.round("mean_next", 4).alias("mean_next"),
+        F.round("mean_all", 4).alias("mean_all"),
+        F.round(
+            (F.col("mean_top") - F.col("mean_next"))
+            / (F.col("mean_top") - F.col("mean_all")),
+            4,
+        ).alias("reversion_frac"),
+    )
+
+
+def _q278_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS v
+  FROM events GROUP BY 1
+), nrow AS (
+  SELECT COUNT(*) AS n_days,
+         GREATEST(1, COUNT(*) // 10) AS k
+  FROM daily
+), top AS (
+  SELECT day, v FROM (
+    SELECT day, v, ROW_NUMBER() OVER (ORDER BY v DESC, day) AS rk
+    FROM daily
+  ), nrow WHERE rk <= k
+), followed AS (
+  SELECT t.v AS tv, n.v AS nv
+  FROM top t JOIN daily n ON n.day = t.day + 1
+), overall AS (
+  SELECT SUM(v) / CAST(COUNT(*) AS DOUBLE) AS mean_all FROM daily
+)
+SELECT CAST((SELECT k FROM nrow) AS BIGINT) AS k,
+       COUNT(*) AS n_followed,
+       ROUND(SUM(tv) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_top,
+       ROUND(SUM(nv) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_next,
+       ROUND((SELECT mean_all FROM overall), 4) AS mean_all,
+       ROUND((SUM(tv) / CAST(COUNT(*) AS DOUBLE)
+              - SUM(nv) / CAST(COUNT(*) AS DOUBLE))
+             / (SUM(tv) / CAST(COUNT(*) AS DOUBLE)
+                - (SELECT mean_all FROM overall)), 4) AS reversion_frac
+FROM followed
+"""
+
+
+Q278_SQL = _q278_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -19910,6 +20183,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q273_wilcoxon_signed_rank": q273_wilcoxon_signed_rank,
     "q274_runs_test": q274_runs_test,
     "q275_theil_sen_slope": q275_theil_sen_slope,
+    "q276_jackknife_se": q276_jackknife_se,
+    "q277_aa_test_calibration": q277_aa_test_calibration,
+    "q278_regression_to_mean": q278_regression_to_mean,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -20190,4 +20466,7 @@ ORACLE_SQL: dict[str, str] = {
     "q273_wilcoxon_signed_rank": Q273_SQL,
     "q274_runs_test": Q274_SQL,
     "q275_theil_sen_slope": Q275_SQL,
+    "q276_jackknife_se": Q276_SQL,
+    "q277_aa_test_calibration": Q277_SQL,
+    "q278_regression_to_mean": Q278_SQL,
 }

@@ -3526,3 +3526,42 @@ def test_q275_median_slope(spark):
     )
     k = (len(slopes) + 1) // 2
     assert slopes[k - 1][0] == r["theil_sen"]
+
+
+def test_q276_jackknife_identity(spark):
+    """Jackknife SE of the mean equals the classical s/sqrt(n) —
+    the algebraic identity, pinned by the row's own flag and
+    rechecked here."""
+    r = QUERIES["q276_jackknife_se"](spark, SF).collect()[0]
+    assert r["identity_holds"] == 1
+    assert abs(r["jackknife_se"] - r["classical_se"]) < 1e-5
+    assert r["jackknife_se"] > 0
+
+
+def test_q277_aa_calibrated(spark):
+    """A/A sweep: 8 salts, no |z| beyond 4 (no true effect exists),
+    and arm sizes partition the events per salt."""
+    rows = QUERIES["q277_aa_test_calibration"](spark, SF).collect()
+    assert len(rows) == 8
+    n_events = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .count()
+    )
+    for r in rows:
+        assert r["n_a"] + r["n_b"] == n_events
+        assert abs(r["z"]) < 4, r
+
+
+def test_q278_selection_bias(spark):
+    """Regression to the mean: top-decile days beat the overall mean
+    by construction; the reversion fraction recomputes from the
+    emitted means."""
+    r = QUERIES["q278_regression_to_mean"](spark, SF).collect()[0]
+    assert r["mean_top"] > r["mean_all"]
+    assert r["n_followed"] <= r["k"]
+    want = round(
+        (r["mean_top"] - r["mean_next"]) / (r["mean_top"] - r["mean_all"]),
+        4,
+    )
+    assert abs(r["reversion_frac"] - want) < 1e-3
