@@ -19907,6 +19907,328 @@ FROM followed
 Q278_SQL = _q278_sql()
 
 
+def q279_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the corpus's first- and
+    second-half purchase-value distributions, in the engine-exact
+    FIXED POINT the suite's no-libm rule demands: per value-bin
+    shares as exact ppm integers (·10⁶ floor-div), the log-ratio as
+    signed floor-log2 millibits from binary digit lengths of the
+    add-1-smoothed cross products, contribution = share-diff ×
+    log-ratio — every intermediate a BIGINT; the psi_total column
+    repeats the rollup so the row set carries both the per-bin
+    diagnosis and the verdict. The ML-ops drift gate, portable.
+
+    Scale shape: one conditional pass to the bin grain; the total
+    is a broadcast of an 11-row rollup."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    med = ev.agg(F.expr("percentile(unix_micros(cast(ts as timestamp)) div 86400000000, 0.5D)").alias("m"))
+    bins = (
+        ev.crossJoin(F.broadcast(med))
+        .select(
+            F.least(
+                F.floor(F.col("value") / 10).cast("long"), F.lit(10)
+            ).alias("bin"),
+            (day <= F.col("m")).alias("first_half"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+            F.sum(F.when(~F.col("first_half"), 1).otherwise(0))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    j = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "cp",
+        "cq",
+        F.expr("cp * 1000000 div np - cq * 1000000 div nq").alias("d_ppm"),
+        (
+            (
+                F.length(F.bin((F.col("cp") + 1) * (F.col("nq") + 1)))
+                - F.length(F.bin((F.col("cq") + 1) * (F.col("np") + 1)))
+            )
+            * 1000
+        ).cast("long").alias("lr_mb"),
+    ).withColumn("contrib", F.col("d_ppm") * F.col("lr_mb"))
+    total = j.agg(
+        F.round(F.sum("contrib") / 1e9, 6).alias("psi_total")
+    )
+    return j.crossJoin(F.broadcast(total)).select(
+        "bin", "cp", "cq", "d_ppm", "lr_mb", "contrib", "psi_total"
+    )
+
+
+Q279_SQL = """
+WITH ev AS (
+  SELECT value, epoch_us(ts) // 86400000000 AS day FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+), med AS (SELECT quantile_cont(day, 0.5) AS m FROM ev),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(value / 10) AS BIGINT), 10) AS bin,
+         CAST(SUM(CASE WHEN day <= m THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN day > m THEN 1 ELSE 0 END) AS BIGINT) AS cq
+  FROM ev, med GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+  FROM bins
+), j AS (
+  SELECT bin, cp, cq,
+         CAST(cp * 1000000 // np - cq * 1000000 // nq AS BIGINT) AS d_ppm,
+         CAST((length(bin((cp + 1) * (nq + 1)))
+               - length(bin((cq + 1) * (np + 1)))) * 1000 AS BIGINT)
+           AS lr_mb
+  FROM bins, tot
+), wt AS (SELECT *, d_ppm * lr_mb AS contrib FROM j),
+total AS (
+  SELECT ROUND(SUM(contrib) / 1e9, 6) AS psi_total FROM wt
+)
+SELECT bin, cp, cq, d_ppm, lr_mb, CAST(contrib AS BIGINT) AS contrib,
+       psi_total
+FROM wt, total
+"""
+
+
+def q280_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's Law cross-check (L = λW) computed down TWO
+    INDEPENDENT paths: W·λ from the session relation (30-min-gap
+    q178 sessionization; Σ durations and count in exact integer
+    microseconds) versus L from the exact event-time sweep-line
+    integral of session concurrency (±1 deltas at session
+    endpoints, Σ open·Δt — no minute quantization); the two
+    integer integrals MUST be equal (Fubini), and the row pins it.
+    The queueing identity as a computation-path audit.
+
+    Scale shape: one user-grain exchange for sessionization; the
+    sweep runs on the session-endpoint relation (2 rows per
+    session)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = (
+        ev.select("user_id", "event_id", us.alias("us"))
+        .withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("us") - F.col("prev") > 1800 * 1000000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sessions = marked.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s0"), F.max("us").alias("s1")
+    ).localCheckpoint()
+    span = sessions.agg(
+        F.min("s0").alias("t0"),
+        F.max("s1").alias("t1"),
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.col("s1") - F.col("s0")).cast("long").alias("dur_sum"),
+    )
+    deltas = (
+        sessions.select(F.col("s0").alias("t"), F.lit(1).alias("d"))
+        .unionByName(
+            sessions.select(F.col("s1").alias("t"), F.lit(-1).alias("d"))
+        )
+        .groupBy("t")
+        .agg(F.sum("d").alias("delta"))
+    )
+    ws = Window.orderBy("t")
+    sweep = (
+        deltas.withColumn(
+            "open",
+            F.sum("delta").over(
+                ws.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("nxt", F.lead("t").over(ws))
+        .filter(F.col("nxt").isNotNull())
+        .agg(
+            F.sum(F.col("open") * (F.col("nxt") - F.col("t")))
+            .cast("long")
+            .alias("integral_us")
+        )
+    )
+    return span.join(F.broadcast(sweep)).select(
+        "n_sessions",
+        F.col("dur_sum").alias("session_us_sum"),
+        "integral_us",
+        F.when(F.col("dur_sum") == F.col("integral_us"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("littles_law_holds"),
+        F.round(
+            F.col("dur_sum")
+            / (F.col("t1") - F.col("t0")).cast("double"),
+            6,
+        ).alias("avg_concurrent_l"),
+        F.round(
+            F.col("n_sessions")
+            * 3600000000.0
+            / (F.col("t1") - F.col("t0")),
+            4,
+        ).alias("lambda_per_hour"),
+        F.round(
+            F.col("dur_sum") / F.col("n_sessions") / 60000000.0, 4
+        ).alias("w_minutes"),
+    )
+
+
+Q280_SQL = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 1800000000
+         THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM events
+), sid AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS sid
+  FROM marked
+), sessions AS (
+  SELECT user_id, sid, MIN(us) AS s0, MAX(us) AS s1
+  FROM sid GROUP BY 1, 2
+), span AS (
+  SELECT MIN(s0) AS t0, MAX(s1) AS t1, COUNT(*) AS n_sessions,
+         CAST(SUM(s1 - s0) AS BIGINT) AS dur_sum
+  FROM sessions
+), deltas AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS delta FROM (
+    SELECT s0 AS t, 1 AS d FROM sessions
+    UNION ALL SELECT s1, -1 FROM sessions
+  ) GROUP BY t
+), sweep AS (
+  SELECT CAST(SUM(open * (nxt - t)) AS BIGINT) AS integral_us FROM (
+    SELECT t, SUM(delta) OVER (ORDER BY t) AS open,
+           LEAD(t) OVER (ORDER BY t) AS nxt
+    FROM deltas
+  ) WHERE nxt IS NOT NULL
+)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       dur_sum AS session_us_sum, integral_us,
+       CAST(CASE WHEN dur_sum = integral_us THEN 1 ELSE 0 END AS INT)
+         AS littles_law_holds,
+       ROUND(dur_sum / CAST(t1 - t0 AS DOUBLE), 6) AS avg_concurrent_l,
+       ROUND(n_sessions * 3600000000.0 / (t1 - t0), 4)
+         AS lambda_per_hour,
+       ROUND(dur_sum / CAST(n_sessions AS DOUBLE) / 60000000.0, 4)
+         AS w_minutes
+FROM span, sweep
+"""
+
+
+def q281_xor_parity_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XOR erasure-parity recovery audit — the 4+1 RAID-5-style
+    stripe over document content hashes: docs stripe into groups of
+    four lanes (doc_id div 4 / mod 4), the parity lane is the
+    BIT_XOR of the group's 60-bit md5 content hashes, lane 2 is
+    declared lost, and the recovery parity ⊕ lanes{0,1,3} must
+    reproduce every lost hash — zero mismatches pinned in the row
+    (the XOR involution). Only full 4-lane stripes are audited;
+    the short tail is counted, not hidden.
+
+    Scale shape: one map-side-combined groupBy to the stripe grain
+    (bit_xor + conditional maxes in one aggregate), one audit
+    rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(normalize_sql(F.col("text"))), 1, 15), 16, 10
+    ).cast("long")
+    lanes = docs.select(
+        F.expr("doc_id div 4").alias("grp"),
+        F.pmod(F.col("doc_id"), F.lit(4)).alias("lane"),
+        h.alias("h"),
+    )
+    stripes = lanes.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_lanes"),
+        F.expr("bit_xor(h)").alias("parity"),
+        F.max(F.when(F.col("lane") == 0, F.col("h"))).alias("h0"),
+        F.max(F.when(F.col("lane") == 1, F.col("h"))).alias("h1"),
+        F.max(F.when(F.col("lane") == 2, F.col("h"))).alias("h2"),
+        F.max(F.when(F.col("lane") == 3, F.col("h"))).alias("h3"),
+    )
+    full = stripes.filter(F.col("n_lanes") == 4).withColumn(
+        "recovered",
+        F.expr("parity ^ h0 ^ h1 ^ h3"),
+    )
+    return stripes.agg(
+        F.count("*").cast("long").alias("n_stripes"),
+        F.sum(F.when(F.col("n_lanes") == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_full_stripes"),
+    ).join(
+        F.broadcast(
+            full.agg(
+                F.count("*").cast("long").alias("n_recovered"),
+                F.sum(
+                    F.when(F.col("recovered") != F.col("h2"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_mismatch"),
+            )
+        )
+    ).select(
+        "n_stripes",
+        "n_full_stripes",
+        "n_recovered",
+        "n_mismatch",
+        F.when(F.col("n_mismatch") == 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("recovery_exact"),
+    )
+
+
+Q281_SQL = f"""
+WITH lanes AS (
+  SELECT doc_id // 4 AS grp, doc_id % 4 AS lane,
+         CAST('0x' || substring(md5({_NORM}), 1, 15) AS BIGINT) AS h
+  FROM documents
+), stripes AS (
+  SELECT grp, COUNT(*) AS n_lanes, BIT_XOR(h) AS parity,
+         MAX(CASE WHEN lane = 0 THEN h END) AS h0,
+         MAX(CASE WHEN lane = 1 THEN h END) AS h1,
+         MAX(CASE WHEN lane = 2 THEN h END) AS h2,
+         MAX(CASE WHEN lane = 3 THEN h END) AS h3
+  FROM lanes GROUP BY grp
+), rec AS (
+  SELECT COUNT(*) AS n_recovered,
+         CAST(SUM(CASE WHEN xor(xor(xor(parity, h0), h1), h3) != h2
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+  FROM stripes WHERE n_lanes = 4
+)
+SELECT (SELECT COUNT(*) FROM stripes) AS n_stripes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM stripes WHERE n_lanes = 4)
+         AS n_full_stripes,
+       CAST(n_recovered AS BIGINT) AS n_recovered, n_mismatch,
+       CAST(CASE WHEN n_mismatch = 0 THEN 1 ELSE 0 END AS INT)
+         AS recovery_exact
+FROM rec
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -20186,6 +20508,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q276_jackknife_se": q276_jackknife_se,
     "q277_aa_test_calibration": q277_aa_test_calibration,
     "q278_regression_to_mean": q278_regression_to_mean,
+    "q279_psi_drift": q279_psi_drift,
+    "q280_littles_law": q280_littles_law,
+    "q281_xor_parity_recovery": q281_xor_parity_recovery,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -20469,4 +20794,7 @@ ORACLE_SQL: dict[str, str] = {
     "q276_jackknife_se": Q276_SQL,
     "q277_aa_test_calibration": Q277_SQL,
     "q278_regression_to_mean": Q278_SQL,
+    "q279_psi_drift": Q279_SQL,
+    "q280_littles_law": Q280_SQL,
+    "q281_xor_parity_recovery": Q281_SQL,
 }

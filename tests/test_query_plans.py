@@ -3565,3 +3565,48 @@ def test_q278_selection_bias(spark):
         4,
     )
     assert abs(r["reversion_frac"] - want) < 1e-3
+
+
+def test_q279_psi_accounting(spark):
+    """PSI: bin shares account for both halves exactly; the total
+    column is constant and equals the recomputed contribution sum;
+    same-share bins contribute zero."""
+    rows = QUERIES["q279_psi_drift"](spark, SF).collect()
+    n_purch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .count()
+    )
+    assert sum(r["cp"] + r["cq"] for r in rows) == n_purch
+    totals = {r["psi_total"] for r in rows}
+    assert len(totals) == 1
+    want = round(sum(r["d_ppm"] * r["lr_mb"] for r in rows) / 1e9, 6)
+    assert abs(totals.pop() - want) < 1e-9
+    for r in rows:
+        assert r["contrib"] == r["d_ppm"] * r["lr_mb"]
+
+
+def test_q280_two_paths_agree(spark):
+    """Little's law: the session-sum and sweep-line integrals are
+    exactly equal (the row's own flag), and the rates are
+    consistent with the emitted integrals."""
+    r = QUERIES["q280_littles_law"](spark, SF).collect()[0]
+    assert r["littles_law_holds"] == 1
+    assert r["session_us_sum"] == r["integral_us"]
+    assert r["n_sessions"] > 0
+    assert r["avg_concurrent_l"] > 0
+    assert r["w_minutes"] >= 0
+
+
+def test_q281_xor_involution(spark):
+    """XOR parity: recovery is exact on every full stripe (the
+    involution law); full stripes bounded by total stripes; doc
+    counts consistent."""
+    r = QUERIES["q281_xor_parity_recovery"](spark, SF).collect()[0]
+    assert r["recovery_exact"] == 1
+    assert r["n_mismatch"] == 0
+    assert r["n_recovered"] == r["n_full_stripes"] <= r["n_stripes"]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert r["n_full_stripes"] >= n_docs // 4 - 2
