@@ -20229,6 +20229,216 @@ FROM rec
 """
 
 
+def q282_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of the corpus across
+    sources — the antitrust-standard index beside q94's Gini: each
+    source's byte share in exact basis points (·10⁴ floor-div),
+    HHI = Σ share_bp² div 10⁴ on the standard 0..10000 scale as a
+    BIGINT, with the DOJ banding (low < 1500 ≤ moderate < 2500 ≤
+    high) as a deterministic string — the one-number answer to
+    "does one source dominate the training mix".
+
+    Scale shape: one partial-aggregated pass to the source grain,
+    one broadcast total, one rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars")
+    )
+    tot = per.agg(F.sum("chars").cast("long").alias("total"))
+    j = per.crossJoin(F.broadcast(tot)).withColumn(
+        "s_bp", F.expr("chars * 10000 div total")
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.expr("sum(s_bp * s_bp) div 10000").cast("long").alias("hhi"),
+        F.max("s_bp").cast("long").alias("top_share_bp"),
+    )
+    return agg.select(
+        "n_sources",
+        "hhi",
+        "top_share_bp",
+        F.when(F.col("hhi") >= 2500, F.lit("high"))
+        .when(F.col("hhi") >= 1500, F.lit("moderate"))
+        .otherwise(F.lit("low"))
+        .alias("concentration"),
+    )
+
+
+Q282_SQL = """
+WITH per AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+), tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM per),
+j AS (
+  SELECT chars * 10000 // total AS s_bp FROM per, tot
+)
+SELECT COUNT(*) AS n_sources,
+       CAST(SUM(s_bp * s_bp) // 10000 AS BIGINT) AS hhi,
+       CAST(MAX(s_bp) AS BIGINT) AS top_share_bp,
+       CASE WHEN SUM(s_bp * s_bp) // 10000 >= 2500 THEN 'high'
+            WHEN SUM(s_bp * s_bp) // 10000 >= 1500 THEN 'moderate'
+            ELSE 'low' END AS concentration
+FROM j
+"""
+
+
+def q283_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-batch purchase values (four
+    synthetic day-mod-4 batches) onto the
+    pooled distribution — the batch-effect-removal primitive
+    (bioinformatics microarrays, ML feature alignment): each value's
+    within-source rank maps to the pooled value at the same
+    quantile via pure integer arithmetic (target_rank = 1 +
+    (rk−1)(N−1) div (n_s−1)), so every engine maps identically;
+    the per-source means before and after normalization ship with
+    the pooled mean — after-means collapsing toward pooled IS the
+    batch effect removed (pinned).
+
+    Scale shape: one per-source rank window and one pooled rank
+    window over the purchase-value subset, one equi-join on target
+    rank; source-grain rollups."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000) % 4"
+        ).cast("int").alias("src"),
+        F.round(F.col("value") * 10000).cast("long").alias("micro"),
+        "event_id",
+    )
+    wsrc = Window.partitionBy("src").orderBy("micro", "event_id")
+    wall = Window.orderBy("micro", "event_id")
+    ranked = (
+        v.withColumn("rk", F.row_number().over(wsrc))
+        .withColumn("grk", F.row_number().over(wall))
+        .localCheckpoint()
+    )
+    ns = ranked.groupBy("src").agg(F.count("*").cast("long").alias("n_s"))
+    nrow = ranked.agg(F.count("*").cast("long").alias("nn"))
+    pooled = ranked.select(F.col("grk").alias("target"), F.col("micro").alias("pooled_micro"))
+    mapped = (
+        ranked.join(F.broadcast(ns), "src")
+        .crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "target",
+            F.when(F.col("n_s") == 1, (F.col("nn") + 1) / 2)
+            .otherwise(
+                1
+                + F.expr("(rk - 1) * (nn - 1) div (n_s - 1)")
+            )
+            .cast("long"),
+        )
+        .join(pooled, "target")
+    )
+    overall = ranked.agg(
+        F.round(F.avg("micro") / 10000.0, 4).alias("pooled_mean")
+    )
+    return (
+        mapped.groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("micro") / 10000.0, 4).alias("mean_before"),
+            F.round(F.avg("pooled_micro") / 10000.0, 4).alias(
+                "mean_after"
+            ),
+        )
+        .crossJoin(F.broadcast(overall))
+    )
+
+
+Q283_SQL = """
+WITH v AS (
+  SELECT CAST((epoch_us(ts) // 86400000000) % 4 AS INT) AS src,
+         CAST(ROUND(value * 10000) AS BIGINT) AS micro, event_id
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+), ranked AS (
+  SELECT src, micro, event_id,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY micro, event_id) AS rk,
+         ROW_NUMBER() OVER (ORDER BY micro, event_id) AS grk
+  FROM v
+), ns AS (SELECT src, COUNT(*) AS n_s FROM ranked GROUP BY 1),
+nrow AS (SELECT COUNT(*) AS nn FROM ranked),
+mapped AS (
+  SELECT r.src, r.micro,
+         p.micro AS pooled_micro
+  FROM ranked r
+  JOIN ns USING (src)
+  CROSS JOIN nrow
+  JOIN ranked p
+    ON p.grk = CASE WHEN ns.n_s = 1 THEN (nrow.nn + 1) // 2
+               ELSE 1 + (r.rk - 1) * (nrow.nn - 1) // (ns.n_s - 1) END
+), overall AS (
+  SELECT ROUND(AVG(micro) / 10000.0, 4) AS pooled_mean FROM ranked
+)
+SELECT src, COUNT(*) AS n,
+       ROUND(AVG(micro) / 10000.0, 4) AS mean_before,
+       ROUND(AVG(pooled_micro) / 10000.0, 4) AS mean_after,
+       (SELECT pooled_mean FROM overall) AS pooled_mean
+FROM mapped GROUP BY src
+"""
+
+
+def q284_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference of daily volumes via the sorted closed
+    form — the third dispersion lens beside variance and MAD: the
+    O(n²) definition mean|xᵢ−xⱼ| collapses to
+    Σ(2i−n−1)·x₍ᵢ₎ · 2/(n(n−1)) with ONE rank window and an exact
+    BIGINT numerator (the pair definition is re-derived in the
+    test); the Gini coefficient GMD/(2·mean) ships alongside,
+    reconciling with q94's rank-formula Gini on a different
+    population.
+
+    Scale shape: day-grain relation, one rank window, one integer
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("v")
+    )
+    w = Window.orderBy("v", "day")
+    ranked = daily.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum((2 * F.col("i") - 1) * F.col("v")).cast("long").alias("wsum"),
+    )
+    n = F.col("n")
+    num = F.col("wsum") - n.cast("long") * F.col("s")
+    gmd = 2.0 * num / (n * (n - 1)).cast("double")
+    return agg.select(
+        "n",
+        F.round(F.col("s") / n.cast("double"), 4).alias("mean_v"),
+        F.round(gmd, 4).alias("gmd"),
+        F.round(gmd / (2 * F.col("s") / n.cast("double")), 6).alias(
+            "gini"
+        ),
+    )
+
+
+Q284_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS v
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, day) AS i FROM daily
+), agg AS (
+  SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM((2 * i - 1) * v) AS BIGINT) AS wsum
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(s / CAST(n AS DOUBLE), 4) AS mean_v,
+       ROUND(2.0 * (wsum - n * s) / (n * CAST(n - 1 AS DOUBLE)),
+             4) AS gmd,
+       ROUND((2.0 * (wsum - n * s) / (n * CAST(n - 1 AS DOUBLE)))
+             / (2.0 * s / n), 6) AS gini
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -20511,6 +20721,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q279_psi_drift": q279_psi_drift,
     "q280_littles_law": q280_littles_law,
     "q281_xor_parity_recovery": q281_xor_parity_recovery,
+    "q282_hhi_concentration": q282_hhi_concentration,
+    "q283_quantile_normalization": q283_quantile_normalization,
+    "q284_gini_mean_difference": q284_gini_mean_difference,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -20797,4 +21010,7 @@ ORACLE_SQL: dict[str, str] = {
     "q279_psi_drift": Q279_SQL,
     "q280_littles_law": Q280_SQL,
     "q281_xor_parity_recovery": Q281_SQL,
+    "q282_hhi_concentration": Q282_SQL,
+    "q283_quantile_normalization": Q283_SQL,
+    "q284_gini_mean_difference": Q284_SQL,
 }

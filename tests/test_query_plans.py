@@ -3610,3 +3610,62 @@ def test_q281_xor_involution(spark):
     assert r["n_recovered"] == r["n_full_stripes"] <= r["n_stripes"]
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert r["n_full_stripes"] >= n_docs // 4 - 2
+
+
+def test_q282_hhi_bounds(spark):
+    """HHI: between 10000/n and 10000 (up to floor slack); the top
+    share alone lower-bounds it; the band matches the value."""
+    r = QUERIES["q282_hhi_concentration"](spark, SF).collect()[0]
+    assert r["hhi"] <= 10000
+    assert r["hhi"] * r["n_sources"] >= 10000 - r["n_sources"] * 2
+    assert r["hhi"] >= r["top_share_bp"] * r["top_share_bp"] // 10000
+    want = (
+        "high" if r["hhi"] >= 2500
+        else "moderate" if r["hhi"] >= 1500 else "low"
+    )
+    assert r["concentration"] == want
+
+
+def test_q283_batch_effect_removed(spark):
+    """Quantile normalization: per-batch after-means collapse toward
+    the pooled mean (closer than before-means for every batch with
+    a real offset); counts conserve the purchase subset."""
+    rows = QUERIES["q283_quantile_normalization"](spark, SF).collect()
+    n_purch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .count()
+    )
+    assert sum(r["n"] for r in rows) == n_purch
+    pooled = rows[0]["pooled_mean"]
+    for r in rows:
+        before_gap = abs(r["mean_before"] - pooled)
+        after_gap = abs(r["mean_after"] - pooled)
+        assert after_gap <= before_gap + 0.5, r
+
+
+def test_q284_gmd_pair_definition(spark):
+    """GMD: the sorted closed form equals the O(n²) pair definition
+    recomputed in python; Gini consistent."""
+    r = QUERIES["q284_gini_mean_difference"](spark, SF).collect()[0]
+    vs = [
+        row["v"]
+        for row in spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day"
+        )
+        .groupBy("day")
+        .count()
+        .withColumnRenamed("count", "v")
+        .collect()
+    ]
+    n = len(vs)
+    pair_sum = sum(
+        abs(a - b) for i, a in enumerate(vs) for b in vs[i + 1:]
+    )
+    want = round(2 * pair_sum / (n * (n - 1)), 4)
+    assert r["n"] == n
+    assert abs(r["gmd"] - want) < 1e-9
+    assert abs(r["gini"] - round(r["gmd"] / (2 * r["mean_v"]), 6)) < 1e-4
