@@ -20439,6 +20439,315 @@ FROM agg
 """
 
 
+def q285_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve + exact average precision — q264's
+    partner for the imbalanced-classes regime where ROC flatters:
+    nine decile PR points from value-grain cumulative counts, and
+    AP as the exact step-integral Σ p_v·cumP/cumAll with each
+    bin's term floored to integer micro-units (identical floors in
+    both engines — no float accumulation order anywhere), one
+    division at the end. The curve is sampled; the area is not.
+
+    Scale shape: same one distinct-value-grain exchange as q264;
+    the AP rollup rides the same cumulative window."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+    )
+    byv = (
+        ev.select(
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("isp"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("isp").cast("long").alias("p"),
+            F.sum(1 - F.col("isp")).cast("long").alias("q"),
+        )
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byv.withColumn("cp", F.sum("p").over(w)).withColumn(
+        "call", F.sum(F.col("p") + F.col("q")).over(w)
+    ).withColumn(
+        "term_micro",
+        F.expr("p * cp * 1000000 div call"),
+    )
+    tot = cum.agg(
+        F.max("cp").alias("tp_all"),
+        F.max("call").alias("n_all"),
+        F.sum("term_micro").cast("long").alias("ap_num"),
+    )
+    pts = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.expr("ceil(call * 10 / n_all)").cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.min("v").alias("thr_micro"),
+            F.max("cp").alias("cp"),
+            F.max("call").alias("call"),
+            F.max("tp_all").alias("tp_all"),
+            F.max("ap_num").alias("ap_num"),
+        )
+        .filter(F.col("decile") <= 9)
+    )
+    return pts.select(
+        "decile",
+        (F.col("thr_micro") / 10000.0).alias("threshold"),
+        F.round(F.col("cp") / F.col("call").cast("double"), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("cp") / F.col("tp_all").cast("double"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.col("ap_num")
+            / (F.lit(1000000.0) * F.col("tp_all")),
+            6,
+        ).alias("average_precision"),
+    ).orderBy("decile")
+
+
+Q285_SQL = """
+WITH byv AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS q
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT v, p, q,
+         SUM(p) OVER (ORDER BY v DESC) AS cp,
+         SUM(p + q) OVER (ORDER BY v DESC) AS call,
+         p * SUM(p) OVER (ORDER BY v DESC) * 1000000
+           // SUM(p + q) OVER (ORDER BY v DESC) AS term_micro
+  FROM byv
+), tot AS (
+  SELECT MAX(cp) AS tp_all, MAX(call) AS n_all,
+         CAST(SUM(term_micro) AS BIGINT) AS ap_num
+  FROM cum
+), pts AS (
+  SELECT CAST(CEIL(call * 10 / CAST(n_all AS DOUBLE)) AS INT) AS decile,
+         MIN(v) AS thr_micro, MAX(cp) AS cp, MAX(call) AS call,
+         MAX(tp_all) AS tp_all, MAX(ap_num) AS ap_num
+  FROM cum, tot GROUP BY 1
+)
+SELECT decile, thr_micro / 10000.0 AS threshold,
+       ROUND(cp / CAST(call AS DOUBLE), 6) AS precision,
+       ROUND(cp / CAST(tp_all AS DOUBLE), 6) AS recall,
+       ROUND(ap_num / (1000000.0 * tp_all), 6) AS average_precision
+FROM pts WHERE decile <= 9 ORDER BY decile
+"""
+
+
+def q286_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell-Goldstein
+    SIGIR'98) — retrieval diversification: from the top-20 longest
+    documents, five driver-steered greedy rounds pick the argmax of
+    2·relevance_bp − max-similarity-to-selected_bp (λ = ½ folded
+    into integers: relevance = n_chars in basis points of the pool
+    max, similarity = exact token Jaccard in basis points),
+    deterministic ties on doc id; the oracle unrolls the identical
+    greedy as chained CTEs (the q165/q187 static-DAG convention).
+
+    Scale shape: the pool is a bounded top-k; per round one
+    pool-sized aggregation and a 1-row collect — k rows of driver
+    state total."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.array_distinct(
+            F.split(normalize_sql(F.col("text")), " ")
+        ).alias("toks"),
+    )
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    pool = (
+        toks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .localCheckpoint()
+    )
+    mx = pool.agg(F.max("n_chars").alias("mx")).collect()[0]["mx"]
+    pool = pool.withColumn(
+        "rel_bp", F.expr(f"n_chars * 10000 div {mx}")
+    )
+    selected: list[tuple[int, int, int]] = []
+    chosen_ids: list[int] = []
+    for rnd in range(1, 6):
+        cand = pool.filter(~F.col("doc_id").isin(chosen_ids))
+        if chosen_ids:
+            sel_toks = pool.filter(
+                F.col("doc_id").isin(chosen_ids)
+            ).select(F.col("doc_id").alias("sid"), F.col("toks").alias("st"))
+            inter = F.size(F.array_intersect(F.col("toks"), F.col("st")))
+            uni = F.size("toks") + F.size("st") - inter
+            sims = (
+                cand.crossJoin(sel_toks)
+                .groupBy("doc_id", "rel_bp")
+                .agg(
+                    F.max(F.expr("10000 * size(array_intersect(toks, st)) div (size(toks) + size(st) - size(array_intersect(toks, st)))")).alias("max_sim_bp")
+                )
+            )
+            _ = (inter, uni)
+        else:
+            sims = cand.select(
+                "doc_id", "rel_bp", F.lit(0).alias("max_sim_bp")
+            )
+        scored = sims.withColumn(
+            "obj", 2 * F.col("rel_bp") - F.col("max_sim_bp")
+        )
+        top = (
+            scored.orderBy(F.desc("obj"), F.asc("doc_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((rnd, top["doc_id"], top["obj"]))
+        chosen_ids.append(top["doc_id"])
+    return spark.createDataFrame(
+        selected, "round int, doc_id long, objective long"
+    )
+
+
+def _q286_sql() -> str:
+    # unroll the same greedy: s{r} = selected set after round r
+    steps = []
+    prev_sel = "SELECT NULL AS doc_id WHERE FALSE"
+    for r in range(1, 6):
+        sel_list = ", ".join(f"(SELECT doc_id FROM pick{i})" for i in range(1, r))
+        in_prev = (
+            f"AND p.doc_id NOT IN ({sel_list})" if r > 1 else ""
+        )
+        sim = (
+            f"""(SELECT MAX(10000 * len(list_intersect(p.toks, s.toks))
+                 // (len(p.toks) + len(s.toks)
+                     - len(list_intersect(p.toks, s.toks))))
+              FROM pool s WHERE s.doc_id IN ({sel_list}))"""
+            if r > 1
+            else "0"
+        )
+        steps.append(
+            f"""pick{r} AS (
+  SELECT p.doc_id, 2 * p.rel_bp - COALESCE({sim}, 0) AS obj
+  FROM pool p WHERE TRUE {in_prev}
+  ORDER BY obj DESC, p.doc_id LIMIT 1
+)"""
+        )
+    _ = prev_sel
+    chain = ",\n".join(steps)
+    sels = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, CAST(doc_id AS BIGINT)"
+        f" AS doc_id, CAST(obj AS BIGINT) AS objective FROM pick{r}"
+        for r in range(1, 6)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         list_distinct(string_split({_NORM}, ' ')) AS toks,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+), pool AS (
+  SELECT doc_id, toks,
+         n_chars * 10000 // (SELECT MAX(n_chars) FROM base WHERE rk <= 20)
+           AS rel_bp
+  FROM base WHERE rk <= 20
+),
+{chain}
+{sels}
+"""
+
+
+Q286_SQL = _q286_sql()
+
+
+def q287_mean_excess_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-excess (peaks-over-threshold) table at the p90/p95/p99
+    rank-exact thresholds of purchase values — the extreme-value-
+    theory diagnostic that decides whether a tail is heavy (mean
+    excess rising in the threshold) before anyone fits a GPD:
+    thresholds by exact order statistic (never interpolated),
+    exceedance counts and excess sums as exact integers, one
+    division per row.
+
+    Scale shape: the value-grain cumulative window picks all three
+    thresholds in one pass; the excess sums are one conditional
+    rollup against the three broadcast thresholds."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.round(F.col("value") * 10000).cast("long").alias("micro"),
+        "event_id",
+    )
+    w = Window.orderBy("micro", "event_id")
+    ranked = v.withColumn("rk", F.row_number().over(w)).localCheckpoint()
+    n = ranked.count()
+    out = None
+    for pct in (90, 95, 99):
+        k = -(-n * pct // 100)
+        thr = (
+            ranked.filter(F.col("rk") == k)
+            .select(F.col("micro").alias("u"))
+        )
+        row = (
+            ranked.crossJoin(F.broadcast(thr))
+            .filter(F.col("micro") > F.col("u"))
+            .agg(
+                F.lit(pct).cast("int").alias("pct"),
+                F.max("u").alias("_u"),
+                F.count("*").cast("long").alias("n_exceed"),
+                F.sum(F.col("micro") - F.col("u")).cast("long").alias(
+                    "_excess"
+                ),
+            )
+            .select(
+                "pct",
+                (F.col("_u") / 10000.0).alias("threshold"),
+                "n_exceed",
+                F.round(
+                    F.col("_excess") / F.col("n_exceed") / 10000.0, 4
+                ).alias("mean_excess"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _q287_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS micro, event_id
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), ranked AS (
+  SELECT micro, ROW_NUMBER() OVER (ORDER BY micro, event_id) AS rk
+  FROM v
+), nrow AS (SELECT COUNT(*) AS n FROM ranked),
+thr AS (
+  SELECT t.pct, r.micro AS u
+  FROM (VALUES (90), (95), (99)) t(pct)
+  CROSS JOIN nrow
+  JOIN ranked r ON r.rk = CAST(CEIL(nrow.n * t.pct / 100.0) AS BIGINT)
+)
+SELECT CAST(t.pct AS INT) AS pct, t.u / 10000.0 AS threshold,
+       COUNT(*) AS n_exceed,
+       ROUND(SUM(r.micro - t.u) / CAST(COUNT(*) AS DOUBLE) / 10000.0, 4)
+         AS mean_excess
+FROM thr t JOIN ranked r ON r.micro > t.u
+GROUP BY t.pct, t.u
+"""
+
+
+Q287_SQL = _q287_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -20724,6 +21033,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q282_hhi_concentration": q282_hhi_concentration,
     "q283_quantile_normalization": q283_quantile_normalization,
     "q284_gini_mean_difference": q284_gini_mean_difference,
+    "q285_pr_curve_ap": q285_pr_curve_ap,
+    "q286_mmr_selection": q286_mmr_selection,
+    "q287_mean_excess_table": q287_mean_excess_table,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -21013,4 +21325,7 @@ ORACLE_SQL: dict[str, str] = {
     "q282_hhi_concentration": Q282_SQL,
     "q283_quantile_normalization": Q283_SQL,
     "q284_gini_mean_difference": Q284_SQL,
+    "q285_pr_curve_ap": Q285_SQL,
+    "q286_mmr_selection": Q286_SQL,
+    "q287_mean_excess_table": Q287_SQL,
 }

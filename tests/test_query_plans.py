@@ -3669,3 +3669,59 @@ def test_q284_gmd_pair_definition(spark):
     assert r["n"] == n
     assert abs(r["gmd"] - want) < 1e-9
     assert abs(r["gini"] - round(r["gmd"] / (2 * r["mean_v"]), 6)) < 1e-4
+
+
+def test_q285_pr_shape(spark):
+    """PR curve: precision in (0,1], recall non-decreasing with
+    decile, AP constant across rows and within (0,1]; the base rate
+    lower-bounds the final precision point."""
+    rows = sorted(
+        QUERIES["q285_pr_curve_ap"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 9
+    aps = {r["average_precision"] for r in rows}
+    assert len(aps) == 1 and 0 < rows[0]["average_precision"] <= 1
+    for p, n in zip(rows, rows[1:]):
+        assert n["recall"] >= p["recall"]
+    for r in rows:
+        assert 0 < r["precision"] <= 1
+        assert 0 <= r["recall"] <= 1
+
+
+def test_q286_mmr_greedy(spark):
+    """MMR: 5 distinct picks; the first is the pool's relevance
+    argmax (objective 2*10000 with no similarity penalty);
+    objectives are achievable bounds (<= 20000)."""
+    rows = sorted(
+        QUERIES["q286_mmr_selection"](spark, SF).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == 5
+    assert rows[0]["objective"] == 20000
+    for r in rows:
+        assert r["objective"] <= 20000
+
+
+def test_q287_mean_excess_monotone_thresholds(spark):
+    """POT: thresholds rise with pct, exceedance counts fall, and
+    each count is consistent with the (1-pct) tail up to ties."""
+    rows = sorted(
+        QUERIES["q287_mean_excess_table"](spark, SF).collect(),
+        key=lambda r: r["pct"],
+    )
+    n = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .count()
+    )
+    for p, q in zip(rows, rows[1:]):
+        assert q["threshold"] >= p["threshold"]
+        assert q["n_exceed"] <= p["n_exceed"]
+    for r in rows:
+        assert r["n_exceed"] <= n - (n * r["pct"] + 99) // 100 + 1
+        assert r["mean_excess"] > 0
