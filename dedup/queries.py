@@ -20748,6 +20748,257 @@ GROUP BY t.pct, t.u
 Q287_SQL = _q287_sql()
 
 
+def q288_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness census (Church-Gale '95) — the variance-to-
+    mean ratio of per-document counts, zeros included, separating
+    bursty content words from evenly-spread function words: VMR =
+    (N·Σc² − (Σc)²)/(N·Σc) from exact integer moments with ONE
+    division, the top-20 most overdispersed tokens under a
+    deterministic (rounded VMR, token) ordering. The lexical
+    cousin of q103's day-volume overdispersion.
+
+    Scale shape: wordcount-shaped — (doc, token) partial
+    aggregates, token-grain moments, one top-k window on the vocab
+    relation."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_sql(F.col("text")), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    mom = dt.groupBy("tok").agg(
+        F.count("*").cast("long").alias("d_present"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    scored = mom.withColumn(
+        "vmr",
+        F.round(
+            (F.lit(n_docs) * F.col("ss") - F.col("s") * F.col("s"))
+            / (F.lit(n_docs) * F.col("s")).cast("double"),
+            6,
+        ),
+    )
+    w = Window.orderBy(F.desc("vmr"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "tok",
+            "d_present",
+            "s",
+            "vmr",
+        )
+    )
+
+
+Q288_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+    FROM documents
+  ) WHERE tok != '' GROUP BY 1, 2
+), nd AS (SELECT COUNT(*) AS n FROM documents),
+mom AS (
+  SELECT tok, COUNT(*) AS d_present, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM dt GROUP BY tok
+), scored AS (
+  SELECT tok, d_present, s,
+         ROUND((n * ss - s * s) / CAST(n * s AS DOUBLE), 6) AS vmr
+  FROM mom, nd
+)
+SELECT CAST(rk AS INT) AS rk, tok, d_present, s, vmr FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY vmr DESC, tok) AS rk
+  FROM scored
+) WHERE rk <= 20
+"""
+
+
+def q289_incidence_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incidence-rate ratio between md5-split user arms — the
+    epidemiology/reliability rate comparison that respects UNEQUAL
+    exposure: purchases per observed person-microsecond (each
+    user's span from first to last event, floor 1µs), both rates
+    from exact integer sums, IRR one final division — the fair
+    version of the per-user comparison a raw count ratio gets
+    wrong whenever observation windows differ.
+
+    Scale shape: one user-grain exchange (span + purchase count),
+    one 2-cell conditional rollup."""
+    from .sampling import bucket_of
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.greatest(F.max(us) - F.min(us), F.lit(1)).alias("span_us"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("purch"),
+    )
+    arms = per_user.select(
+        F.when(
+            F.pmod(bucket_of(F.col("user_id"), "irr-v1"), 2) == 0, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        "span_us",
+        "purch",
+    )
+    agg = arms.agg(
+        F.sum(F.when(F.col("treated") == 1, F.col("purch")).otherwise(0))
+        .cast("long")
+        .alias("e_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("span_us")).otherwise(0))
+        .cast("long")
+        .alias("pt_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("purch")).otherwise(0))
+        .cast("long")
+        .alias("e_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("span_us")).otherwise(0))
+        .cast("long")
+        .alias("pt_c"),
+    )
+    day_us = 86400000000.0
+    return agg.select(
+        "e_t",
+        "e_c",
+        F.round(F.col("pt_t") / day_us, 2).alias("persondays_t"),
+        F.round(F.col("pt_c") / day_us, 2).alias("persondays_c"),
+        F.round(
+            (F.col("e_t") * F.col("pt_c"))
+            / (F.col("e_c") * F.col("pt_t")).cast("double"),
+            6,
+        ).alias("irr"),
+    )
+
+
+def _q289_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("user_id", "irr-v1")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         GREATEST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)), 1) AS span_us,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS purch
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT CASE WHEN {b} % 2 = 0 THEN 1 ELSE 0 END AS treated,
+         span_us, purch
+  FROM per_user
+), agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN treated = 1 THEN purch ELSE 0 END) AS BIGINT)
+      AS e_t,
+    CAST(SUM(CASE WHEN treated = 1 THEN span_us ELSE 0 END) AS BIGINT)
+      AS pt_t,
+    CAST(SUM(CASE WHEN treated = 0 THEN purch ELSE 0 END) AS BIGINT)
+      AS e_c,
+    CAST(SUM(CASE WHEN treated = 0 THEN span_us ELSE 0 END) AS BIGINT)
+      AS pt_c
+  FROM arms
+)
+SELECT e_t, e_c,
+       ROUND(pt_t / 86400000000.0, 2) AS persondays_t,
+       ROUND(pt_c / 86400000000.0, 2) AS persondays_c,
+       ROUND((e_t * pt_c) / CAST(e_c * pt_t AS DOUBLE), 6) AS irr
+FROM agg
+"""
+
+
+Q289_SQL = _q289_sql()
+
+
+def q290_hash_independence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-independence (avalanche) audit of the portable md5
+    bucket rule — the assumption EVERY split/salt/sample in this
+    engine rests on, tested: two different salts bucket the same
+    users into a FULL 4×4 contingency (empty cells included — a
+    sparse-grid χ² silently omits their mass); the χ² is
+    accumulated in the q279 fixed point (each cell's
+    (N·O − R·C)²·10⁶ div (N·R·C) an exact BIGINT term — no float
+    order), with dof = 9; independent hashes keep χ² near dof,
+    and a correlated pair of salts would explode it.
+
+    Scale shape: one distinct-user pass to the 256-cell grain,
+    margins re-aggregated from the cells, one rollup."""
+    from .sampling import bucket_of
+
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    cells = users.groupBy(
+        F.pmod(bucket_of(F.col("user_id"), "hia-a"), 4).alias("b1"),
+        F.pmod(bucket_of(F.col("user_id"), "hia-b"), 4).alias("b2"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    r = cells.groupBy("b1").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("b2").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        r.crossJoin(c)
+        .join(cells, ["b1", "b2"], "left")
+        .select("b1", "b2", "r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    terms = (
+        grid.crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "(n * o - r * c) * (n * o - r * c) * 1000000"
+                " div (n * r * c)"
+            ).alias("t")
+        )
+    )
+    return (
+        terms.agg(F.sum("t").cast("long").alias("_chi_micro"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n").alias("n_users"),
+            F.lit(9).cast("int").alias("dof"),
+            F.round(F.col("_chi_micro") / 1000000.0, 4).alias("chi2"),
+        )
+    )
+
+
+def _q290_sql() -> str:
+    from .sampling import bucket_sql
+
+    ba = bucket_sql("user_id", "hia-a")
+    bb = bucket_sql("user_id", "hia-b")
+    return f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+cells AS (
+  SELECT {ba} % 4 AS b1, {bb} % 4 AS b2, COUNT(*) AS o
+  FROM users GROUP BY 1, 2
+), rr AS (SELECT b1, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cc AS (SELECT b2, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT rr.b1, cc.b2, rr.r, cc.c, COALESCE(cells.o, 0) AS o
+  FROM rr CROSS JOIN cc
+  LEFT JOIN cells ON cells.b1 = rr.b1 AND cells.b2 = cc.b2
+), terms AS (
+  SELECT (n * o - r * c) * (n * o - r * c) * 1000000 // (n * r * c)
+           AS t
+  FROM grid CROSS JOIN nn
+)
+SELECT (SELECT n FROM nn) AS n_users,
+       CAST(9 AS INT) AS dof,
+       ROUND(CAST(SUM(t) AS BIGINT) / 1000000.0, 4) AS chi2
+FROM terms
+"""
+
+
+Q290_SQL = _q290_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -21036,6 +21287,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q285_pr_curve_ap": q285_pr_curve_ap,
     "q286_mmr_selection": q286_mmr_selection,
     "q287_mean_excess_table": q287_mean_excess_table,
+    "q288_token_burstiness": q288_token_burstiness,
+    "q289_incidence_rate_ratio": q289_incidence_rate_ratio,
+    "q290_hash_independence_audit": q290_hash_independence_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -21328,4 +21582,7 @@ ORACLE_SQL: dict[str, str] = {
     "q285_pr_curve_ap": Q285_SQL,
     "q286_mmr_selection": Q286_SQL,
     "q287_mean_excess_table": Q287_SQL,
+    "q288_token_burstiness": Q288_SQL,
+    "q289_incidence_rate_ratio": Q289_SQL,
+    "q290_hash_independence_audit": Q290_SQL,
 }
