@@ -20999,6 +20999,242 @@ FROM terms
 Q290_SQL = _q290_sql()
 
 
+def q291_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative net-activity curve
+    (purchases minus errors, day by day) — the risk metric that a
+    volatility number hides: running cumulative sum, running
+    prefix max, drawdown = runmax − cum, and the deepest point
+    with its (earliest-tie) day — all exact integers, windows
+    only, no self-join.
+
+    Scale shape: one exchange to the day grain; two prefix windows
+    on the calendar-bounded series; one argmax rollup."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+        )
+        .cast("long")
+        .alias("net")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        daily.withColumn("cum", F.sum("net").over(w))
+        .withColumn("runmax", F.max(F.col("cum")).over(w))
+        .withColumn("dd", F.col("runmax") - F.col("cum"))
+    )
+    agg = curve.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max(F.struct(F.col("dd"), (-F.col("day")).alias("nd"))).alias(
+            "_m"
+        ),
+        F.sum("net").cast("long").alias("final_cum"),
+        F.max("cum").cast("long").alias("peak_cum"),
+    )
+    return agg.select(
+        "n_days",
+        "final_cum",
+        "peak_cum",
+        F.col("_m.dd").cast("long").alias("max_drawdown"),
+        (-F.col("_m.nd")).cast("long").alias("trough_day"),
+    )
+
+
+Q291_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE -1 END) AS BIGINT) AS net
+  FROM events WHERE event_type IN ('purchase', 'error')
+  GROUP BY 1
+), cums AS (
+  SELECT day, net, SUM(net) OVER (ORDER BY day) AS cum FROM daily
+), curve AS (
+  SELECT day, net, cum,
+         MAX(cum) OVER (ORDER BY day) AS runmax
+  FROM cums
+), dd AS (
+  SELECT day, runmax - cum AS dd, cum FROM curve
+)
+SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+       (SELECT CAST(SUM(net) AS BIGINT) FROM daily) AS final_cum,
+       (SELECT CAST(MAX(cum) AS BIGINT) FROM curve) AS peak_cum,
+       CAST(MAX(dd) AS BIGINT) AS max_drawdown,
+       CAST(MIN(CASE WHEN dd = (SELECT MAX(dd) FROM dd) THEN day END)
+            AS BIGINT) AS trough_day
+FROM dd
+"""
+
+
+def q292_wau_set_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-active-user SET churn chain — q271's leaderboard churn
+    for populations instead of rankings: consecutive week pairs'
+    active-user sets compared with exact intersection counts,
+    Jaccard, and the churn rate 1 − |∩|/|prev| — the number that
+    separates a stable audience from a revolving door. The user-
+    week relation distinct-reduces once; the chain is a self-join
+    on week+1.
+
+    Scale shape: one distinct reduction to the (week, user) grain;
+    the chain join matches on (week+1, user) — user-week-sized."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    wu = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            ((day - F.col("d0")) / 7).cast("long").alias("week"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = wu.groupBy("week").agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    common = (
+        wu.alias("a")
+        .join(
+            wu.alias("b"),
+            (F.col("b.week") == F.col("a.week") + 1)
+            & (F.col("b.user_id") == F.col("a.user_id")),
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    return (
+        sizes.alias("s1")
+        .join(
+            sizes.alias("s2").select(
+                (F.col("week") - 1).alias("week"),
+                F.col("wau").alias("wau_next"),
+            ),
+            "week",
+        )
+        .join(common, "week", "left")
+        .select(
+            F.col("week").cast("long").alias("week"),
+            F.col("wau").alias("wau_prev"),
+            "wau_next",
+            F.coalesce("common", F.lit(0)).cast("long").alias("common"),
+            F.round(
+                F.coalesce("common", F.lit(0))
+                / (
+                    F.col("wau") + F.col("wau_next")
+                    - F.coalesce("common", F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                1
+                - F.coalesce("common", F.lit(0))
+                / F.col("wau").cast("double"),
+                6,
+            ).alias("churn_rate"),
+        )
+    )
+
+
+Q292_SQL = """
+WITH d0 AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+wu AS (
+  SELECT DISTINCT (epoch_us(ts) // 86400000000 - d0) // 7 AS week,
+         user_id
+  FROM events, d0
+), sizes AS (
+  SELECT week, COUNT(*) AS wau FROM wu GROUP BY 1
+), common AS (
+  SELECT a.week, COUNT(*) AS common
+  FROM wu a JOIN wu b
+    ON b.week = a.week + 1 AND b.user_id = a.user_id
+  GROUP BY a.week
+)
+SELECT CAST(s1.week AS BIGINT) AS week,
+       s1.wau AS wau_prev, s2.wau AS wau_next,
+       CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+       ROUND(COALESCE(c.common, 0)
+             / CAST(s1.wau + s2.wau - COALESCE(c.common, 0) AS DOUBLE),
+             6) AS jaccard,
+       ROUND(1 - COALESCE(c.common, 0) / CAST(s1.wau AS DOUBLE), 6)
+         AS churn_rate
+FROM sizes s1
+JOIN sizes s2 ON s2.week = s1.week + 1
+LEFT JOIN common c ON c.week = s1.week
+"""
+
+
+def q293_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential-attachment audit of the dup graph — do OLDER
+    documents (smaller doc_id as the age proxy) accumulate more
+    duplicate edges, the rich-get-richer signature (Barabási-Albert
+    '99)? Spearman rank correlation between age rank and degree
+    rank over the graph's nodes, both ranks fully tie-broken, ρ
+    from the exact integer Σd² formula — one division. Read with
+    q272's rich-club: attachment says WHO gains edges, the club
+    says whether they interlink.
+
+    Scale shape: degrees from the pair relation; two rank windows
+    on the node relation (≪ corpus); one integer rollup."""
+    edges = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    wa = Window.orderBy(F.asc("node"))
+    wd = Window.orderBy(F.desc("deg"), F.asc("node"))
+    ranked = deg.withColumn("r_age", F.row_number().over(wa)).withColumn(
+        "r_deg", F.row_number().over(wd)
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(
+            (F.col("r_age") - F.col("r_deg"))
+            * (F.col("r_age") - F.col("r_deg"))
+        )
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    n = F.col("n_nodes").cast("double")
+    return agg.select(
+        "n_nodes",
+        "sum_d2",
+        F.round(
+            1 - 6 * F.col("sum_d2") / (n * (n * n - 1)), 6
+        ).alias("spearman_rho"),
+    )
+
+
+Q293_SQL = f"""
+WITH pairs AS ({Q12_SQL}),
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+ranked AS (
+  SELECT node, deg,
+         ROW_NUMBER() OVER (ORDER BY node) AS r_age,
+         ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS r_deg
+  FROM deg
+), agg AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM((r_age - r_deg) * (r_age - r_deg)) AS BIGINT) AS sum_d2
+  FROM ranked
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, sum_d2,
+       ROUND(1 - 6.0 * sum_d2
+             / (n_nodes * (CAST(n_nodes AS DOUBLE) * n_nodes - 1)), 6)
+         AS spearman_rho
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -21290,6 +21526,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q288_token_burstiness": q288_token_burstiness,
     "q289_incidence_rate_ratio": q289_incidence_rate_ratio,
     "q290_hash_independence_audit": q290_hash_independence_audit,
+    "q291_max_drawdown": q291_max_drawdown,
+    "q292_wau_set_churn": q292_wau_set_churn,
+    "q293_preferential_attachment": q293_preferential_attachment,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -21585,4 +21824,7 @@ ORACLE_SQL: dict[str, str] = {
     "q288_token_burstiness": Q288_SQL,
     "q289_incidence_rate_ratio": Q289_SQL,
     "q290_hash_independence_audit": Q290_SQL,
+    "q291_max_drawdown": Q291_SQL,
+    "q292_wau_set_churn": Q292_SQL,
+    "q293_preferential_attachment": Q293_SQL,
 }

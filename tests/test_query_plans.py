@@ -3763,3 +3763,62 @@ def test_q290_hash_is_independent(spark):
     r = QUERIES["q290_hash_independence_audit"](spark, SF).collect()[0]
     assert r["dof"] == 9
     assert 0 < r["chi2"] < 9 + 6 * (2 * 9) ** 0.5, r["chi2"]
+
+
+def test_q291_drawdown_replay(spark):
+    """Drawdown: a python replay of the cumulative walk reproduces
+    max_drawdown, trough day, peak and final values exactly."""
+    r = QUERIES["q291_max_drawdown"](spark, SF).collect()[0]
+    daily = sorted(
+        (row["day"], row["net"])
+        for row in spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .selectExpr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS s",
+        )
+        .groupBy("day")
+        .agg(F.sum("s").alias("net"))
+        .collect()
+    )
+    cum = runmax = 0
+    best_dd, best_day, peak = -1, None, 0
+    first = True
+    for d, net in daily:
+        cum += net
+        if first:
+            runmax = cum
+            first = False
+        runmax = max(runmax, cum)
+        peak = max(peak, cum)
+        dd = runmax - cum
+        if dd > best_dd:
+            best_dd, best_day = dd, d
+    assert r["max_drawdown"] == best_dd
+    assert r["trough_day"] == best_day
+    assert r["final_cum"] == cum
+    assert r["peak_cum"] == peak
+
+
+def test_q292_churn_bounds(spark):
+    """WAU churn: common <= min(prev, next); jaccard and churn
+    consistent with the emitted integers."""
+    rows = QUERIES["q292_wau_set_churn"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["common"] <= min(r["wau_prev"], r["wau_next"])
+        jac = r["common"] / (r["wau_prev"] + r["wau_next"] - r["common"])
+        assert abs(r["jaccard"] - round(jac, 6)) < 1e-9
+        assert abs(
+            r["churn_rate"] - round(1 - r["common"] / r["wau_prev"], 6)
+        ) < 1e-9
+
+
+def test_q293_rho_identity(spark):
+    """Preferential attachment: rho recomputes from sum_d2 and lies
+    in [-1, 1]; node count matches the graph's degree relation."""
+    r = QUERIES["q293_preferential_attachment"](spark, SF).collect()[0]
+    n = r["n_nodes"]
+    want = round(1 - 6 * r["sum_d2"] / (n * (n * n - 1)), 6)
+    assert abs(r["spearman_rho"] - want) < 1e-9
+    assert -1 <= r["spearman_rho"] <= 1
