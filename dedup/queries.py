@@ -21235,6 +21235,291 @@ FROM agg
 """
 
 
+def q294_four_clique_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 (4-clique) census of the dup graph — the motif one step
+    past q76's triangles: ordered triangles extend by a fourth node
+    adjacent to all three (three semi-join edge probes), so every
+    K4 is counted exactly once in a<b<c<d order; emitted with the
+    edge and triangle counts and the closure ratios — template
+    families show up as K4-dense neighborhoods that trusses (q234)
+    then isolate.
+
+    Scale shape: joins over the pair relation only, each stage
+    output ≤ the motif count; no corpus scan after the pairs."""
+    edges = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    tri = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            F.col("e2.a") == F.col("e1.b"),
+        )
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .localCheckpoint()
+    )
+    k4 = (
+        tri.join(
+            edges.alias("f1").select(
+                F.col("a").alias("z"), F.col("b").alias("w1")
+            ),
+            "z",
+        )
+        .join(
+            edges.alias("f2").select(
+                F.col("a").alias("y"), F.col("b").alias("w2")
+            ),
+            "y",
+        )
+        .filter(F.col("w1") == F.col("w2"))
+        .join(
+            edges.alias("f3").select(
+                F.col("a").alias("x"), F.col("b").alias("w3")
+            ),
+            "x",
+        )
+        .filter(F.col("w1") == F.col("w3"))
+        .count()
+    )
+    n_edges = edges.count()
+    n_tri = tri.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_edges,
+                n_tri,
+                k4,
+                round(3 * n_tri / n_edges, 6) if n_edges else None,
+                round(4 * k4 / n_tri, 6) if n_tri else None,
+            )
+        ],
+        "n_edges long, n_triangles long, n_k4 long,"
+        " tri_per_edge double, k4_per_tri double",
+    )
+
+
+Q294_SQL = f"""
+WITH pairs AS ({Q12_SQL}),
+edges AS (SELECT a, b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+), k4 AS (
+  SELECT COUNT(*) AS n FROM tri t
+  JOIN edges f1 ON f1.a = t.z
+  JOIN edges f2 ON f2.a = t.y AND f2.b = f1.b
+  JOIN edges f3 ON f3.a = t.x AND f3.b = f1.b
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles,
+       (SELECT CAST(n AS BIGINT) FROM k4) AS n_k4,
+       ROUND(3.0 * (SELECT COUNT(*) FROM tri)
+             / (SELECT COUNT(*) FROM edges), 6) AS tri_per_edge,
+       ROUND(4.0 * (SELECT n FROM k4)
+             / (SELECT COUNT(*) FROM tri), 6) AS k4_per_tri
+"""
+
+
+def q295_weekly_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly bounce rate — the product-analytics staple on the q178
+    sessionization: sessions with exactly ONE event are bounces;
+    per week of session start, session counts, bounce counts, the
+    exact rate, and mean session length in events — one exchange
+    for the sessionization, calendar-grain output.
+
+    Scale shape: the session grain is user-stream-bounded; weekly
+    rollup is calendar-sized."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = (
+        ev.select("user_id", "event_id", us.alias("us"))
+        .withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("us") - F.col("prev") > 1800 * 1000000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sess = marked.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s0"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    d0 = sess.agg(F.min(F.expr("s0 div 86400000000")).alias("d0"))
+    return (
+        sess.crossJoin(F.broadcast(d0))
+        .select(
+            (
+                (F.expr("s0 div 86400000000") - F.col("d0")) / 7
+            ).cast("long").alias("week"),
+            "n_events",
+        )
+        .groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+            F.round(
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("bounce_rate"),
+            F.round(F.avg("n_events"), 4).alias("mean_events"),
+        )
+    )
+
+
+Q295_SQL = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sid AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid, MIN(us) AS s0, COUNT(*) AS n_events
+  FROM sid GROUP BY 1, 2
+), d0 AS (SELECT MIN(s0 // 86400000000) AS d0 FROM sess)
+SELECT CAST((s0 // 86400000000 - d0) // 7 AS BIGINT) AS week,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+       ROUND(AVG(n_events), 4) AS mean_events
+FROM sess, d0
+GROUP BY 1
+"""
+
+
+def q296_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the unit-economics sibling of q72's
+    retention matrix: users cohorted by their FIRST signup week,
+    purchase value accumulated by week-age as a running sum per
+    cohort (exact integer micro-units; one division per cell by
+    the fixed cohort size) — the curve a growth team reads payback
+    periods off.
+
+    Scale shape: one user-grain pass for cohorts, one (cohort,
+    age) aggregation, a prefix window on the triangle (calendar²
+    bounded)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.min(((day - F.col("d0")) / 7).cast("long")).alias("cohort")
+        )
+        .localCheckpoint()
+    )
+    sizes = signups.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    purch = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            ((day - F.col("d0")) / 7).cast("long").alias("pweek"),
+            F.round(F.col("value") * 10000).cast("long").alias("micro"),
+        )
+        .join(signups, "user_id")
+        .filter(F.col("pweek") >= F.col("cohort"))
+        .groupBy("cohort", (F.col("pweek") - F.col("cohort")).alias("age"))
+        .agg(F.sum("micro").cast("long").alias("wk_micro"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        purch.withColumn("cum_micro", F.sum("wk_micro").over(w))
+        .join(sizes, "cohort")
+        .select(
+            F.col("cohort").cast("long").alias("cohort_week"),
+            F.col("age").cast("long").alias("age_week"),
+            "cohort_users",
+            F.round(
+                F.col("cum_micro")
+                / F.col("cohort_users").cast("double")
+                / 10000.0,
+                4,
+            ).alias("cum_value_per_user"),
+        )
+    )
+
+
+Q296_SQL = """
+WITH d0 AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+signups AS (
+  SELECT user_id,
+         MIN((epoch_us(ts) // 86400000000 - d0) // 7) AS cohort
+  FROM events, d0 WHERE event_type = 'signup'
+  GROUP BY user_id
+), sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_users FROM signups GROUP BY 1
+), purch AS (
+  SELECT s.cohort,
+         (epoch_us(e.ts) // 86400000000 - d0) // 7 - s.cohort AS age,
+         CAST(SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS BIGINT)
+           AS wk_micro
+  FROM events e, d0
+  JOIN signups s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    AND (epoch_us(e.ts) // 86400000000 - d0) // 7 >= s.cohort
+  GROUP BY 1, 2
+), tri AS (
+  SELECT cohort, age,
+         SUM(wk_micro) OVER (PARTITION BY cohort ORDER BY age)
+           AS cum_micro
+  FROM purch
+)
+SELECT CAST(t.cohort AS BIGINT) AS cohort_week,
+       CAST(t.age AS BIGINT) AS age_week,
+       z.cohort_users,
+       ROUND(t.cum_micro / CAST(z.cohort_users AS DOUBLE) / 10000.0, 4)
+         AS cum_value_per_user
+FROM tri t JOIN sizes z USING (cohort)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -21529,6 +21814,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q291_max_drawdown": q291_max_drawdown,
     "q292_wau_set_churn": q292_wau_set_churn,
     "q293_preferential_attachment": q293_preferential_attachment,
+    "q294_four_clique_census": q294_four_clique_census,
+    "q295_weekly_bounce_rate": q295_weekly_bounce_rate,
+    "q296_cohort_ltv_triangle": q296_cohort_ltv_triangle,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -21827,4 +22115,7 @@ ORACLE_SQL: dict[str, str] = {
     "q291_max_drawdown": Q291_SQL,
     "q292_wau_set_churn": Q292_SQL,
     "q293_preferential_attachment": Q293_SQL,
+    "q294_four_clique_census": Q294_SQL,
+    "q295_weekly_bounce_rate": Q295_SQL,
+    "q296_cohort_ltv_triangle": Q296_SQL,
 }

