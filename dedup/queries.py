@@ -21520,6 +21520,400 @@ FROM tri t JOIN sizes z USING (cohort)
 """
 
 
+def q297_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk of weekend exposure on purchase
+    (vs view) — the 2×2 effect-size pair completing the
+    epidemiology set with q289's IRR: exact cell counts with the
+    Haldane-Anscombe +0.5 correction applied symmetrically (as
+    ×2+1 integers so the correction itself is exact), OR and RR
+    one division each, the log-OR standard error with one sqrt.
+
+    Scale shape: one conditional rollup to four cells."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    dow = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 86400000000) % 7"
+    )
+    cells = ev.agg(
+        F.sum(
+            F.when(
+                (dow >= 5) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).cast("long").alias("a"),
+        F.sum(
+            F.when(
+                (dow >= 5) & (F.col("event_type") == "view"), 1
+            ).otherwise(0)
+        ).cast("long").alias("b"),
+        F.sum(
+            F.when(
+                (dow < 5) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).cast("long").alias("c"),
+        F.sum(
+            F.when(
+                (dow < 5) & (F.col("event_type") == "view"), 1
+            ).otherwise(0)
+        ).cast("long").alias("d"),
+    )
+    a2 = 2 * F.col("a") + 1
+    b2 = 2 * F.col("b") + 1
+    c2 = 2 * F.col("c") + 1
+    d2 = 2 * F.col("d") + 1
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round((a2 * d2) / (b2 * c2).cast("double"), 6).alias(
+            "odds_ratio"
+        ),
+        F.round(
+            (F.col("a") * (F.col("c") + F.col("d")))
+            / (F.col("c") * (F.col("a") + F.col("b"))).cast("double"),
+            6,
+        ).alias("relative_risk"),
+        F.round(
+            F.sqrt(2 / a2 + 2 / b2 + 2 / c2 + 2 / d2), 6
+        ).alias("log_or_se"),
+    )
+
+
+Q297_SQL = """
+WITH cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 7 >= 5
+             AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS a,
+    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 7 >= 5
+             AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 7 < 5
+             AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS c,
+    CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 7 < 5
+             AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT a, b, c, d,
+       ROUND(((2 * a + 1) * (2 * d + 1))
+             / CAST((2 * b + 1) * (2 * c + 1) AS DOUBLE), 6)
+         AS odds_ratio,
+       ROUND((a * (c + d)) / CAST(c * (a + b) AS DOUBLE), 6)
+         AS relative_risk,
+       ROUND(sqrt(2.0 / (2 * a + 1) + 2.0 / (2 * b + 1)
+                  + 2.0 / (2 * c + 1) + 2.0 / (2 * d + 1)), 6)
+         AS log_or_se
+FROM cells
+"""
+
+
+def q298_hub_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub 2-hop coverage of the dup graph — how much of the
+    duplicate universe one review of the top hub's neighborhood
+    touches: the maximum-degree node (deterministic ties), its
+    exact 1-hop and 2-hop closed neighborhoods via two semi-join
+    expansions, coverage as fractions of the graph's node set.
+    The triage number for manual dup-cluster review queues.
+
+    Scale shape: degree rollup on the pair relation; two frontier
+    joins bounded by the neighborhoods themselves."""
+    edges = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    hub = deg.agg(
+        F.max(F.struct(F.col("deg"), (-F.col("a")).alias("na"))).alias("_h")
+    ).select(
+        (-F.col("_h.na")).alias("hub"), F.col("_h.deg").alias("hub_deg")
+    )
+    h1 = (
+        sym.join(F.broadcast(hub), sym.a == F.col("hub"))
+        .select(F.col("b").alias("node"))
+        .distinct()
+    )
+    frontier = h1.unionByName(
+        hub.select(F.col("hub").alias("node"))
+    ).distinct().localCheckpoint()
+    h2 = (
+        sym.join(
+            frontier.select(F.col("node").alias("a")), "a"
+        )
+        .select(F.col("b").alias("node"))
+        .unionByName(frontier)
+        .distinct()
+    )
+    n_nodes = deg.count()
+    n1 = frontier.count()
+    n2 = h2.count()
+    hub_row = hub.collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                hub_row["hub"],
+                hub_row["hub_deg"],
+                n_nodes,
+                n1,
+                n2,
+                round(n1 / n_nodes, 6),
+                round(n2 / n_nodes, 6),
+            )
+        ],
+        "hub long, hub_deg long, n_nodes long, within_1hop long,"
+        " within_2hop long, cover_1hop double, cover_2hop double",
+    )
+
+
+Q298_SQL = f"""
+WITH pairs AS ({Q12_SQL}),
+edges AS (SELECT a, b FROM pairs),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY 1),
+hub AS (SELECT a AS hub, deg AS hub_deg FROM deg
+        ORDER BY deg DESC, a LIMIT 1),
+h1 AS (
+  SELECT DISTINCT node FROM (
+    SELECT b AS node FROM sym, hub WHERE sym.a = hub.hub
+    UNION ALL SELECT hub FROM hub
+  )
+), h2 AS (
+  SELECT DISTINCT node FROM (
+    SELECT s.b AS node FROM sym s JOIN h1 ON h1.node = s.a
+    UNION ALL SELECT node FROM h1
+  )
+)
+SELECT (SELECT hub FROM hub) AS hub,
+       (SELECT CAST(hub_deg AS BIGINT) FROM hub) AS hub_deg,
+       (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM h1) AS within_1hop,
+       (SELECT COUNT(*) FROM h2) AS within_2hop,
+       ROUND((SELECT COUNT(*) FROM h1)
+             / CAST((SELECT COUNT(*) FROM deg) AS DOUBLE), 6)
+         AS cover_1hop,
+       ROUND((SELECT COUNT(*) FROM h2)
+             / CAST((SELECT COUNT(*) FROM deg) AS DOUBLE), 6)
+         AS cover_2hop
+"""
+
+
+def q299_ttfp_median_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time-to-first-purchase by signup cohort — the survival
+    quantile read straight off exact ranks (no KM estimator needed
+    when conversion is observed): per signup-week cohort, each
+    converting user's first-purchase lag in integer microseconds,
+    the cohort median by rank selection with deterministic ties,
+    plus the conversion fraction — q82's life-table sibling at the
+    quantile grain.
+
+    Scale shape: two user-grain aggregations and a join; the rank
+    window runs per cohort on converting users only."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.min(us).alias("s_us"),
+            F.min(((day - F.col("d0")) / 7).cast("long")).alias("cohort"),
+        )
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("p_us"))
+    )
+    conv = (
+        signup.join(fp, "user_id", "left")
+        .withColumn(
+            "lag_us",
+            F.when(
+                F.col("p_us") >= F.col("s_us"),
+                F.col("p_us") - F.col("s_us"),
+            ),
+        )
+        .localCheckpoint()
+    )
+    sizes = conv.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_signups"),
+        F.sum(F.when(F.col("lag_us").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+    )
+    w = Window.partitionBy("cohort").orderBy("lag_us", "user_id")
+    med = (
+        conv.filter(F.col("lag_us").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "cohort")
+        .filter(F.col("rk") == F.expr("(n_converted + 1) div 2"))
+        .select("cohort", F.col("lag_us").alias("med_us"))
+    )
+    return sizes.join(med, "cohort", "left").select(
+        F.col("cohort").cast("long").alias("cohort_week"),
+        "n_signups",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_signups").cast("double"), 6)
+        .alias("conversion"),
+        F.round(F.col("med_us") / 86400000000.0, 4).alias(
+            "median_days_to_purchase"
+        ),
+    )
+
+
+Q299_SQL = """
+WITH d0 AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us,
+         MIN((epoch_us(ts) // 86400000000 - d0) // 7) AS cohort
+  FROM events, d0 WHERE event_type = 'signup' GROUP BY user_id
+), fp AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS p_us FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id, s.cohort,
+         CASE WHEN f.p_us >= s.s_us THEN f.p_us - s.s_us END AS lag_us
+  FROM signup s LEFT JOIN fp f ON f.user_id = s.user_id
+), sizes AS (
+  SELECT cohort, COUNT(*) AS n_signups,
+         CAST(SUM(CASE WHEN lag_us IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_converted
+  FROM conv GROUP BY 1
+), med AS (
+  SELECT cohort, lag_us AS med_us FROM (
+    SELECT c.cohort, c.lag_us,
+           ROW_NUMBER() OVER (PARTITION BY c.cohort
+                              ORDER BY c.lag_us, c.user_id) AS rk,
+           z.n_converted
+    FROM conv c JOIN sizes z USING (cohort)
+    WHERE c.lag_us IS NOT NULL
+  ) WHERE rk = (n_converted + 1) // 2
+)
+SELECT CAST(s.cohort AS BIGINT) AS cohort_week,
+       s.n_signups, s.n_converted,
+       ROUND(s.n_converted / CAST(s.n_signups AS DOUBLE), 6)
+         AS conversion,
+       ROUND(m.med_us / 86400000000.0, 4) AS median_days_to_purchase
+FROM sizes s LEFT JOIN med m ON m.cohort = s.cohort
+"""
+
+
+def q300_conformance_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's self-certification scorecard — four structural
+    invariants that MUST hold by construction, recomputed from
+    scratch and emitted as (check, observed, expected, passed)
+    rows: exact-dup collapse conserves documents (q11's law);
+    every dup pair is canonical a < b (q12's law); the portable
+    signature relation covers every document exactly once (q197's
+    law); the md5 arm split partitions the user universe (q37's
+    law). A regression anywhere upstream flips a row to passed=0 —
+    the capstone row the whole board stands on.
+
+    Scale shape: four independent cheap aggregates unioned."""
+    from .sampling import bucket_of
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    collapse = (
+        docs.groupBy(F.md5(normalize_sql(F.col("text"))).alias("h"))
+        .agg(F.count("*").alias("sz"))
+        .agg(F.sum("sz").cast("long").alias("obs"))
+        .select(
+            F.lit("exact_collapse_conserves_docs").alias("check_name"),
+            F.col("obs").alias("observed"),
+            F.lit(n_docs).cast("long").alias("expected"),
+        )
+    )
+    pairs = q12_docs_token_jaccard_pairs(spark, sf_dir)
+    canon = pairs.agg(
+        F.sum(F.when(F.col("a") >= F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("observed")
+    ).select(
+        F.lit("pair_canonical_a_lt_b_violations").alias("check_name"),
+        "observed",
+        F.lit(0).cast("long").alias("expected"),
+    )
+    sigs = _mh_sigs(spark, sf_dir)
+    cover = sigs.agg(F.count("*").cast("long").alias("observed")).select(
+        F.lit("signature_covers_every_doc").alias("check_name"),
+        "observed",
+        F.lit(n_docs).cast("long").alias("expected"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    n_users = users.count()
+    split = users.agg(
+        F.sum(
+            F.when(
+                F.pmod(bucket_of(F.col("user_id"), "split-v1"), 2) == 0, 1
+            ).otherwise(1)
+        )
+        .cast("long")
+        .alias("observed")
+    ).select(
+        F.lit("md5_split_partitions_users").alias("check_name"),
+        "observed",
+        F.lit(n_users).cast("long").alias("expected"),
+    )
+    out = collapse.unionByName(canon).unionByName(cover).unionByName(split)
+    return out.withColumn(
+        "passed",
+        F.when(F.col("observed") == F.col("expected"), 1)
+        .otherwise(0)
+        .cast("int"),
+    )
+
+
+def _q300_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("user_id", "split-v1")
+    return f"""
+WITH collapse AS (
+  SELECT 'exact_collapse_conserves_docs' AS check_name,
+         CAST(SUM(sz) AS BIGINT) AS observed,
+         (SELECT COUNT(*) FROM documents) AS expected
+  FROM (SELECT md5({_NORM}) AS h, COUNT(*) AS sz
+        FROM documents GROUP BY 1)
+), pairs AS ({Q12_SQL}),
+canon AS (
+  SELECT 'pair_canonical_a_lt_b_violations' AS check_name,
+         CAST(SUM(CASE WHEN a >= b THEN 1 ELSE 0 END) AS BIGINT)
+           AS observed,
+         CAST(0 AS BIGINT) AS expected
+  FROM pairs
+), sigs AS ({_mh_sig_sql()}),
+cover AS (
+  SELECT 'signature_covers_every_doc' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS observed,
+         (SELECT COUNT(*) FROM documents) AS expected
+  FROM sigs
+), usr AS (SELECT DISTINCT user_id FROM events),
+sp AS (
+  SELECT 'md5_split_partitions_users' AS check_name,
+         CAST(SUM(CASE WHEN {b} % 2 = 0 THEN 1 ELSE 1 END) AS BIGINT)
+           AS observed,
+         (SELECT COUNT(*) FROM usr) AS expected
+  FROM usr
+)
+SELECT check_name, observed, expected,
+       CAST(CASE WHEN observed = expected THEN 1 ELSE 0 END AS INT)
+         AS passed
+FROM (SELECT * FROM collapse UNION ALL SELECT * FROM canon
+      UNION ALL SELECT * FROM cover UNION ALL SELECT * FROM sp)
+"""
+
+
+Q300_SQL = _q300_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -21817,6 +22211,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q294_four_clique_census": q294_four_clique_census,
     "q295_weekly_bounce_rate": q295_weekly_bounce_rate,
     "q296_cohort_ltv_triangle": q296_cohort_ltv_triangle,
+    "q297_odds_ratio": q297_odds_ratio,
+    "q298_hub_coverage": q298_hub_coverage,
+    "q299_ttfp_median_by_cohort": q299_ttfp_median_by_cohort,
+    "q300_conformance_scorecard": q300_conformance_scorecard,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -22118,4 +22516,8 @@ ORACLE_SQL: dict[str, str] = {
     "q294_four_clique_census": Q294_SQL,
     "q295_weekly_bounce_rate": Q295_SQL,
     "q296_cohort_ltv_triangle": Q296_SQL,
+    "q297_odds_ratio": Q297_SQL,
+    "q298_hub_coverage": Q298_SQL,
+    "q299_ttfp_median_by_cohort": Q299_SQL,
+    "q300_conformance_scorecard": Q300_SQL,
 }

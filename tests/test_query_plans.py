@@ -3882,3 +3882,60 @@ def test_q296_ltv_monotone(spark):
         assert len(sizes) == 1
         for p, n in zip(rs, rs[1:]):
             assert n["cum_value_per_user"] >= p["cum_value_per_user"] - 1e-9
+
+
+def test_q297_effect_sizes(spark):
+    """OR/RR: cells partition the view/purchase events; OR and RR
+    recompute from the emitted integers; SE positive."""
+    r = QUERIES["q297_odds_ratio"](spark, SF).collect()[0]
+    n = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .count()
+    )
+    assert r["a"] + r["b"] + r["c"] + r["d"] == n
+    want_or = round(
+        ((2 * r["a"] + 1) * (2 * r["d"] + 1))
+        / ((2 * r["b"] + 1) * (2 * r["c"] + 1)),
+        6,
+    )
+    assert abs(r["odds_ratio"] - want_or) < 1e-9
+    assert r["log_or_se"] > 0
+
+
+def test_q298_coverage_monotone(spark):
+    """Hub coverage: 1-hop set contains the hub and is within the
+    2-hop set; fractions within (0, 1]; hub degree is the graph
+    max."""
+    r = QUERIES["q298_hub_coverage"](spark, SF).collect()[0]
+    assert 1 <= r["within_1hop"] <= r["within_2hop"] <= r["n_nodes"]
+    assert 0 < r["cover_1hop"] <= r["cover_2hop"] <= 1
+    assert r["within_1hop"] >= r["hub_deg"]  # closed neighborhood
+
+
+def test_q299_ttfp_sanity(spark):
+    """TTFP: conversions bounded by signups; medians non-negative
+    where present; cohort signups sum to the signup-user count."""
+    rows = QUERIES["q299_ttfp_median_by_cohort"](spark, SF).collect()
+    total = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_signups"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_signups"]
+        if r["median_days_to_purchase"] is not None:
+            assert r["median_days_to_purchase"] >= 0
+
+
+def test_q300_all_checks_pass(spark):
+    """Scorecard: all four structural invariants pass — the capstone
+    the whole board stands on."""
+    rows = QUERIES["q300_conformance_scorecard"](spark, SF).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["passed"] == 1, r
+        assert r["observed"] == r["expected"]
