@@ -21914,6 +21914,374 @@ FROM (SELECT * FROM collapse UNION ALL SELECT * FROM canon
 Q300_SQL = _q300_sql()
 
 
+def _half_band_pairs(
+    sigs: DataFrame, toks: DataFrame, lane0: int
+) -> DataFrame:
+    """Verified (J >= 0.5) pair set from 8 signature lanes starting
+    at lane0, banded 2x4 — the q214 machinery at half width."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col("sig")[lane0 + b * 4 + i].cast(
+                                    "string"
+                                )
+                                for i in range(4)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(2)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(
+            toks.select(F.col("doc_id").alias("a"), F.col("toks").alias("ta")),
+            "a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("b"), F.col("toks").alias("tb")),
+            "b",
+        )
+        .filter(F.round(inter / uni, 4) >= 0.5)
+        .select("a", "b")
+    )
+
+
+def q301_split_half_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half LSH stability audit — the RNG-free bootstrap of
+    the dedup configuration: the 16 portable minhash lanes split
+    into two independent 8-lane halves (2×4 bands each), each
+    half's VERIFIED pair set computed separately, and the halves
+    compared with each other and with the exact q12 truth — high
+    half-half Jaccard means the configuration's recall is stable,
+    not a lucky hash draw; the per-half recalls bracket the full
+    16-lane configuration's.
+
+    Scale shape: two q214-width band joins over the shared
+    checkpointed signatures; pair-set comparisons are
+    pair-relation joins."""
+    sigs = _mh_sigs(spark, sf_dir).select("doc_id", "sig").localCheckpoint()
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(normalize_sql(F.col("text")), " ")
+        ).alias("toks"),
+    ).localCheckpoint()
+    pa = _half_band_pairs(sigs, toks, 0).localCheckpoint()
+    pb = _half_band_pairs(sigs, toks, 8).localCheckpoint()
+    truth = (
+        q12_docs_token_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    na = pa.count()
+    nb = pb.count()
+    m = pa.join(pb, ["a", "b"], "left_semi").count()
+    ra = pa.join(truth, ["a", "b"], "left_semi").count()
+    rb = pb.join(truth, ["a", "b"], "left_semi").count()
+    nt = truth.count()
+    return spark.createDataFrame(
+        [
+            (
+                na,
+                nb,
+                m,
+                round(m / (na + nb - m), 6) if na + nb - m else None,
+                round(ra / nt, 6),
+                round(rb / nt, 6),
+            )
+        ],
+        "pairs_a long, pairs_b long, common long, half_jaccard double,"
+        " recall_a double, recall_b double",
+    )
+
+
+def _q301_sql() -> str:
+    def half(tag: str, lane0: int) -> str:
+        parts = []
+        for b in range(2):
+            key = " || '|' || ".join(
+                f"CAST(s{lane0 + b * 4 + i} AS VARCHAR)" for i in range(4)
+            )
+            parts.append(
+                f"SELECT doc_id, {b} AS band_id, {key} AS band_key"
+                f" FROM sigs"
+            )
+        bands = "\n  UNION ALL\n  ".join(parts)
+        return f"""bands_{tag} AS (
+  {bands}
+), cand_{tag} AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands_{tag} l JOIN bands_{tag} r
+    ON r.band_id = l.band_id AND r.band_key = l.band_key
+   AND l.doc_id < r.doc_id
+), ver_{tag} AS (
+  SELECT c.a, c.b FROM cand_{tag} c
+  JOIN tset ta ON ta.doc_id = c.a
+  JOIN tset tb ON tb.doc_id = c.b
+  WHERE ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / (len(ta.toks) + len(tb.toks)
+           - len(list_intersect(ta.toks, tb.toks))), 4) >= 0.5
+)"""
+
+    return f"""
+WITH sigs AS ({_mh_sig_sql()}),
+tset AS (
+  SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS toks
+  FROM documents
+),
+{half('a', 0)},
+{half('b', 8)},
+truth AS (SELECT a, b FROM ({Q12_SQL}))
+SELECT (SELECT COUNT(*) FROM ver_a) AS pairs_a,
+       (SELECT COUNT(*) FROM ver_b) AS pairs_b,
+       (SELECT COUNT(*) FROM ver_a x
+        JOIN ver_b y ON y.a = x.a AND y.b = x.b) AS common,
+       ROUND((SELECT COUNT(*) FROM ver_a x
+              JOIN ver_b y ON y.a = x.a AND y.b = x.b)
+             / CAST((SELECT COUNT(*) FROM ver_a)
+                    + (SELECT COUNT(*) FROM ver_b)
+                    - (SELECT COUNT(*) FROM ver_a x
+                       JOIN ver_b y ON y.a = x.a AND y.b = x.b)
+                    AS DOUBLE), 6) AS half_jaccard,
+       ROUND((SELECT COUNT(*) FROM ver_a x
+              JOIN truth t ON t.a = x.a AND t.b = x.b)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6)
+         AS recall_a,
+       ROUND((SELECT COUNT(*) FROM ver_b x
+              JOIN truth t ON t.a = x.a AND t.b = x.b)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6)
+         AS recall_b
+"""
+
+
+Q301_SQL = _q301_sql()
+
+
+def q302_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate of the document-length distribution
+    in the floor-log2 bits fixed point — the EVT companion to
+    q287's mean-excess table: the top k=32 lengths' binary-digit
+    excess over the (k+1)-th order statistic sums to an exact
+    integer; mean_bits converts to the tail index via the single
+    literal 1/ln2, so a heavy (Pareto-like) tail reads as small α.
+    Crude by a real Hill estimator's standards — and exactly as
+    crude in both engines, which is the contract here.
+
+    Scale shape: one top-(k+1) rank window on the doc-length
+    relation; one integer rollup."""
+    k = 32
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select("doc_id", "n_chars").withColumn(
+        "rk", F.row_number().over(w)
+    ).filter(F.col("rk") <= k + 1).localCheckpoint()
+    thr = ranked.filter(F.col("rk") == k + 1).select(
+        F.col("n_chars").alias("x_k1")
+    )
+    agg = (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.max("x_k1").alias("x_k1"),
+            F.sum(
+                F.length(F.bin("n_chars")) - F.length(F.bin("x_k1"))
+            )
+            .cast("long")
+            .alias("sum_bits"),
+        )
+    )
+    mean_bits = F.col("sum_bits") / F.lit(float(k))
+    return agg.select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("x_k1").cast("long").alias("x_k_plus_1"),
+        "sum_bits",
+        F.round(mean_bits, 6).alias("mean_excess_bits"),
+        F.round(
+            F.when(
+                F.col("sum_bits") > 0,
+                1 / (mean_bits * 0.6931471805599453),
+            ),
+            4,
+        ).alias("alpha_est"),
+    )
+
+
+Q302_SQL = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+), thr AS (SELECT n_chars AS x_k1 FROM ranked WHERE rk = 33),
+agg AS (
+  SELECT MAX(t.x_k1) AS x_k1,
+         CAST(SUM(length(bin(r.n_chars)) - length(bin(t.x_k1)))
+              AS BIGINT) AS sum_bits
+  FROM ranked r CROSS JOIN thr t
+  WHERE r.rk <= 32
+)
+SELECT CAST(32 AS INT) AS k,
+       CAST(x_k1 AS BIGINT) AS x_k_plus_1,
+       sum_bits,
+       ROUND(sum_bits / 32.0, 6) AS mean_excess_bits,
+       ROUND(CASE WHEN sum_bits > 0
+             THEN 1 / (sum_bits / 32.0 * 0.6931471805599453) END, 4)
+         AS alpha_est
+FROM agg
+"""
+
+
+def q303_placebo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placebo (negative-control) difference-in-differences — the
+    causal-methodology audit that must accompany q231: the SAME
+    estimator re-run entirely INSIDE the pre-period (days 0-14
+    split at day 7), where no treatment can possibly act; a placebo
+    DiD far from zero would convict the design, not the treatment.
+    Exact micro-sums, end-only divisions, the q231 cell table
+    shipped in full.
+
+    Scale shape: identical to q231 on the restricted window."""
+    from .sampling import bucket_of
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dayx = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d0 = ev.agg(F.min(dayx).alias("d0"))
+    cells = (
+        ev.crossJoin(F.broadcast(d0))
+        .filter(dayx < F.col("d0") + 15)
+        .select(
+            F.when(
+                F.pmod(bucket_of(F.col("user_id"), "did-v1"), 2) == 0,
+                F.lit("treated"),
+            )
+            .otherwise(F.lit("control"))
+            .alias("grp"),
+            F.when(dayx < F.col("d0") + 7, F.lit("pre"))
+            .otherwise(F.lit("post"))
+            .alias("period"),
+            F.round(F.col("value") * 10000).cast("long").alias("micro"),
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("micro").cast("long").alias("s"),
+        )
+    )
+    m = lambda g, per: F.max(  # noqa: E731
+        F.when(
+            (F.col("grp") == g) & (F.col("period") == per),
+            F.col("s") / F.col("n"),
+        )
+    )
+    nn = lambda g, per: F.max(  # noqa: E731
+        F.when((F.col("grp") == g) & (F.col("period") == per), F.col("n"))
+    )
+    agg = cells.agg(
+        nn("treated", "pre").alias("n_t_pre"),
+        nn("treated", "post").alias("n_t_post"),
+        nn("control", "pre").alias("n_c_pre"),
+        nn("control", "post").alias("n_c_post"),
+        m("treated", "pre").alias("_tp"),
+        m("treated", "post").alias("_tq"),
+        m("control", "pre").alias("_cp"),
+        m("control", "post").alias("_cq"),
+    )
+    r4 = lambda c: F.round(c / 10000.0, 6)  # noqa: E731
+    return agg.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        r4(F.col("_tp")).alias("mean_t_pre"),
+        r4(F.col("_tq")).alias("mean_t_post"),
+        r4(F.col("_cp")).alias("mean_c_pre"),
+        r4(F.col("_cq")).alias("mean_c_post"),
+        F.round(
+            (
+                (F.col("_tq") - F.col("_tp"))
+                - (F.col("_cq") - F.col("_cp"))
+            )
+            / 10000.0,
+            6,
+        ).alias("placebo_did"),
+    )
+
+
+def _q303_sql() -> str:
+    from .sampling import bucket_sql
+
+    b = bucket_sql("user_id", "did-v1")
+    return f"""
+WITH d0 AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events
+  WHERE value IS NOT NULL
+), e AS (
+  SELECT CASE WHEN {b} % 2 = 0 THEN 'treated' ELSE 'control' END AS grp,
+         CASE WHEN epoch_us(ts) // 86400000000 < d0 + 7
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(ROUND(value * 10000) AS BIGINT) AS micro
+  FROM events, d0
+  WHERE value IS NOT NULL
+    AND epoch_us(ts) // 86400000000 < d0 + 15
+), cells AS (
+  SELECT grp, period, COUNT(*) AS n, CAST(SUM(micro) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2
+)
+SELECT
+  MAX(CASE WHEN grp='treated' AND period='pre' THEN n END) AS n_t_pre,
+  MAX(CASE WHEN grp='treated' AND period='post' THEN n END) AS n_t_post,
+  MAX(CASE WHEN grp='control' AND period='pre' THEN n END) AS n_c_pre,
+  MAX(CASE WHEN grp='control' AND period='post' THEN n END) AS n_c_post,
+  ROUND(MAX(CASE WHEN grp='treated' AND period='pre'
+            THEN s / CAST(n AS DOUBLE) END) / 10000.0, 6) AS mean_t_pre,
+  ROUND(MAX(CASE WHEN grp='treated' AND period='post'
+            THEN s / CAST(n AS DOUBLE) END) / 10000.0, 6) AS mean_t_post,
+  ROUND(MAX(CASE WHEN grp='control' AND period='pre'
+            THEN s / CAST(n AS DOUBLE) END) / 10000.0, 6) AS mean_c_pre,
+  ROUND(MAX(CASE WHEN grp='control' AND period='post'
+            THEN s / CAST(n AS DOUBLE) END) / 10000.0, 6) AS mean_c_post,
+  ROUND(((MAX(CASE WHEN grp='treated' AND period='post'
+              THEN s / CAST(n AS DOUBLE) END)
+          - MAX(CASE WHEN grp='treated' AND period='pre'
+                THEN s / CAST(n AS DOUBLE) END))
+         - (MAX(CASE WHEN grp='control' AND period='post'
+                THEN s / CAST(n AS DOUBLE) END)
+            - MAX(CASE WHEN grp='control' AND period='pre'
+                  THEN s / CAST(n AS DOUBLE) END))) / 10000.0, 6)
+    AS placebo_did
+FROM cells
+"""
+
+
+Q303_SQL = _q303_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -22215,6 +22583,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q298_hub_coverage": q298_hub_coverage,
     "q299_ttfp_median_by_cohort": q299_ttfp_median_by_cohort,
     "q300_conformance_scorecard": q300_conformance_scorecard,
+    "q301_split_half_stability": q301_split_half_stability,
+    "q302_hill_tail_index": q302_hill_tail_index,
+    "q303_placebo_did": q303_placebo_did,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -22520,4 +22891,7 @@ ORACLE_SQL: dict[str, str] = {
     "q298_hub_coverage": Q298_SQL,
     "q299_ttfp_median_by_cohort": Q299_SQL,
     "q300_conformance_scorecard": Q300_SQL,
+    "q301_split_half_stability": Q301_SQL,
+    "q302_hill_tail_index": Q302_SQL,
+    "q303_placebo_did": Q303_SQL,
 }

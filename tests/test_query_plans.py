@@ -3939,3 +3939,57 @@ def test_q300_all_checks_pass(spark):
     for r in rows:
         assert r["passed"] == 1, r
         assert r["observed"] == r["expected"]
+
+
+def test_q301_halves_subset_full(spark):
+    """Split-half stability: each half's verified pairs are a subset
+    of the truth (verification guarantees it), recalls within
+    (0, 1], and the common set bounded by both halves."""
+    r = QUERIES["q301_split_half_stability"](spark, SF).collect()[0]
+    assert r["common"] <= min(r["pairs_a"], r["pairs_b"])
+    assert 0 < r["recall_a"] <= 1
+    assert 0 < r["recall_b"] <= 1
+    assert 0 <= r["half_jaccard"] <= 1
+
+
+def test_q302_hill_recompute(spark):
+    """Hill: sum_bits recomputes from the top-32 lengths and the
+    33rd order statistic; alpha positive when the tail is
+    non-degenerate."""
+    r = QUERIES["q302_hill_tail_index"](spark, SF).collect()[0]
+    lens = sorted(
+        (
+            row["n_chars"]
+            for row in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("n_chars")
+            .collect()
+        ),
+        reverse=True,
+    )
+    x_k1 = lens[32]
+    want = sum(
+        len(bin(x)[2:]) - len(bin(x_k1)[2:]) for x in lens[:32]
+    )
+    assert r["x_k_plus_1"] == x_k1
+    assert r["sum_bits"] == want
+    if r["sum_bits"] > 0:
+        assert r["alpha_est"] > 0
+
+
+def test_q303_placebo_small(spark):
+    """Placebo DiD: cells partition the restricted window, the
+    double difference recomputes, and the placebo effect is small
+    relative to the overall mean (no treatment exists by
+    construction)."""
+    r = QUERIES["q303_placebo_did"](spark, SF).collect()[0]
+    want = (r["mean_t_post"] - r["mean_t_pre"]) - (
+        r["mean_c_post"] - r["mean_c_pre"]
+    )
+    assert abs(r["placebo_did"] - want) < 5e-6
+    overall = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .agg(F.avg("value"))
+        .collect()[0][0]
+    )
+    assert abs(r["placebo_did"]) < 0.5 * overall
