@@ -22282,6 +22282,166 @@ FROM cells
 Q303_SQL = _q303_sql()
 
 
+def q304_dispersion_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficient of variation AND quartile coefficient of
+    dispersion per event type, side by side — the parametric and
+    robust normalizations of spread whose DISAGREEMENT flags
+    heavy-tailed types: CV from exact integer moments (one sqrt at
+    the boundary), QCD = (Q3−Q1)/(Q3+Q1) from the q46-proven exact
+    interpolated quantiles on integer micro-units.
+
+    Scale shape: one partial-aggregated pass per statistic family,
+    both on the 5-type grain."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    micro = F.round(F.col("value") * 10000).cast("long")
+    agg = ev.select("event_type", micro.alias("m")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("ss"),
+        F.expr("percentile(m, 0.25D)").alias("q1"),
+        F.expr("percentile(m, 0.75D)").alias("q3"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)
+    mean = F.col("s") / n
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        F.round(
+            (F.col("q3") - F.col("q1")) / (F.col("q3") + F.col("q1")), 6
+        ).alias("qcd"),
+    )
+
+
+Q304_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(sqrt((SUM(m * m) - SUM(m) * CAST(SUM(m) AS DOUBLE)
+                   / COUNT(*)) / (COUNT(*) - 1))
+             / (SUM(m) / CAST(COUNT(*) AS DOUBLE)), 6) AS cv,
+       ROUND((quantile_cont(m, 0.75) - quantile_cont(m, 0.25))
+             / (quantile_cont(m, 0.75) + quantile_cont(m, 0.25)), 6)
+         AS qcd
+FROM g GROUP BY event_type
+"""
+
+
+def q305_seasonal_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical weekday seasonal indexes — each day-of-week's mean
+    daily volume as an integer basis-point index against the
+    overall daily mean (the multiplicative-decomposition table
+    q211's MASE implies but never shows): per-dow day counts and
+    volume sums exact, the index one cross-multiplied division,
+    and the indexes must average to ~10000 weighted by day counts
+    (conservation pinned).
+
+    Scale shape: one exchange to the day grain, a 7-row rollup."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("v")
+    )
+    per_dow = daily.groupBy(
+        F.pmod(F.col("day"), F.lit(7)).cast("int").alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("v").cast("long").alias("volume"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_days").cast("long").alias("td"),
+        F.sum("volume").cast("long").alias("tv"),
+    )
+    return per_dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "volume",
+        F.expr("volume * td * 10000 div (n_days * tv)")
+        .cast("long")
+        .alias("index_bp"),
+    )
+
+
+Q305_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS v
+  FROM events GROUP BY 1
+), per_dow AS (
+  SELECT CAST(day % 7 AS INT) AS dow, COUNT(*) AS n_days,
+         CAST(SUM(v) AS BIGINT) AS volume
+  FROM daily GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_days) AS BIGINT) AS td,
+         CAST(SUM(volume) AS BIGINT) AS tv
+  FROM per_dow
+)
+SELECT dow, n_days, volume,
+       CAST(volume * td * 10000 // (n_days * tv) AS BIGINT) AS index_bp
+FROM per_dow, tot
+"""
+
+
+def q306_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap percentiles per event type — the latency-SLO
+    rollup (p50/p90/p99 of the time between consecutive same-type
+    events per user) that q93's log2 histogram sketches and this
+    row makes exact: integer-microsecond lags from one user+type
+    lead window, the q46-proven exact interpolated percentiles.
+
+    Scale shape: one (user, type) exchange for the lags, one
+    5-type percentile rollup."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    lags = (
+        ev.select("user_id", "event_type", "event_id", us.alias("us"))
+        .withColumn("nxt", F.lead("us").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "event_type", (F.col("nxt") - F.col("us")).alias("gap_us")
+        )
+    )
+    qs = "array(0.5D, 0.9D, 0.99D)"
+    agg = lags.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.expr(f"percentile(gap_us, {qs})").alias("_p"),
+    )
+    h = 3600000000.0
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(F.col("_p")[0] / h, 4).alias("p50_hours"),
+        F.round(F.col("_p")[1] / h, 4).alias("p90_hours"),
+        F.round(F.col("_p")[2] / h, 4).alias("p99_hours"),
+    )
+
+
+Q306_SQL = """
+WITH lags AS (
+  SELECT event_type,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.5) / 3600000000.0, 4)
+         AS p50_hours,
+       ROUND(quantile_cont(gap_us, 0.9) / 3600000000.0, 4)
+         AS p90_hours,
+       ROUND(quantile_cont(gap_us, 0.99) / 3600000000.0, 4)
+         AS p99_hours
+FROM lags WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -22586,6 +22746,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q301_split_half_stability": q301_split_half_stability,
     "q302_hill_tail_index": q302_hill_tail_index,
     "q303_placebo_did": q303_placebo_did,
+    "q304_dispersion_pair": q304_dispersion_pair,
+    "q305_seasonal_indexes": q305_seasonal_indexes,
+    "q306_gap_percentiles": q306_gap_percentiles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -22894,4 +23057,7 @@ ORACLE_SQL: dict[str, str] = {
     "q301_split_half_stability": Q301_SQL,
     "q302_hill_tail_index": Q302_SQL,
     "q303_placebo_did": Q303_SQL,
+    "q304_dispersion_pair": Q304_SQL,
+    "q305_seasonal_indexes": Q305_SQL,
+    "q306_gap_percentiles": Q306_SQL,
 }

@@ -3993,3 +3993,43 @@ def test_q303_placebo_small(spark):
         .collect()[0][0]
     )
     assert abs(r["placebo_did"]) < 0.5 * overall
+
+
+def test_q304_dispersion_positive(spark):
+    """Dispersion pair: both normalized spreads positive and finite
+    per type; QCD bounded by 1; one row per valued type."""
+    rows = QUERIES["q304_dispersion_pair"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["cv"] > 0
+        assert 0 <= r["qcd"] < 1
+
+
+def test_q305_index_conservation(spark):
+    """Seasonal indexes: day counts sum to the calendar; the
+    day-count-weighted index mean is 10000 up to floor slack."""
+    rows = QUERIES["q305_seasonal_indexes"](spark, SF).collect()
+    assert len(rows) == 7
+    td = sum(r["n_days"] for r in rows)
+    weighted = sum(r["index_bp"] * r["n_days"] for r in rows)
+    assert abs(weighted / td - 10000) < 10
+    for r in rows:
+        assert r["index_bp"] > 0
+
+
+def test_q306_percentile_order(spark):
+    """Gap percentiles: p50 <= p90 <= p99 per type, all positive,
+    and gap counts equal per-(user,type) stream lengths minus one."""
+    rows = QUERIES["q306_gap_percentiles"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    streams = (
+        ev.groupBy("user_id", "event_type")
+        .count()
+        .groupBy("event_type")
+        .agg(F.sum(F.col("count") - 1).alias("gaps"))
+        .collect()
+    )
+    want = {r["event_type"]: r["gaps"] for r in streams}
+    for r in rows:
+        assert 0 < r["p50_hours"] <= r["p90_hours"] <= r["p99_hours"]
+        assert r["n_gaps"] == want[r["event_type"]]
