@@ -44,6 +44,7 @@ def bucket_pairs(
     payload_cols: list[str] | None = None,
     assume_distinct: bool = False,
     carry_cols: list[str] | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """(key..., conv_id [, payload...]) -> canonical candidate pairs (a < b)
     [+ payload_a/payload_b columns], deduplicated across keys.
@@ -123,11 +124,14 @@ def bucket_pairs(
             *[F.col(f"p.y.{c}").alias(f"{c}_b") for c in payload_cols],
         )
     )
-    return (
-        pairs.filter(F.col("a") != F.col("b"))
-        .dropDuplicates(carry_cols + ["a", "b"])
-        .select(*out_cols)
-    )
+    pairs = pairs.filter(F.col("a") != F.col("b"))
+    if dedup:
+        # skippable (dedup=False) for callers that dedup the pair set
+        # themselves downstream — the incremental merge unions these pairs
+        # with index-join pairs and dedups once, so the exchange here would
+        # be a third pass over the same tiny pair set
+        pairs = pairs.dropDuplicates(carry_cols + ["a", "b"])
+    return pairs.select(*out_cols)
 
 
 def unified_key_table(features: DataFrame, config: DedupConfig) -> DataFrame:
@@ -228,7 +232,9 @@ def _hamming_ok(config: DedupConfig) -> F.Column:
     )
 
 
-def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFrame:
+def unified_candidates(
+    rep_features: DataFrame, config: DedupConfig, dedup: bool = True
+) -> DataFrame:
     """All three candidate sources through ONE exchange + sort + window.
 
     The per-source bucket tables (LSH bands, SimHash pigeonhole chunks,
@@ -250,6 +256,7 @@ def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFram
         payload_cols=["payload"],
         assume_distinct=True,
         carry_cols=["src"],
+        dedup=dedup,
     )
     return pairs.filter(_hamming_ok(config)).select(
         _src_name().alias("src"), "a", "b"
@@ -257,7 +264,7 @@ def unified_candidates(rep_features: DataFrame, config: DedupConfig) -> DataFram
 
 
 def index_join_pairs(
-    new_keys: DataFrame, index: DataFrame, config: DedupConfig
+    new_keys: DataFrame, index: DataFrame, config: DedupConfig, dedup: bool = True
 ) -> DataFrame:
     """New-batch keys × persisted key index -> candidate pairs (src, a, b)
     with a = new conv, b = indexed conv — the O(delta) replacement for
@@ -294,12 +301,11 @@ def index_join_pairs(
         .filter(F.col("_rn") <= config.bucket_cap)
         .drop("_rn")
     )
-    return (
-        capped.filter(_hamming_ok(config))
-        .select("src", "a", "b")
-        .dropDuplicates(["src", "a", "b"])
-        .select(_src_name().alias("src"), "a", "b")
-    )
+    out = capped.filter(_hamming_ok(config)).select("src", "a", "b")
+    if dedup:
+        # see bucket_pairs: skipped when the caller dedups downstream
+        out = out.dropDuplicates(["src", "a", "b"])
+    return out.select(_src_name().alias("src"), "a", "b")
 
 
 def bucket_stats(bucket_df: DataFrame, key_cols: list[str], config: DedupConfig) -> DataFrame:

@@ -59,9 +59,18 @@ def compute_features(
     )
 
 
-def featurize(docs: DataFrame, config: DedupConfig) -> DataFrame:
+def featurize(
+    docs: DataFrame, config: DedupConfig, partitions: int | None = None
+) -> DataFrame:
     """(conv_id, norm_text, ...) -> (conv_id, shingles, suffix_fps, sig,
-    simhash)."""
+    simhash).
+
+    `partitions` overrides the fan-out (default config.shuffle_partitions):
+    callers that know the input is tiny (an incremental micro-batch) size
+    it to the batch so a ~100-doc merge does not pay ~50 near-empty Python
+    tasks of scheduling + Arrow startup. Values are per-doc deterministic,
+    so the partition count never affects results.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,6 +81,6 @@ def featurize(docs: DataFrame, config: DedupConfig) -> DataFrame:
     # a materialized stage back would otherwise coalesce to a few splits)
     return (
         docs.select("conv_id", "norm_text")
-        .repartition(config.shuffle_partitions, "conv_id")
+        .repartition(partitions or config.shuffle_partitions, "conv_id")
         .mapInPandas(run, FEATURE_SCHEMA)
     )

@@ -296,6 +296,14 @@ class RunState:
         self._checkpointed = []
         self._checkpoint_rdd_ids = []
 
+    def rows_of(self, stage: str) -> int | None:
+        """Row count of an already-materialized stage this run (from the
+        in-memory metrics; None if the stage has not run)."""
+        for m in reversed(self._metrics):
+            if m["stage"] == stage:
+                return m["rows_out"]
+        return None
+
     def metrics_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.run_dir}/_metrics")
 

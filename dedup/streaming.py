@@ -484,20 +484,28 @@ def process_batch(
         reps = out["exact_groups"].filter(
             F.col("conv_id") == F.col("exact_rep")
         ).select("conv_id")
-        state.materialize(
-            "cand_index",
-            lambda: unified_key_table(
-                out["features"].join(reps, "conv_id", "left_semi"), config
-            ),
-        )
-        state.materialize(
-            "exact_index",
-            lambda: exact_index_rows(
-                out["docs"].join(reps, "conv_id", "left_semi").select(
-                    "conv_id", "norm_text"
-                )
-            ),
-        )
+        # the two lookup indexes are independent — overlap their jobs
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_ci = pool.submit(
+                state.materialize,
+                "cand_index",
+                lambda: unified_key_table(
+                    out["features"].join(reps, "conv_id", "left_semi"), config
+                ),
+            )
+            f_ei = pool.submit(
+                state.materialize,
+                "exact_index",
+                lambda: exact_index_rows(
+                    out["docs"].join(reps, "conv_id", "left_semi").select(
+                        "conv_id", "norm_text"
+                    )
+                ),
+            )
+            f_ci.result()
+            f_ei.result()
         state.flush_metrics()
         base = f"{stream_dir}/{run_id}"
         manifest = {
