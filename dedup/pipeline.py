@@ -26,7 +26,6 @@ from .features import featurize
 from .normalize import normalize_text
 from .reassemble import reassemble
 from .state import RunState
-from .verify import verify_jaccard, verify_substring
 
 
 def run_pipeline(
@@ -117,31 +116,78 @@ def run_pipeline(
         # longest-shared-run check only runs for suffix-sourced pairs that
         # fail Jaccard — near-dup clones sharing long runs are already
         # accepted by the cheap JVM-side check.
-        suffix_pairs = cand_suffix.select("a", "b")
+        #
+        # Single-pass shape: the distinct pair set (with an is-suffix flag
+        # aggregated in the same exchange the old dropDuplicates paid)
+        # attaches ONE combined (shingles, norm_text) lookup — both sides
+        # semi-reduced to pair participants first, so nothing corpus-sized
+        # is shuffled — and the per-row accept condition replaces the old
+        # verify-jaccard + anti-join + verify-substring + union chain
+        # (~half the exchanges, identical accepted rows). The substring UDF
+        # sees empty strings except for suffix pairs that failed Jaccard,
+        # so only those pay Python compute, exactly as before.
+        from .verify import make_substring_verify_udf
+
+        # lazy local checkpoints: all_cand feeds the two semi-join probes
+        # AND the pair join, and lookup is referenced for both endpoints —
+        # without the checkpoint each reference re-plans (and re-shuffles)
+        # the whole subtree, doubling the stage's Exchange count
         all_cand = (
-            cand_minhash.select("a", "b")
-            .unionByName(cand_simhash.select("a", "b"))
-            .unionByName(suffix_pairs)
-            .dropDuplicates(["a", "b"])
+            cands.select("a", "b", (F.col("src") == "sf").alias("_sf"))
+            .groupBy("a", "b")
+            .agg(F.max("_sf").alias("is_sf"))
+            .localCheckpoint(eager=False)
         )
-        vj = (
-            verify_jaccard(all_cand, features, config)
-            .select("a", "b", "jaccard", F.lit("jaccard").alias("source"))
-            .localCheckpoint(eager=False)  # used twice below; cheaper than
-            # persist() (no InMemoryRelation canonicalization overhead)
+        participants = all_cand.select(
+            F.explode(F.array("a", "b")).alias("conv_id")
+        ).distinct()
+        lookup = (
+            features.select("conv_id", "shingles")
+            .join(F.broadcast(participants), "conv_id", "left_semi")
+            .join(
+                docs.select("conv_id", "norm_text").join(
+                    F.broadcast(participants), "conv_id", "left_semi"
+                ),
+                "conv_id",
+            )
+            .localCheckpoint(eager=False)
         )
-        sub_rest = suffix_pairs.join(vj.select("a", "b"), ["a", "b"], "left_anti")
-        vs = verify_substring(
-            sub_rest,
-            docs.select("conv_id", "norm_text"),
-            config,
-        ).select(
+        joined = all_cand.join(
+            lookup.select(
+                F.col("conv_id").alias("a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("norm_text").alias("t_a"),
+            ),
+            "a",
+        ).join(
+            lookup.select(
+                F.col("conv_id").alias("b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("norm_text").alias("t_b"),
+            ),
+            "b",
+        )
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        jac_ok = F.coalesce(jac >= F.lit(config.jaccard_threshold), F.lit(False))
+        need_run = F.col("is_sf") & ~jac_ok
+        run_udf = make_substring_verify_udf(config)
+        run = run_udf(
+            F.when(need_run, F.col("t_a")).otherwise(F.lit("")),
+            F.when(need_run, F.col("t_b")).otherwise(F.lit("")),
+        )
+        # `run` appears ONLY in the filter: referencing a Python-UDF column
+        # in both a filter and the output projection makes the optimizer
+        # evaluate the UDF twice (guide §4.4); post-filter, the source tag
+        # is derivable from jac_ok alone (accepted ∧ ¬jac_ok ⇒ substring)
+        accept = jac_ok | (need_run & (run >= F.lit(config.suffix_min_tokens)))
+        return joined.filter(accept).select(
             "a",
             "b",
-            F.lit(None).cast("double").alias("jaccard"),
-            F.lit("substring").alias("source"),
+            F.when(jac_ok, jac).alias("jaccard"),
+            F.when(jac_ok, "jaccard").otherwise("substring").alias("source"),
         )
-        return vj.unionByName(vs).dropDuplicates(["a", "b"])
 
     verified = state.materialize("verified", build_verified)
     check_fail("verified")

@@ -146,7 +146,9 @@ class PartCache:
             self._peak_size = max(self._peak_size, len(self._dfs))
         return df
 
-    def view(self, stage: str, parts_key: tuple, build) -> DataFrame:
+    def view(
+        self, stage: str, parts_key: tuple, build, incremental=None
+    ) -> DataFrame:
         """Memoize a FLATTENED (localCheckpoint-ed) state view per batch.
 
         A latest-by view is a window over the K-part union. Consumers that
@@ -161,13 +163,38 @@ class PartCache:
         exactly one — strictly fewer O(state) passes at every scale. Keyed
         by the part list: a new promotion invalidates (and unpersists) the
         superseded view, so at most one copy per stage is ever held.
+
+        `incremental(prev_df, new_parts) -> DataFrame`: when the new part
+        list EXTENDS the cached one (pure appends at higher seqs — the
+        promotion fast path; folding replaces the list and misses), the
+        next flatten composes the cached view with only the appended
+        O(batch) parts instead of re-running the full K-part union+window —
+        the per-micro-batch flatten job goes from O(state) to O(state scan
+        + delta window), with the window over delta rows only.
         """
         entry = self._views.get(stage)
         if entry is not None and entry[0] == parts_key:
             return entry[1]
+        src = None
+        if (
+            entry is not None
+            and incremental is not None
+            and len(parts_key) > len(entry[0])
+            and parts_key[: len(entry[0])] == entry[0]
+        ):
+            appended = list(parts_key[len(entry[0]):])
+            prev_seqs = [int(s) for _, s in entry[0]]
+            new_seqs = [int(s) for _, s in appended]
+            # appended parts must all be newer than everything flattened
+            # into the cached view, or latest-wins cannot be composed
+            if min(new_seqs) > max(prev_seqs):
+                src = incremental(entry[1], appended)
+        # eager-checkpoint the successor BEFORE unpersisting the old view:
+        # the incremental composition reads the old (lineage-truncated)
+        # blocks, which are unrecomputable once unpersisted
+        df = (src if src is not None else build()).localCheckpoint(eager=True)
         if entry is not None:
             self._unpersist_view(entry)
-        df = build().localCheckpoint(eager=True)
         rdd_id = None
         try:
             # the persisted RDD is the analyzed plan's LogicalRDD (df.rdd
@@ -274,6 +301,15 @@ def _prior_state(
             F.col("cluster_id").isNotNull()  # NULL = compaction tombstone
         )
 
+    def compose_clusters(prev: DataFrame, appended: list) -> DataFrame:
+        # latest-wins against the cached flat view: the appended parts are
+        # strictly newer, so their rows supersede; NULL cluster_id at the
+        # newer seq tombstones the conv out of the view entirely
+        delta = _read_parts(spark, appended, latest_by="conv_id", cache=cache)
+        return prev.join(
+            F.broadcast(delta.select("conv_id")), "conv_id", "left_anti"
+        ).unionByName(delta.filter(F.col("cluster_id").isNotNull()))
+
     # clusters is the one view whose hot consumer joins on cluster_id — a
     # key the conv_id-partitioned latest-by window can't let a semi-join
     # push below — so without flattening, every touched-cluster lookup
@@ -285,6 +321,7 @@ def _prior_state(
             "clusters",
             tuple(tuple(p) for p in parts["clusters"]),
             build_clusters,
+            incremental=compose_clusters,
         )
         if cache is not None
         else build_clusters()
