@@ -147,6 +147,15 @@ def bucket_pairs(
     return pairs.select(*out_cols)
 
 
+# (lsh_rows, lsh_bands, hamming_d) -> the concat'd entry-array Column for
+# unified_key_table. Column expression trees are config-pure and unresolved
+# (they bind to a DataFrame only at select time), so one tree serves every
+# call — constructing it costs ~10^3 py4j round trips (32 band structs, 4
+# chunk structs with casts), which at one fresh build per micro-batch was a
+# measurable slice of the drain's driver fixed cost.
+_KEY_EXPR_CACHE: dict = {}
+
+
 def unified_key_table(features: DataFrame, config: DedupConfig) -> DataFrame:
     """ONE scan of the (wide — it carries the shingle arrays) features table
     -> the narrow unified bucket-key table (src, k1, k2, conv_id, payload):
@@ -163,6 +172,12 @@ def unified_key_table(features: DataFrame, config: DedupConfig) -> DataFrame:
     new batch's keys against prior keys instead of rebuilding bucket tables
     over the whole corpus (VERDICT r3 #1).
     """
+    cache_key = (config.lsh_rows, config.lsh_bands, config.hamming_d)
+    cached = _KEY_EXPR_CACHE.get(cache_key)
+    if cached is not None:
+        return features.select("conv_id", F.explode(cached).alias("e")).select(
+            "e.src", "e.k1", "e.k2", "conv_id", "e.payload"
+        )
     r = config.lsh_rows
     nulled = F.lit(None).cast("long")
 
@@ -220,8 +235,9 @@ def unified_key_table(features: DataFrame, config: DedupConfig) -> DataFrame:
         ),
         lambda fp: entry(_SRC_SF, F.lit(0), fp, nulled),
     )
+    _KEY_EXPR_CACHE[cache_key] = F.concat(bands, chunks, fps)
     return features.select(
-        "conv_id", F.explode(F.concat(bands, chunks, fps)).alias("e")
+        "conv_id", F.explode(_KEY_EXPR_CACHE[cache_key]).alias("e")
     ).select("e.src", "e.k1", "e.k2", "conv_id", "e.payload")
 
 
@@ -246,7 +262,10 @@ def _hamming_ok(config: DedupConfig) -> F.Column:
 
 
 def unified_candidates(
-    rep_features: DataFrame, config: DedupConfig, dedup: bool = True
+    rep_features: DataFrame,
+    config: DedupConfig,
+    dedup: bool = True,
+    key_table: DataFrame | None = None,
 ) -> DataFrame:
     """All three candidate sources through ONE exchange + sort + window.
 
@@ -260,8 +279,12 @@ def unified_candidates(
     `src` is part of the window key, so bucket families never mix; pairs
     come back tagged per source (mh | sh | sf) with the SimHash Hamming
     verify applied in the same projection.
+
+    `key_table` lets a caller that already built the unified key table for
+    the same features (the incremental merge, which also index-joins it)
+    hand it in instead of paying a second expression-tree construction.
     """
-    unified = unified_key_table(rep_features, config)
+    unified = key_table if key_table is not None else unified_key_table(rep_features, config)
     pairs = bucket_pairs(
         unified,
         ["src", "k1", "k2"],

@@ -100,16 +100,23 @@ def connected_components(
     """(a, b) edge list -> ((conv_id, cluster_id) for every node appearing
     in an edge, cluster_id = min conv_id of the component; rounds used —
     0 means the driver-side union-find fast path handled it)."""
-    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).filter(
+    # signature first, WITHOUT a checkpoint: the small-graph path (the
+    # common case — every micro-batch merge, and the bench pipeline) needs
+    # only two jobs (distinct+signature, then collect — the second reuses
+    # the first's shuffle map output, so the distinct is not recomputed).
+    # The eager localCheckpoint this replaces was a third job + block-store
+    # churn that only the big distributed loop actually needs.
+    edges_df = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).filter(
         F.col("u") != F.col("v")
-    ).distinct().localCheckpoint()
-    sig = _edge_signature(edges)
+    ).distinct()
+    sig = _edge_signature(edges_df)
     if sig[0] == 0:
         spark = pairs.sparkSession
         empty = spark.createDataFrame([], "conv_id string, cluster_id string")
         return empty, 0
     if sig[0] <= config.cc_local_threshold:
-        return _local_union_find(edges), 0
+        return _local_union_find(edges_df), 0
+    edges = edges_df.localCheckpoint()  # lineage cut for the iterative loop
     rounds = 0
     while True:
         rounds += 1

@@ -194,270 +194,331 @@ def merge_with_prior(
     # partitioning, derived from input size rather than a constant)
     n_new = state.rows_of("incr_docs") or 0
     feat_parts = max(1, min(config.shuffle_partitions, (n_new + 63) // 64))
-    f_features = pool.submit(
-        state.materialize,
-        "incr_features",
-        lambda: featurize(new_docs, config, partitions=feat_parts),
-    )
 
-    # lookup indexes: manifest-backed parts from streaming, or the O(prior)
-    # derivation fallback for prior states that predate them (results are
-    # identical either way — only the compute shape differs)
-    prior_reps = prior_groups.filter(F.col("conv_id") == F.col("exact_rep")).select("conv_id")
-    cand_index = prior.cand_index
-    if cand_index is None:
-        cand_index = unified_key_table(
-            prior_features.join(prior_reps, "conv_id", "left_semi"), config
+    # every exchange from here on carries O(batch) rows, so the session's
+    # corpus-sized shuffle_partitions and AQE's per-query-stage jobs are
+    # pure fixed cost: AQE re-plans (and submits a separate job for) every
+    # exchange only to coalesce a KB-sized shuffle to one partition, which
+    # at ~100 jobs per micro-batch is driver planning, not compute
+    # (measured: an 8-micro-batch drain ran 856 jobs with 32s of
+    # between-job driver gaps). Partitions derive from the batch size
+    # (guide §2 scale-adaptive rule) with the session setting as the cap,
+    # so a genuinely large batch keeps full parallelism; AQE is restored
+    # before promotion/folding, which are corpus-sized.
+    spark_conf = spark.conf
+    merge_parts = max(1, min(config.shuffle_partitions, (n_new + 63) // 64))
+    # get(k, None) (NOT the one-arg form, which substitutes the SQLConf
+    # default): an unset key must restore to UNSET, not to a pinned default
+    saved_conf = {
+        k: spark_conf.get(k, None)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.codegen.wholeStage",
         )
-    exact_index = prior.exact_index
-    if exact_index is None:
-        exact_index = exact_index_rows(
-            prior_docs.join(prior_reps, "conv_id", "left_semi").select(
-                "conv_id", "norm_text"
+    }
+    spark_conf.set("spark.sql.shuffle.partitions", str(merge_parts))
+    spark_conf.set("spark.sql.adaptive.enabled", "false")
+    if n_new < 10_000:
+        # sub-10k-row plans execute in microseconds either way; whole-stage
+        # codegen only adds per-plan Janino compilation on the driver (the
+        # generated source varies with the growing part lists, so the
+        # compile cache misses every micro-batch — measured 43.5s -> 37.4s
+        # over an 8-micro-batch drain from this switch alone). Large
+        # batches keep codegen: there the per-row win dominates.
+        spark_conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        f_features = pool.submit(
+            state.materialize,
+            "incr_features",
+            lambda: featurize(new_docs, config, partitions=feat_parts),
+        )
+
+        # lookup indexes: manifest-backed parts from streaming, or the O(prior)
+        # derivation fallback for prior states that predate them (results are
+        # identical either way — only the compute shape differs)
+        prior_reps = prior_groups.filter(F.col("conv_id") == F.col("exact_rep")).select("conv_id")
+        cand_index = prior.cand_index
+        if cand_index is None:
+            cand_index = unified_key_table(
+                prior_features.join(prior_reps, "conv_id", "left_semi"), config
             )
-        )
-
-    # 2. exact collapse: each new doc's content hash probes the persisted
-    # (hash -> representative) index — the reference's per-event hash
-    # lookup, set-at-a-time (BASELINE.json:6). A group's representative is
-    # min(prior rep, new members); only the DELTA is materialized: the new
-    # convs' rows plus a re-pointed self-row for any prior rep taken over
-    # by a smaller new id. O(batch + matches) compute — the index side is
-    # a scan + broadcast-hash probe, never re-grouped.
-    probe = new_docs.select("conv_id", exact.exact_key("norm_text").alias("k")).select(
-        "conv_id", F.col("k.h64").alias("h64"), F.col("k.h256").alias("h256")
-    )
-
-    def _group_reps() -> DataFrame:
-        """Per distinct new content hash: (_rep final, _prior_rep | null).
-
-        The index probe is shaped so the O(corpus) index side is only ever
-        the STREAMED side of a broadcast hash join (a left-outer with the
-        batch on the left would shuffle the index instead): inner-probe
-        first (index ⨝ broadcast batch hashes — batch-sized result), then a
-        left join between two batch-sized tables."""
-        new_min = probe.groupBy("h64", "h256").agg(F.min("conv_id").alias("_new_min"))
-        hits = exact_index.join(F.broadcast(new_min.select("h64", "h256")), ["h64", "h256"])
-        matched = new_min.join(hits, ["h64", "h256"], "left")
-        return matched.select(
-            "h64",
-            "h256",
-            F.least(F.col("_new_min"), F.coalesce("exact_rep", "_new_min")).alias("_rep"),
-            F.col("exact_rep").alias("_prior_rep"),
-        )
-
-    def build_exact_delta() -> DataFrame:
-        rep = _group_reps()
-        member_rows = probe.join(rep, ["h64", "h256"]).select(
-            "conv_id", F.col("_rep").alias("exact_rep")
-        )
-        superseded = rep.filter(
-            F.col("_prior_rep").isNotNull() & (F.col("_rep") != F.col("_prior_rep"))
-        ).select(F.col("_prior_rep").alias("conv_id"), F.col("_rep").alias("exact_rep"))
-        return member_rows.unionByName(superseded).dropDuplicates(["conv_id"])
-
-    f_exact = pool.submit(state.materialize, "incr_exact_delta", build_exact_delta)
-
-    # the exact-index delta: one row per distinct new content hash with its
-    # final representative (latest-wins over a prior row on takeover)
-    def build_exact_index_delta() -> DataFrame:
-        return _group_reps().select(
-            "h64", "h256", F.col("_rep").alias("exact_rep")
-        )
-
-    f_eidx = pool.submit(state.materialize, "incr_exact_index_delta", build_exact_index_delta)
-
-    new_features = f_features.result()
-
-    # 3. candidates: the batch's own keys pair among themselves through one
-    # batch-sized bucket pass, and against the prior corpus through an
-    # equi-join on the persisted key index (broadcast new keys; the index is
-    # scanned, never shuffled or rebuilt — VERDICT r3 #1). The key table is
-    # a lazy map-only explode of the checkpointed features (NOT its own
-    # materialization barrier: unified_candidates re-derives it internally
-    # anyway, and re-exploding a checkpointed batch is cheaper than an extra
-    # eager checkpoint+count on the critical path).
-    new_keys = unified_key_table(new_features, config)
-
-    def build_cands() -> DataFrame:
-        from .candidates import unified_candidates
-
-        within = unified_candidates(new_features, config, dedup=False)
-        across = index_join_pairs(new_keys, cand_index, config, dedup=False)
-        tagged = within.unionByName(across)
-        # ONE pass + one dedup exchange over the union: grouping near/
-        # substring via a tag column is exactly equivalent to deduping the
-        # two filtered branches separately (the previous shape evaluated
-        # the whole union subtree twice)
-        return (
-            tagged.select(
-                F.when(F.col("src") == "sf", "substring")
-                .otherwise("near")
-                .alias("src"),
-                F.least("a", "b").alias("a"),
-                F.greatest("a", "b").alias("b"),
+        exact_index = prior.exact_index
+        if exact_index is None:
+            exact_index = exact_index_rows(
+                prior_docs.join(prior_reps, "conv_id", "left_semi").select(
+                    "conv_id", "norm_text"
+                )
             )
-            .dropDuplicates(["src", "a", "b"])
+
+        # 2. exact collapse: each new doc's content hash probes the persisted
+        # (hash -> representative) index — the reference's per-event hash
+        # lookup, set-at-a-time (BASELINE.json:6). A group's representative is
+        # min(prior rep, new members); only the DELTA is materialized: the new
+        # convs' rows plus a re-pointed self-row for any prior rep taken over
+        # by a smaller new id. O(batch + matches) compute — the index side is
+        # a scan + broadcast-hash probe, never re-grouped.
+        probe = new_docs.select("conv_id", exact.exact_key("norm_text").alias("k")).select(
+            "conv_id", F.col("k.h64").alias("h64"), F.col("k.h256").alias("h256")
         )
 
-    f_cands = pool.submit(state.materialize_ephemeral, "incr_cands", build_cands)
+        def _group_reps() -> DataFrame:
+            """Per distinct new content hash: (_rep final, _prior_rep | null).
 
-    exact_delta = f_exact.result()
-
-    # the candidate-index delta: key rows for the batch's representatives
-    # only (an exact duplicate's keys are identical to its rep's — indexing
-    # both would just fatten every bucket)
-    def build_cand_index_delta() -> DataFrame:
-        batch_reps = exact_delta.filter(
-            F.col("conv_id") == F.col("exact_rep")
-        ).select("conv_id")
-        return new_keys.join(batch_reps, "conv_id", "left_semi")
-
-    f_cidx = pool.submit(
-        state.materialize, "incr_cand_index_delta", build_cand_index_delta
-    )
-
-    cands = f_cands.result()
-
-    def build_verified() -> DataFrame:
-        from .verify import make_substring_verify_udf
-
-        # endpoint lookups: the pair participants (batch-sized — every pair
-        # touches a new conv) broadcast into the prior features/docs scans,
-        # so the wide corpus tables are scanned with a pushed probe, never
-        # shuffled. Index-joined pairs may legitimately reference a
-        # superseded representative, whose features/docs are still present
-        # in the full prior tables.
-        #
-        # ONE combined (shingles, norm_text) lookup attached by TWO joins,
-        # with the per-source accept condition evaluated per row — the
-        # previous per-source shape (verify_jaccard's two attach joins +
-        # verify_substring's two more + an anti-join + a union) planned as
-        # one 32-job AQE execution per micro-batch; this one plans ~1/3 of
-        # the exchanges with identical accepted pairs. The substring UDF
-        # sees empty strings for near-sourced rows (run 0, filtered by the
-        # near branch), so near rows pay no Python compute.
-        participants = (
-            cands.select(F.explode(F.array("a", "b")).alias("conv_id")).distinct()
-        )
-        feats = new_features.select("conv_id", "shingles").unionByName(
-            prior_features.select("conv_id", "shingles").join(
-                F.broadcast(participants), "conv_id", "left_semi"
+            The index probe is shaped so the O(corpus) index side is only ever
+            the STREAMED side of a broadcast hash join (a left-outer with the
+            batch on the left would shuffle the index instead): inner-probe
+            first (index ⨝ broadcast batch hashes — batch-sized result), then a
+            left join between two batch-sized tables."""
+            new_min = probe.groupBy("h64", "h256").agg(F.min("conv_id").alias("_new_min"))
+            hits = exact_index.join(F.broadcast(new_min.select("h64", "h256")), ["h64", "h256"])
+            matched = new_min.join(hits, ["h64", "h256"], "left")
+            return matched.select(
+                "h64",
+                "h256",
+                F.least(F.col("_new_min"), F.coalesce("exact_rep", "_new_min")).alias("_rep"),
+                F.col("exact_rep").alias("_prior_rep"),
             )
-        )
-        texts = new_docs.select("conv_id", "norm_text").unionByName(
-            prior_docs.select("conv_id", "norm_text").join(
-                F.broadcast(participants), "conv_id", "left_semi"
+
+        # ONE lazy-checkpointed group_reps feeds BOTH exact stages: the index
+        # probe (a full scan of the O(corpus) exact index) previously ran twice
+        # per micro-batch — once inside each delta's write job; whichever write
+        # lands first materializes the shared blocks, the other waits on the
+        # block store instead of re-scanning the index
+        group_reps = _group_reps().localCheckpoint(eager=False)
+
+        def build_exact_delta() -> DataFrame:
+            rep = group_reps
+            member_rows = probe.join(rep, ["h64", "h256"]).select(
+                "conv_id", F.col("_rep").alias("exact_rep")
             )
-        )
-        # lazy checkpoint: lookup is referenced for both pair endpoints —
-        # one cached RDD instead of re-planning (and re-running) the
-        # participant semi-joins twice per side
-        lookup = feats.join(texts, "conv_id").localCheckpoint(eager=False)
-        joined = cands.join(
-            lookup.select(
-                F.col("conv_id").alias("a"),
-                F.col("shingles").alias("sh_a"),
-                F.col("norm_text").alias("t_a"),
-            ),
-            "a",
-        ).join(
-            lookup.select(
-                F.col("conv_id").alias("b"),
-                F.col("shingles").alias("sh_b"),
-                F.col("norm_text").alias("t_b"),
-            ),
-            "b",
-        )
-        is_sub = F.col("src") == "substring"
-        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-            F.array_union("sh_a", "sh_b")
-        )
-        run_udf = make_substring_verify_udf(config)
-        run = run_udf(
-            F.when(is_sub, F.col("t_a")).otherwise(F.lit("")),
-            F.when(is_sub, F.col("t_b")).otherwise(F.lit("")),
-        )
-        ok = F.when(
-            is_sub, run >= F.lit(config.suffix_min_tokens)
-        ).otherwise(jac >= F.lit(config.jaccard_threshold))
-        return joined.filter(ok).select("a", "b").dropDuplicates(["a", "b"])
+            superseded = rep.filter(
+                F.col("_prior_rep").isNotNull() & (F.col("_rep") != F.col("_prior_rep"))
+            ).select(F.col("_prior_rep").alias("conv_id"), F.col("_rep").alias("exact_rep"))
+            return member_rows.unionByName(superseded).dropDuplicates(["conv_id"])
 
-    verified = state.materialize_ephemeral("incr_verified", build_verified)
+        f_exact = pool.submit(state.materialize, "incr_exact_delta", build_exact_delta)
 
-    # 4. merge: CC over new edges + assignment edges of TOUCHED clusters
-    # only. Every new edge endpoint is a new conv or a prior rep, so any
-    # cluster that can change is semi-join-reachable from the endpoints;
-    # untouched assignments pass through verbatim (and are never re-written
-    # — only the re-assigned scope is materialized). This keeps the CC
-    # input AND the bytes written O(batch + touched members), which is what
-    # lets a 10^12-turn corpus absorb a small batch cheaply.
-    def build_reassigned() -> DataFrame:
-        # no intermediate pair dedups: connected_components opens with its
-        # own distinct, so deduping new_edges and the union first only adds
-        # two more exchanges of the same tiny edge set (endpoints runs its
-        # own distinct regardless — duplicate pairs cannot change it)
-        new_edges = verified.select("a", "b").unionByName(
-            exact.exact_pairs(exact_delta)
-        )
-        endpoints = (
-            new_edges.select(F.col("a").alias("conv_id"))
-            .unionByName(new_edges.select(F.col("b").alias("conv_id")))
-            .distinct()
-        )
-        touched_cids = (
-            prior_clusters.join(F.broadcast(endpoints), "conv_id", "left_semi")
-            .select("cluster_id")
-            .distinct()
-        )
-        touched_members = prior_clusters.join(
-            F.broadcast(touched_cids), "cluster_id", "left_semi"
-        )
-        prior_edges = touched_members.filter(
-            F.col("conv_id") != F.col("cluster_id")
-        ).select(
-            F.least("conv_id", "cluster_id").alias("a"),
-            F.greatest("conv_id", "cluster_id").alias("b"),
-        )
-        edges = new_edges.unionByName(prior_edges)
-        assignment, _ = connected_components(edges, config)
-        scope = (
-            new_docs.select("conv_id")
-            .unionByName(touched_members.select("conv_id"))
-            .distinct()
-        )
-        return scope.join(assignment, "conv_id", "left").select(
-            "conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id")
-        )
-
-    reassigned = state.materialize_ephemeral("incr_reassigned", build_reassigned)
-
-    # delta: rows added or renamed by this batch (what an append-only state
-    # needs to write); full clusters = prior rows not superseded ∪ reassigned
-    def build_clusters_delta() -> DataFrame:
-        # two-step probe (see seen-skip): reassigned ids broadcast into the
-        # prior-clusters scan; the batch-sized hit set broadcasts back
-        pc = prior_clusters.join(
-            F.broadcast(reassigned.select("conv_id")), "conv_id", "left_semi"
-        ).select("conv_id", F.col("cluster_id").alias("_prior_cid"))
-        return (
-            reassigned.join(F.broadcast(pc), "conv_id", "left")
-            .filter(
-                F.col("_prior_cid").isNull()
-                | (F.col("_prior_cid") != F.col("cluster_id"))
+        # the exact-index delta: one row per distinct new content hash with its
+        # final representative (latest-wins over a prior row on takeover)
+        def build_exact_index_delta() -> DataFrame:
+            return group_reps.select(
+                "h64", "h256", F.col("_rep").alias("exact_rep")
             )
-            .select("conv_id", "cluster_id")
+
+        f_eidx = pool.submit(state.materialize, "incr_exact_index_delta", build_exact_index_delta)
+
+        new_features = f_features.result()
+
+        # 3. candidates: the batch's own keys pair among themselves through one
+        # batch-sized bucket pass, and against the prior corpus through an
+        # equi-join on the persisted key index (broadcast new keys; the index is
+        # scanned, never shuffled or rebuilt — VERDICT r3 #1). The key table is
+        # a lazy map-only explode of the checkpointed features (NOT its own
+        # materialization barrier: unified_candidates re-derives it internally
+        # anyway, and re-exploding a checkpointed batch is cheaper than an extra
+        # eager checkpoint+count on the critical path).
+        new_keys = unified_key_table(new_features, config)
+
+        def build_cands() -> DataFrame:
+            from .candidates import unified_candidates
+
+            within = unified_candidates(
+                new_features, config, dedup=False, key_table=new_keys
+            )
+            across = index_join_pairs(new_keys, cand_index, config, dedup=False)
+            tagged = within.unionByName(across)
+            # ONE pass + one dedup exchange over the union: grouping near/
+            # substring via a tag column is exactly equivalent to deduping the
+            # two filtered branches separately (the previous shape evaluated
+            # the whole union subtree twice)
+            return (
+                tagged.select(
+                    F.when(F.col("src") == "sf", "substring")
+                    .otherwise("near")
+                    .alias("src"),
+                    F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"),
+                )
+                .dropDuplicates(["src", "a", "b"])
+            )
+
+        # lazy lineage cut (no action): cands computes inside the first
+        # consuming job — connected components' edge checkpoint — and caches
+        # there; the eager checkpoint+count pair it replaces was two more
+        # driver-gap-separated jobs of pure fixed cost per micro-batch
+        cands = state.materialize_lazy("incr_cands", build_cands)
+
+        exact_delta = f_exact.result()
+
+        # the candidate-index delta: key rows for the batch's representatives
+        # only (an exact duplicate's keys are identical to its rep's — indexing
+        # both would just fatten every bucket)
+        def build_cand_index_delta() -> DataFrame:
+            batch_reps = exact_delta.filter(
+                F.col("conv_id") == F.col("exact_rep")
+            ).select("conv_id")
+            return new_keys.join(batch_reps, "conv_id", "left_semi")
+
+        f_cidx = pool.submit(
+            state.materialize, "incr_cand_index_delta", build_cand_index_delta
         )
 
-    clusters_delta = state.materialize("incr_clusters_delta", build_clusters_delta)
-    clusters = prior_clusters.join(
-        F.broadcast(reassigned.select("conv_id")), "conv_id", "left_anti"
-    ).unionByName(reassigned)
-    seen_skipped = f_seen.result()
-    quarantine = f_quarantine.result()
-    exact_index_delta = f_eidx.result()
-    cand_index_delta = f_cidx.result()
-    pool.shutdown()
+        def build_verified() -> DataFrame:
+            from .verify import make_substring_verify_udf
+
+            # endpoint lookups: the pair participants (batch-sized — every pair
+            # touches a new conv) broadcast into the prior features/docs scans,
+            # so the wide corpus tables are scanned with a pushed probe, never
+            # shuffled. Index-joined pairs may legitimately reference a
+            # superseded representative, whose features/docs are still present
+            # in the full prior tables.
+            #
+            # ONE combined (shingles, norm_text) lookup attached by TWO joins,
+            # with the per-source accept condition evaluated per row — the
+            # previous per-source shape (verify_jaccard's two attach joins +
+            # verify_substring's two more + an anti-join + a union) planned as
+            # one 32-job AQE execution per micro-batch; this one plans ~1/3 of
+            # the exchanges with identical accepted pairs. The substring UDF
+            # sees empty strings for near-sourced rows (run 0, filtered by the
+            # near branch), so near rows pay no Python compute.
+            participants = (
+                cands.select(F.explode(F.array("a", "b")).alias("conv_id")).distinct()
+            )
+            feats = new_features.select("conv_id", "shingles").unionByName(
+                prior_features.select("conv_id", "shingles").join(
+                    F.broadcast(participants), "conv_id", "left_semi"
+                )
+            )
+            texts = new_docs.select("conv_id", "norm_text").unionByName(
+                prior_docs.select("conv_id", "norm_text").join(
+                    F.broadcast(participants), "conv_id", "left_semi"
+                )
+            )
+            # lazy checkpoint: lookup is referenced for both pair endpoints —
+            # one cached RDD instead of re-planning (and re-running) the
+            # participant semi-joins twice per side
+            lookup = feats.join(texts, "conv_id").localCheckpoint(eager=False)
+            joined = cands.join(
+                lookup.select(
+                    F.col("conv_id").alias("a"),
+                    F.col("shingles").alias("sh_a"),
+                    F.col("norm_text").alias("t_a"),
+                ),
+                "a",
+            ).join(
+                lookup.select(
+                    F.col("conv_id").alias("b"),
+                    F.col("shingles").alias("sh_b"),
+                    F.col("norm_text").alias("t_b"),
+                ),
+                "b",
+            )
+            is_sub = F.col("src") == "substring"
+            jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+                F.array_union("sh_a", "sh_b")
+            )
+            run_udf = make_substring_verify_udf(config)
+            run = run_udf(
+                F.when(is_sub, F.col("t_a")).otherwise(F.lit("")),
+                F.when(is_sub, F.col("t_b")).otherwise(F.lit("")),
+            )
+            ok = F.when(
+                is_sub, run >= F.lit(config.suffix_min_tokens)
+            ).otherwise(jac >= F.lit(config.jaccard_threshold))
+            return joined.filter(ok).select("a", "b").dropDuplicates(["a", "b"])
+
+        # lazy like cands: the verified pair set materializes inside the CC
+        # edge checkpoint below, not through its own checkpoint+count barrier
+        verified = state.materialize_lazy("incr_verified", build_verified)
+
+        # 4. merge: CC over new edges + assignment edges of TOUCHED clusters
+        # only. Every new edge endpoint is a new conv or a prior rep, so any
+        # cluster that can change is semi-join-reachable from the endpoints;
+        # untouched assignments pass through verbatim (and are never re-written
+        # — only the re-assigned scope is materialized). This keeps the CC
+        # input AND the bytes written O(batch + touched members), which is what
+        # lets a 10^12-turn corpus absorb a small batch cheaply.
+        def build_reassigned() -> DataFrame:
+            # no intermediate pair dedups: connected_components opens with its
+            # own distinct, so deduping new_edges and the union first only adds
+            # two more exchanges of the same tiny edge set (endpoints runs its
+            # own distinct regardless — duplicate pairs cannot change it)
+            new_edges = verified.select("a", "b").unionByName(
+                exact.exact_pairs(exact_delta)
+            )
+            endpoints = (
+                new_edges.select(F.col("a").alias("conv_id"))
+                .unionByName(new_edges.select(F.col("b").alias("conv_id")))
+                .distinct()
+            )
+            touched_cids = (
+                prior_clusters.join(F.broadcast(endpoints), "conv_id", "left_semi")
+                .select("cluster_id")
+                .distinct()
+            )
+            touched_members = prior_clusters.join(
+                F.broadcast(touched_cids), "cluster_id", "left_semi"
+            )
+            prior_edges = touched_members.filter(
+                F.col("conv_id") != F.col("cluster_id")
+            ).select(
+                F.least("conv_id", "cluster_id").alias("a"),
+                F.greatest("conv_id", "cluster_id").alias("b"),
+            )
+            edges = new_edges.unionByName(prior_edges)
+            assignment, _ = connected_components(edges, config)
+            scope = (
+                new_docs.select("conv_id")
+                .unionByName(touched_members.select("conv_id"))
+                .distinct()
+            )
+            return scope.join(assignment, "conv_id", "left").select(
+                "conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id")
+            )
+
+        # lazy: build_reassigned still runs connected components eagerly (the
+        # union-find collect is an action of its own), but the final
+        # scope-join materializes inside the clusters_delta write instead of
+        # through one more checkpoint+count barrier
+        reassigned = state.materialize_lazy("incr_reassigned", build_reassigned)
+
+        # delta: rows added or renamed by this batch (what an append-only state
+        # needs to write); full clusters = prior rows not superseded ∪ reassigned
+        def build_clusters_delta() -> DataFrame:
+            # two-step probe (see seen-skip): reassigned ids broadcast into the
+            # prior-clusters scan; the batch-sized hit set broadcasts back
+            pc = prior_clusters.join(
+                F.broadcast(reassigned.select("conv_id")), "conv_id", "left_semi"
+            ).select("conv_id", F.col("cluster_id").alias("_prior_cid"))
+            return (
+                reassigned.join(F.broadcast(pc), "conv_id", "left")
+                .filter(
+                    F.col("_prior_cid").isNull()
+                    | (F.col("_prior_cid") != F.col("cluster_id"))
+                )
+                .select("conv_id", "cluster_id")
+            )
+
+        clusters_delta = state.materialize("incr_clusters_delta", build_clusters_delta)
+        clusters = prior_clusters.join(
+            F.broadcast(reassigned.select("conv_id")), "conv_id", "left_anti"
+        ).unionByName(reassigned)
+        seen_skipped = f_seen.result()
+        quarantine = f_quarantine.result()
+        exact_index_delta = f_eidx.result()
+        cand_index_delta = f_cidx.result()
+        pool.shutdown()
+    finally:
+        # restore the session's corpus-sized planning profile before
+        # promotion/folding (corpus-sized reads) and for whatever the
+        # caller runs next — also on failure, so a crashed micro-batch
+        # never leaks micro-batch conf into the session
+        for k, v in saved_conf.items():
+            if v is None:
+                spark_conf.unset(k)
+            else:
+                spark_conf.set(k, v)
     state.flush_metrics()
     return {
         "new_docs": new_docs,

@@ -55,6 +55,15 @@ def build_session(
         # footer-level count/min/max pushdown: stage row counts come from
         # parquet metadata instead of data scans
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # PySpark 4's DataFrame-debugging origin capture wraps EVERY Python
+        # DataFrame/Column API call with a conf lookup + PySparkCurrentOrigin
+        # set/clear — three extra py4j round trips plus a Python stack walk
+        # per call. A micro-batch merge is plan-construction-bound (measured:
+        # ~14.5k py4j round trips per micro-batch, ~46s of an 8-batch drain's
+        # 54s inside py4j socket reads), so this instrumentation is pure
+        # driver fixed cost; disabling it only drops the Python call-site
+        # line from error messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if master is not None:
         builder = builder.master(master)

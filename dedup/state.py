@@ -161,6 +161,27 @@ class RunState:
         stage — a measurable share of a micro-batch drain's fixed cost."""
         return self._persist_stage(stage, build)
 
+    def materialize_lazy(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
+        """Lineage cut WITHOUT an action: lazy localCheckpoint.
+
+        For run-internal intermediates that feed exactly one downstream
+        materialization chain, even the eager-checkpoint action is pure
+        fixed cost: the stage can compute inside the first consuming job
+        and cache its blocks there (Spark's block-store getOrCompute makes
+        a concurrent second consumer wait for, not recompute, the same
+        blocks). Each lazy stage removes one checkpoint job + one count
+        job + their driver planning gaps from a micro-batch's critical
+        path — no metrics row is recorded (nothing ran yet)."""
+        df = build().localCheckpoint(eager=False)
+        self._checkpointed.append(df)
+        try:
+            self._checkpoint_rdd_ids.append(
+                df._jdf.queryExecution().analyzed().rdd().id()
+            )
+        except Exception:
+            pass
+        return df
+
     def _persist_stage(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Bench/CI fast path: eager localCheckpoint — lineage truncated
         into block-store RDD blocks, so a stage runs exactly once even when
