@@ -36,6 +36,7 @@ def run_pipeline(
     run_id: str = "run",
     fail_after: str | None = None,  # test hook: die after this stage (resume test)
     mode: str = "parquet",  # "persist": bench/CI fast path (no resume)
+    index_stages: bool = False,  # also materialize cand_index/exact_index
 ) -> dict[str, DataFrame]:
     state = RunState(spark, run_dir, run_id, config, mode=mode)
 
@@ -98,6 +99,37 @@ def run_pipeline(
 
     reps = groups.filter(F.col("conv_id") == F.col("exact_rep")).select("conv_id")
     rep_features = features.join(reps, "conv_id", "left_semi")
+
+    # streaming-bootstrap lookup indexes (candidate bucket keys + exact
+    # content hashes of the representatives): they depend only on the
+    # stages already landed, so materializing them HERE overlaps their
+    # jobs with the candidates→verify→CC chain below (guide §2.6) instead
+    # of serializing two more corpus scans after the pipeline finishes —
+    # which is what the streaming bootstrap previously did.
+    f_indexes: list = []
+    if index_stages:
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        from .candidates import unified_key_table
+        from .incremental import exact_index_rows
+
+        idx_pool = _TPE(2)
+        f_indexes = [
+            idx_pool.submit(
+                state.materialize,
+                "cand_index",
+                lambda: unified_key_table(rep_features, config),
+            ),
+            idx_pool.submit(
+                state.materialize,
+                "exact_index",
+                lambda: exact_index_rows(
+                    docs.join(reps, "conv_id", "left_semi").select(
+                        "conv_id", "norm_text"
+                    )
+                ),
+            ),
+        ]
 
     # all three candidate sources in ONE exchange+sort+window pass (see
     # candidates.unified_candidates: three concurrent per-source stages
@@ -215,9 +247,17 @@ def run_pipeline(
         )
 
     clusters = state.materialize("clusters", build_clusters)
+    out_indexes = {}
+    if f_indexes:
+        out_indexes = {
+            "cand_index": f_indexes[0].result(),
+            "exact_index": f_indexes[1].result(),
+        }
+        idx_pool.shutdown()
     state.flush_metrics()
 
     return {
+        **out_indexes,
         "quarantine": quarantine,
         "docs": docs,
         "features": features,

@@ -58,6 +58,7 @@ class RunState:
         self.run_dir = f"{self.base_dir}/{run_id}"
         os.makedirs(self.run_dir, exist_ok=True)
         self._metrics: list[dict] = []
+        self._rows: dict[str, int] = {}  # stage -> rows_out, survives flush
         self._checkpointed: list[DataFrame] = []
         self._checkpoint_rdd_ids: list[int] = []
 
@@ -97,11 +98,12 @@ class RunState:
             return self._persist_stage(stage, build)
         path = self.stage_path(stage)
         if self.is_done(stage):
+            self._rows[stage] = int(self.read_manifest(stage)["rows"])
             self._metrics.append(
                 {
                     "run_id": self.run_id,
                     "stage": stage,
-                    "rows_out": int(self.read_manifest(stage)["rows"]),
+                    "rows_out": self._rows[stage],
                     "wall_ms": 0,
                     "resumed": True,
                     "config_fp": self.config.fingerprint,
@@ -120,6 +122,7 @@ class RunState:
         # non-local storage. The stage row count is the sum — no count() job.
         per_part = self._partition_counts(path, written)
         rows = sum(r[1] for r in per_part)
+        self._rows[stage] = rows
         self._append_lineage(stage, per_part, wall_ms)
         if os.environ.get("DEDUP_STAGE_DEBUG"):
             total_ms = int((time.monotonic() - t0) * 1000)
@@ -203,6 +206,7 @@ class RunState:
         except Exception:
             pass
         rows = df.count()
+        self._rows[stage] = rows
         wall_ms = int((time.monotonic() - t0) * 1000)
         if os.environ.get("DEDUP_STAGE_DEBUG"):
             print(f"[stage {stage}] persist={wall_ms}ms rows={rows}")
@@ -318,12 +322,10 @@ class RunState:
         self._checkpoint_rdd_ids = []
 
     def rows_of(self, stage: str) -> int | None:
-        """Row count of an already-materialized stage this run (from the
-        in-memory metrics; None if the stage has not run)."""
-        for m in reversed(self._metrics):
-            if m["stage"] == stage:
-                return m["rows_out"]
-        return None
+        """Row count of an already-materialized stage this run (None if the
+        stage has not run, or ran only as a lazy lineage cut). Survives
+        flush_metrics — promotion consults it after the merge flushed."""
+        return self._rows.get(stage)
 
     def metrics_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.run_dir}/_metrics")

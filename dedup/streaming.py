@@ -483,10 +483,19 @@ def _promote_deltas(
     extra_cluster_parts: list[str] = (),
 ) -> dict:
     """Append this merge's delta part directories to the manifest (O(batch)
-    bytes — the stages were already materialized by the merge's RunState)."""
+    bytes — the stages were already materialized by the merge's RunState).
+
+    Stages that materialized ZERO rows are not appended: an empty part
+    contributes nothing to any latest-wins union, but every historical part
+    widens every later batch's state-read plan (and its broadcast key set)
+    — quarantine and seen_skipped are empty on most healthy batches, so
+    skipping them keeps those part lists at their fold-base size for the
+    lifetime of the stream."""
     state = out["state"]
     seq = int(manifest["seq"]) + 1
     for target, stage in stage_map.items():
+        if state.rows_of(stage) == 0:
+            continue  # empty delta: nothing to supersede, nothing to read
         manifest["parts"][target].append([state.stage_path(stage), seq])
     for path in extra_cluster_parts:
         manifest["parts"]["clusters"].append([path, seq])
@@ -510,40 +519,14 @@ def process_batch(
     manifest = current_state(stream_dir)
     if manifest is None:
         run_id = f"cur_{batch_id}"
-        out = run_pipeline(spark, batch_df, config, stream_dir, run_id)
-        # bootstrap the lookup indexes from the completed run's stages:
-        # candidate bucket keys + exact content hashes of the exact
-        # representatives (later batches append O(batch) delta parts)
-        from .candidates import unified_key_table
-        from .incremental import exact_index_rows
-
-        state = out["state"]
-        reps = out["exact_groups"].filter(
-            F.col("conv_id") == F.col("exact_rep")
-        ).select("conv_id")
-        # the two lookup indexes are independent — overlap their jobs
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(2) as pool:
-            f_ci = pool.submit(
-                state.materialize,
-                "cand_index",
-                lambda: unified_key_table(
-                    out["features"].join(reps, "conv_id", "left_semi"), config
-                ),
-            )
-            f_ei = pool.submit(
-                state.materialize,
-                "exact_index",
-                lambda: exact_index_rows(
-                    out["docs"].join(reps, "conv_id", "left_semi").select(
-                        "conv_id", "norm_text"
-                    )
-                ),
-            )
-            f_ci.result()
-            f_ei.result()
-        state.flush_metrics()
+        # index_stages: the lookup indexes (candidate bucket keys + exact
+        # content hashes of the representatives — what later batches
+        # equi-join instead of rebuilding bucket/hash tables) materialize
+        # INSIDE the pipeline, overlapped with its verify/CC tail, rather
+        # than as two more serial corpus scans after it returns
+        out = run_pipeline(
+            spark, batch_df, config, stream_dir, run_id, index_stages=True
+        )
         base = f"{stream_dir}/{run_id}"
         manifest = {
             "batch_id": batch_id,
