@@ -57,13 +57,14 @@ def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _local_union_find(pairs: DataFrame) -> DataFrame:
-    """Driver-side union-find with path compression: one collect, zero
-    iterative Spark jobs. Correct choice whenever the *edge list* (already a
-    tiny projection of the corpus) fits on the driver — the iterative join
-    loop costs O(rounds x shuffles) of job overhead that dwarfs the compute
-    at this size."""
-    spark = pairs.sparkSession
+def _local_union_find(rows, spark) -> DataFrame:
+    """Driver-side union-find with path compression over an already
+    collected edge list: zero iterative Spark jobs. Correct choice whenever
+    the *edge list* (already a tiny projection of the corpus) fits on the
+    driver — the iterative join loop costs O(rounds x shuffles) of job
+    overhead that dwarfs the compute at this size. Duplicate edges are
+    harmless (a repeated union is a no-op), which is what lets the caller
+    skip the distinct exchange entirely on this path."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -74,9 +75,7 @@ def _local_union_find(pairs: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    # one collect (single job) — toLocalIterator would schedule one tiny
-    # job per partition, pure serial driver latency
-    for row in pairs.collect():
+    for row in rows:
         a, b = row[0], row[1]
         ra, rb = find(a), find(b)
         if ra != rb:
@@ -100,22 +99,60 @@ def connected_components(
     """(a, b) edge list -> ((conv_id, cluster_id) for every node appearing
     in an edge, cluster_id = min conv_id of the component; rounds used —
     0 means the driver-side union-find fast path handled it)."""
-    # signature first, WITHOUT a checkpoint: the small-graph path (the
-    # common case — every micro-batch merge, and the bench pipeline) needs
-    # only two jobs (distinct+signature, then collect — the second reuses
-    # the first's shuffle map output, so the distinct is not recomputed).
-    # The eager localCheckpoint this replaces was a third job + block-store
-    # churn that only the big distributed loop actually needs.
-    edges_df = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).filter(
+    # Small-graph fast path (the common case — every micro-batch merge, and
+    # the bench pipeline): collect up to threshold+1 RAW edges in ONE
+    # bounded job and union-find them on the driver. No distinct exchange
+    # and no signature job — duplicate edges are no-op unions, so deduping
+    # before the collect only added a full shuffle + an extra action to the
+    # critical path (guide §2.4). The memory bound is unchanged: at most
+    # threshold+1 rows ever reach the driver (raw count >= distinct count,
+    # so the fallback is conservative). Only the big-graph path pays the
+    # distinct + signature machinery it actually needs.
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
+    from .state import push_job_desc
+
+    edges_raw = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).filter(
         F.col("u") != F.col("v")
-    ).distinct()
-    sig = _edge_signature(edges_df)
-    if sig[0] == 0:
-        spark = pairs.sparkSession
+    )
+    thr = config.cc_local_threshold
+    # one job for the whole collect: CollectLimit's incremental partition
+    # scan-up (1, 4, 16... partitions) would split this into several tiny
+    # jobs on a multi-partition plan without ever short-circuiting (the
+    # result is far below the limit), so ask for every partition up front
+    conf = spark.conf
+    saved_init = conf.get("spark.sql.limit.initialNumPartitions", None)
+    prev = push_job_desc(spark, "cc:collect")
+    try:
+        conf.set("spark.sql.limit.initialNumPartitions", str(1 << 30))
+        # Arrow collect (one batch per partition), not row-pickled collect:
+        # at the threshold boundary (millions of edge rows) the pickle path
+        # alone costs tens of seconds of driver CPU
+        tbl = edges_raw.limit(thr + 1).toArrow()
+    finally:
+        push_job_desc(spark, prev)
+        if saved_init is None:
+            conf.unset("spark.sql.limit.initialNumPartitions")
+        else:
+            conf.set("spark.sql.limit.initialNumPartitions", saved_init)
+    if tbl.num_rows == 0:
         empty = spark.createDataFrame([], "conv_id string, cluster_id string")
         return empty, 0
-    if sig[0] <= config.cc_local_threshold:
-        return _local_union_find(edges_df), 0
+    if tbl.num_rows <= thr:
+        rows = list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+        del tbl
+        prev = push_job_desc(spark, "cc:unionfind")
+        try:
+            return _local_union_find(rows, spark), 0
+        finally:
+            push_job_desc(spark, prev)
+    del tbl
+    edges_df = edges_raw.distinct()
+    prev = push_job_desc(spark, "cc:signature")
+    try:
+        sig = _edge_signature(edges_df)
+    finally:
+        push_job_desc(spark, prev)
     edges = edges_df.localCheckpoint()  # lineage cut for the iterative loop
     rounds = 0
     while True:

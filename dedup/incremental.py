@@ -117,6 +117,39 @@ def load_prior_state(
     )
 
 
+def _estimate_input_rows(df: DataFrame) -> int | None:
+    """Exact row count of a file-backed batch from its parquet footers
+    (driver-side, no Spark job, ~0.5 ms/file), or None when the input is
+    not a plain local-file parquet scan. Lets the merge pick its initial
+    planning profile BEFORE any job runs (guide §2: derive partitioning
+    from input size, not a constant); the profile is refined to the
+    materialized doc count as soon as incr_docs lands, so this only has to
+    be the right order of magnitude. Row count is an upper bound on doc
+    count (docs ≤ turns), so a "small batch" decision made from it can
+    never misfire on a genuinely large batch."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 256:
+        return None
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            if f.startswith("file://"):
+                f = f[7:]
+            elif f.startswith("file:"):
+                f = f[5:]
+            else:
+                return None  # non-local storage: stay on the session profile
+            total += pq.read_metadata(f).num_rows
+    except Exception:
+        return None
+    return total
+
+
 def merge_with_prior(
     spark: SparkSession,
     new_turns: DataFrame,
@@ -124,6 +157,9 @@ def merge_with_prior(
     config: DedupConfig,
     run_dir: str,
     run_id: str = "incr",
+    est_rows: int | None = None,  # caller-known batch row count (streaming
+    # passes the checkpoint source log's footer-exact count; foreachBatch
+    # DataFrames report no inputFiles so self-estimation returns None there)
 ) -> dict[str, DataFrame]:
     prior_docs = prior.docs
     prior_features = prior.features
@@ -163,39 +199,7 @@ def merge_with_prior(
     #   reassigned → clusters_delta
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(5)
-    # the skipped conv_ids are the compaction trigger: any of them MAY have
-    # grown (redelivery vs growth is settled later by a content-hash diff,
-    # streaming.compact_reopen) — O(batch) rows, appended to the state's
-    # dirty list by the streaming promoter
-    f_seen = pool.submit(state.materialize, "incr_seen_skipped", lambda: seen_in_batch)
-
-    new_docs_all = state.materialize("incr_docs", build_docs)
-    new_docs = new_docs_all.filter(~F.col("ambiguous"))
-
-    # quarantine (same policy as pipeline.py: null keys + ambiguous turn
-    # order) — batch 0 and batch N handle bad rows identically
-    def build_quarantine() -> DataFrame:
-        null_rows = new_turns.filter(
-            F.col("conv_id").isNull() | F.col("turn_idx").isNull()
-        ).select("conv_id", "turn_idx", F.lit("null_key").alias("reason"))
-        amb = new_docs_all.filter(F.col("ambiguous")).select(
-            "conv_id",
-            F.lit(None).cast("int").alias("turn_idx"),
-            F.lit("ambiguous_turn_order").alias("reason"),
-        )
-        return null_rows.unionByName(amb)
-
-    f_quarantine = pool.submit(state.materialize, "incr_quarantine", build_quarantine)
-
-    # partitions sized to the batch: a micro-batch of ~100 docs on the
-    # corpus-wide shuffle_partitions setting pays ~50 near-empty Python
-    # tasks of pure scheduling+Arrow startup (guide §2: scale-adaptive
-    # partitioning, derived from input size rather than a constant)
-    n_new = state.rows_of("incr_docs") or 0
-    feat_parts = max(1, min(config.shuffle_partitions, (n_new + 63) // 64))
-
-    # every exchange from here on carries O(batch) rows, so the session's
+    # every exchange in the merge carries O(batch) rows, so the session's
     # corpus-sized shuffle_partitions and AQE's per-query-stage jobs are
     # pure fixed cost: AQE re-plans (and submits a separate job for) every
     # exchange only to coalesce a KB-sized shuffle to one partition, which
@@ -205,8 +209,17 @@ def merge_with_prior(
     # (guide §2 scale-adaptive rule) with the session setting as the cap,
     # so a genuinely large batch keeps full parallelism; AQE is restored
     # before promotion/folding, which are corpus-sized.
+    #
+    # The profile applies from the FIRST job: the batch's parquet footers
+    # give its exact row count before anything runs, so even the
+    # docs/seen-skip/quarantine phase plans batch-sized (previously it ran
+    # on the corpus profile — ~14 AQE coalesce jobs per micro-batch for
+    # KB-sized exchanges). est_turns ≥ n_docs always, so a "small batch"
+    # decision can never misfire on a large one; inputs that are not plain
+    # parquet file scans (in-memory tests, compaction's aggregated view)
+    # fall back to the session profile until the doc count is known.
+    est_turns = est_rows if est_rows is not None else _estimate_input_rows(new_turns)
     spark_conf = spark.conf
-    merge_parts = max(1, min(config.shuffle_partitions, (n_new + 63) // 64))
     # get(k, None) (NOT the one-arg form, which substitutes the SQLConf
     # default): an unset key must restore to UNSET, not to a pinned default
     saved_conf = {
@@ -217,17 +230,67 @@ def merge_with_prior(
             "spark.sql.codegen.wholeStage",
         )
     }
-    spark_conf.set("spark.sql.shuffle.partitions", str(merge_parts))
-    spark_conf.set("spark.sql.adaptive.enabled", "false")
-    if n_new < 10_000:
-        # sub-10k-row plans execute in microseconds either way; whole-stage
-        # codegen only adds per-plan Janino compilation on the driver (the
-        # generated source varies with the growing part lists, so the
-        # compile cache misses every micro-batch — measured 43.5s -> 37.4s
-        # over an 8-micro-batch drain from this switch alone). Large
-        # batches keep codegen: there the per-row win dominates.
-        spark_conf.set("spark.sql.codegen.wholeStage", "false")
+    codegen_off = False
     try:
+        if est_turns is not None:
+            # turn-level exchanges (reassembly) size by turns; ~4k narrow
+            # rows per task keeps tasks non-degenerate at any batch size
+            spark_conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, min(config.shuffle_partitions, (est_turns + 4095) // 4096))),
+            )
+            spark_conf.set("spark.sql.adaptive.enabled", "false")
+            if est_turns < 10_000:
+                # sub-10k-row plans execute in microseconds either way;
+                # whole-stage codegen only adds per-plan Janino compilation
+                # on the driver (the generated source varies with the
+                # growing part lists, so the compile cache misses every
+                # micro-batch — measured 43.5s -> 37.4s over an
+                # 8-micro-batch drain from this switch alone). Large
+                # batches keep codegen: there the per-row win dominates.
+                spark_conf.set("spark.sql.codegen.wholeStage", "false")
+                codegen_off = True
+
+        pool = ThreadPoolExecutor(5)
+        # the skipped conv_ids are the compaction trigger: any of them MAY
+        # have grown (redelivery vs growth is settled later by a
+        # content-hash diff, streaming.compact_reopen) — O(batch) rows,
+        # appended to the state's dirty list by the streaming promoter
+        f_seen = pool.submit(
+            state.materialize, "incr_seen_skipped", lambda: seen_in_batch
+        )
+
+        new_docs_all = state.materialize("incr_docs", build_docs)
+        new_docs = new_docs_all.filter(~F.col("ambiguous"))
+
+        # quarantine (same policy as pipeline.py: null keys + ambiguous turn
+        # order) — batch 0 and batch N handle bad rows identically
+        def build_quarantine() -> DataFrame:
+            null_rows = new_turns.filter(
+                F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+            ).select("conv_id", "turn_idx", F.lit("null_key").alias("reason"))
+            amb = new_docs_all.filter(F.col("ambiguous")).select(
+                "conv_id",
+                F.lit(None).cast("int").alias("turn_idx"),
+                F.lit("ambiguous_turn_order").alias("reason"),
+            )
+            return null_rows.unionByName(amb)
+
+        f_quarantine = pool.submit(
+            state.materialize, "incr_quarantine", build_quarantine
+        )
+
+        # refine to the exact doc count now that incr_docs landed:
+        # doc-level exchanges are narrower than turn-level ones (~64 docs
+        # per task — pandas-UDF featurization wants small tasks for
+        # scheduler rebalancing)
+        n_new = state.rows_of("incr_docs") or 0
+        feat_parts = max(1, min(config.shuffle_partitions, (n_new + 63) // 64))
+        merge_parts = max(1, min(config.shuffle_partitions, (n_new + 63) // 64))
+        spark_conf.set("spark.sql.shuffle.partitions", str(merge_parts))
+        spark_conf.set("spark.sql.adaptive.enabled", "false")
+        if n_new < 10_000 and not codegen_off:
+            spark_conf.set("spark.sql.codegen.wholeStage", "false")
         f_features = pool.submit(
             state.materialize,
             "incr_features",

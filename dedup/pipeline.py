@@ -57,8 +57,83 @@ def run_pipeline(
             "norm_text", normalize_text("doc_text")
         )
 
-    docs_all = state.materialize("docs", build_docs)
-    docs = docs_all.filter(~F.col("ambiguous"))
+    # Scale-adaptive planning profile (guide §2: derive partitioning from
+    # input size, not a constant). A SMALL run (< 10k docs — maintenance
+    # re-clusters, small corpora, the driver's 5k-row documents table) on
+    # the corpus-sized session profile pays ~40 near-empty tasks per
+    # exchange plus one AQE re-plan job per query stage plus per-plan
+    # Janino codegen — pure barrier cost that dominates its wall (the
+    # incremental merge has applied the same rule since wave B). Large runs
+    # (the real 100 TB shape) keep the session profile untouched. When the
+    # input is a plain parquet scan, its footers give an exact row count
+    # (an upper bound on doc count) before anything runs, so even the docs
+    # stage plans batch-sized; otherwise the profile starts after docs
+    # lands. Restored in `finally` (unset keys restore to unset) so a
+    # failed run never leaks the small profile into the session.
+    from .incremental import _estimate_input_rows
+
+    spark_conf = spark.conf
+    saved_conf = {
+        k: spark_conf.get(k, None)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.codegen.wholeStage",
+        )
+    }
+
+    def _apply_small(parts: int) -> None:
+        spark_conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, min(config.shuffle_partitions, parts))),
+        )
+        spark_conf.set("spark.sql.adaptive.enabled", "false")
+        spark_conf.set("spark.sql.codegen.wholeStage", "false")
+
+    def _restore() -> None:
+        for k, v in saved_conf.items():
+            if v is None:
+                spark_conf.unset(k)
+            else:
+                spark_conf.set(k, v)
+
+    est_turns = _estimate_input_rows(turns)
+    applied = est_turns is not None and 0 < est_turns < 10_000
+    try:
+        if applied:
+            _apply_small((est_turns + 4095) // 4096)
+        docs_all = state.materialize("docs", build_docs)
+        docs = docs_all.filter(~F.col("ambiguous"))
+        n_docs = state.rows_of("docs") or 0
+        small_run = 0 < n_docs < 10_000
+        if small_run:
+            _apply_small((n_docs + 63) // 64)
+            applied = True
+        elif applied:  # estimate misfired (cannot happen: docs <= turns)
+            _restore()
+            applied = False
+        return _run_stages(
+            spark, state, turns, config, check_fail, docs_all, docs,
+            index_stages,
+        )
+    finally:
+        if applied:
+            _restore()
+
+
+def _run_stages(
+    spark: SparkSession,
+    state: RunState,
+    turns: DataFrame,
+    config: DedupConfig,
+    check_fail,
+    docs_all: DataFrame,
+    docs: DataFrame,
+    index_stages: bool,
+) -> dict[str, DataFrame]:
+    """Everything after docs: featurize through clusters (split out so the
+    planning-profile save/restore wraps it without re-indenting the stage
+    graph)."""
 
     def build_quarantine() -> DataFrame:
         null_rows = turns.filter(

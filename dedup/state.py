@@ -39,6 +39,45 @@ from .config import DedupConfig
 _PART_COL = "_part_id"
 
 
+def push_job_desc(spark: SparkSession, desc: str | None) -> str | None:
+    """Set the (thread-local) Spark job description (guide §1.5), returning
+    the previous value so the caller can restore it in a finally block —
+    nested scopes (a micro-batch label around stage labels) compose.
+    Failures are swallowed: labeling is purely diagnostic."""
+    try:
+        sc = spark.sparkContext
+        old = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(desc)
+        return old
+    except Exception:
+        return None
+
+
+def nullable_clone(schema):
+    """The given schema with every field (recursively) nullable — exactly
+    what parquet schema inference would return for data written from it.
+    Used to re-read a just-written stage with 0 footer-inference jobs while
+    keeping the DataFrame schema byte-identical to an inferred read."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    def fix(node):
+        if isinstance(node, dict):
+            for k in ("nullable", "containsNull", "valueContainsNull"):
+                if k in node:
+                    node[k] = True
+            for v in node.values():
+                fix(v)
+        elif isinstance(node, list):
+            for v in node:
+                fix(v)
+
+    d = _json.loads(schema.json())
+    fix(d)
+    return StructType.fromJson(d)
+
+
 class RunState:
     def __init__(
         self,
@@ -91,6 +130,14 @@ class RunState:
             and m.get("config_fp") == self.config.fingerprint
         )
 
+    def _set_job_desc(self, desc: str | None) -> str | None:
+        """Label this stage's jobs in the UI/event log (guide §1.5); job
+        descriptions are thread-local, so concurrent stage materializations
+        from the pool label independently. Returns the previous description
+        so callers can restore it (an enclosing scope — e.g. a micro-batch
+        — may have set its own label)."""
+        return push_job_desc(self.spark, desc)
+
     # --- stage execution ---
     def materialize(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Run (or resume) one stage; returns the materialized DataFrame."""
@@ -112,11 +159,20 @@ class RunState:
             return self.spark.read.parquet(path).drop(_PART_COL)
 
         t0 = time.monotonic()
-        df = build().withColumn(_PART_COL, F.spark_partition_id())
-        df.write.mode("overwrite").parquet(path)
+        prev = self._set_job_desc(f"stage:{stage}")
+        try:
+            df = build().withColumn(_PART_COL, F.spark_partition_id())
+            df.write.mode("overwrite").parquet(path)
+        finally:
+            self._set_job_desc(prev)
         wall_ms = int((time.monotonic() - t0) * 1000)
 
-        written = self.spark.read.parquet(path)
+        # re-read with the written schema (all-nullable, exactly what
+        # inference would return): a schema-less read.parquet costs one
+        # footer-inference Spark job per stage — measured 0.27s vs 0.025s
+        # and 1 job vs 0 — which at ~8 stages per micro-batch was a
+        # visible slice of the drain's fixed cost (guide §1.2/§6)
+        written = self.spark.read.schema(nullable_clone(df.schema)).parquet(path)
         # per-partition lineage: one parquet footer read per task-written
         # file — zero Spark jobs. Falls back to a Spark aggregation for
         # non-local storage. The stage row count is the sum — no count() job.
@@ -193,7 +249,11 @@ class RunState:
         InMemoryRelation's cache canonicalization + AQE interplay measured
         ~2x slower than even the parquet write+read-back.)"""
         t0 = time.monotonic()
-        df = build().localCheckpoint(eager=True)
+        prev = self._set_job_desc(f"stage:{stage}")
+        try:
+            df = build().localCheckpoint(eager=True)
+        finally:
+            self._set_job_desc(prev)
         self._checkpointed.append(df)
         try:
             # the checkpointed DF's analyzed plan is a LogicalRDD holding the
@@ -205,7 +265,11 @@ class RunState:
             )
         except Exception:
             pass
-        rows = df.count()
+        prev = self._set_job_desc(f"stage:{stage}:count")
+        try:
+            rows = df.count()
+        finally:
+            self._set_job_desc(prev)
         self._rows[stage] = rows
         wall_ms = int((time.monotonic() - t0) * 1000)
         if os.environ.get("DEDUP_STAGE_DEBUG"):

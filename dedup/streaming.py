@@ -131,17 +131,32 @@ class PartCache:
         self._peak_size: int = 0  # high-water mark, for tests/metrics
         # stage -> (parts_key, df, checkpoint_rdd_id | None); see view()
         self._views: dict[str, tuple] = {}
+        # stage -> post-drop schema of the first part read: all parts of a
+        # stage share one logical schema (modulo the _part_id bookkeeping
+        # column, absent from fold parts and dropped either way), so every
+        # part after the first reads schema-supplied — a schema-less
+        # read.parquet costs one footer-inference Spark job per part
+        # directory, ~8 new parts per promoted micro-batch
+        self._schemas: dict[str, object] = {}
 
-    def scan(self, spark: SparkSession, part_dir: str) -> DataFrame:
+    def scan(
+        self, spark: SparkSession, part_dir: str, stage: str | None = None
+    ) -> DataFrame:
         df = self._dfs.get(part_dir)
         if df is None:
             from pyspark import StorageLevel
 
-            df = (
-                spark.read.parquet(part_dir)
-                .drop("_part_id")
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
+            schema = self._schemas.get(stage) if stage is not None else None
+            if schema is not None:
+                # parquet projection tolerates both directions: a file with
+                # _part_id ignores the extra column, a file without one has
+                # nothing to drop
+                df = spark.read.schema(schema).parquet(part_dir)
+            else:
+                df = spark.read.parquet(part_dir).drop("_part_id")
+                if stage is not None:
+                    self._schemas[stage] = df.schema
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
             self._dfs[part_dir] = df
             self._peak_size = max(self._peak_size, len(self._dfs))
         return df
@@ -192,7 +207,13 @@ class PartCache:
         # eager-checkpoint the successor BEFORE unpersisting the old view:
         # the incremental composition reads the old (lineage-truncated)
         # blocks, which are unrecomputable once unpersisted
-        df = (src if src is not None else build()).localCheckpoint(eager=True)
+        target = src if src is not None else build()
+        sc = target.sparkSession.sparkContext
+        try:
+            sc.setJobDescription(f"view:{stage}" + (":incr" if src is not None else ":full"))
+            df = target.localCheckpoint(eager=True)
+        finally:
+            sc.setJobDescription(None)
         if entry is not None:
             self._unpersist_view(entry)
         rdd_id = None
@@ -233,6 +254,7 @@ def _read_parts(
     parts: list,
     latest_by: str | list | None = None,
     cache: PartCache | None = None,
+    stage: str | None = None,
 ) -> DataFrame:
     """Union the part directories; with `latest_by` (a key column or list of
     key columns), keep only each key's row from the highest-sequence part
@@ -257,7 +279,7 @@ def _read_parts(
     dfs = [
         (
             int(s),
-            cache.scan(spark, d)
+            cache.scan(spark, d, stage=stage)
             if cache is not None
             else spark.read.parquet(d).drop("_part_id"),
         )
@@ -296,7 +318,8 @@ def _prior_state(
 
     def build_clusters() -> DataFrame:
         return _read_parts(
-            spark, parts["clusters"], latest_by="conv_id", cache=cache
+            spark, parts["clusters"], latest_by="conv_id", cache=cache,
+            stage="clusters",
         ).filter(
             F.col("cluster_id").isNotNull()  # NULL = compaction tombstone
         )
@@ -305,7 +328,9 @@ def _prior_state(
         # latest-wins against the cached flat view: the appended parts are
         # strictly newer, so their rows supersede; NULL cluster_id at the
         # newer seq tombstones the conv out of the view entirely
-        delta = _read_parts(spark, appended, latest_by="conv_id", cache=cache)
+        delta = _read_parts(
+            spark, appended, latest_by="conv_id", cache=cache, stage="clusters"
+        )
         return prev.join(
             F.broadcast(delta.select("conv_id")), "conv_id", "left_anti"
         ).unionByName(delta.filter(F.col("cluster_id").isNotNull()))
@@ -327,20 +352,27 @@ def _prior_state(
         else build_clusters()
     )
     return PriorState(
-        docs=_read_parts(spark, parts["docs"], latest_by="conv_id", cache=cache),
+        docs=_read_parts(
+            spark, parts["docs"], latest_by="conv_id", cache=cache, stage="docs"
+        ),
         features=_read_parts(
-            spark, parts["features"], latest_by="conv_id", cache=cache
+            spark, parts["features"], latest_by="conv_id", cache=cache,
+            stage="features",
         ),
         groups=_read_parts(
-            spark, parts["exact_groups"], latest_by="conv_id", cache=cache
+            spark, parts["exact_groups"], latest_by="conv_id", cache=cache,
+            stage="exact_groups",
         ),
         clusters=clusters,
         # append-only: a conversation's keys never change while promoted
         # (re-opened convs re-append; their old rows only yield extra
         # candidates that fail verification)
-        cand_index=_read_parts(spark, parts["cand_index"], cache=cache),
+        cand_index=_read_parts(
+            spark, parts["cand_index"], cache=cache, stage="cand_index"
+        ),
         exact_index=_read_parts(
-            spark, parts["exact_index"], latest_by=["h64", "h256"], cache=cache
+            spark, parts["exact_index"], latest_by=["h64", "h256"], cache=cache,
+            stage="exact_index",
         ).filter(F.col("exact_rep").isNotNull()),  # NULL = compaction tombstone
     )
 
@@ -390,15 +422,21 @@ def fold_parts(
         if len(parts) <= threshold:
             continue
         if stage in _FOLD_KEYS:
-            df = _read_parts(spark, parts, latest_by=_FOLD_KEYS[stage], cache=cache)
+            df = _read_parts(
+                spark, parts, latest_by=_FOLD_KEYS[stage], cache=cache, stage=stage
+            )
             if stage == "clusters":
                 df = df.filter(F.col("cluster_id").isNotNull())
             elif stage == "exact_index":
                 df = df.filter(F.col("exact_rep").isNotNull())
         else:  # quarantine / cand_index / dirty: append-only row sets
-            df = _read_parts(spark, parts, cache=cache).distinct()
+            df = _read_parts(spark, parts, cache=cache, stage=stage).distinct()
         path = f"{stream_dir}/fold_{seq}_{stage}"
-        df.write.mode("overwrite").parquet(path)
+        try:
+            spark.sparkContext.setJobDescription(f"fold:{stage}")
+            df.write.mode("overwrite").parquet(path)
+        finally:
+            spark.sparkContext.setJobDescription(None)
         manifest["parts"][stage] = [[path, seq]]
         folded[stage] = len(parts)
     if folded and own_manifest:
@@ -475,6 +513,47 @@ def gc_parts(stream_dir: str) -> int:
     return freed
 
 
+def _batch_rows_from_source_log(stream_dir: str, batch_id: int) -> int | None:
+    """Exact row count of a micro-batch from the streaming checkpoint's
+    file-source log + parquet footers (driver-side, no Spark jobs).
+
+    foreachBatch DataFrames report no inputFiles() (the batch is an
+    internal relation, not a file index), but the file source's WAL at
+    _checkpoint/sources/0/<batch_id> lists exactly the files assigned to
+    the batch — written before foreachBatch runs. Entries carry batchId,
+    so a periodic ``.compact`` log (which replays all history) filters to
+    the current batch. Returns None (caller falls back to isEmpty + the
+    post-docs profile) on any surprise: non-local paths, missing log,
+    unparseable entries."""
+    base = f"{stream_dir}/_checkpoint/sources/0/{batch_id}"
+    path = base if os.path.exists(base) else base + ".compact"
+    if not os.path.exists(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                e = json.loads(line)
+                if "batchId" in e and int(e["batchId"]) != int(batch_id):
+                    continue
+                p = e.get("path", "")
+                if p.startswith("file://"):
+                    p = p[7:]
+                elif p.startswith("file:"):
+                    p = p[5:]
+                else:
+                    return None
+                total += pq.read_metadata(p).num_rows
+        return total
+    except Exception:
+        return None
+
+
 def _promote_deltas(
     stream_dir: str,
     manifest: dict,
@@ -513,8 +592,13 @@ def process_batch(
     part_cache: PartCache | None = None,
 ) -> None:
     """foreachBatch body (also directly callable for tests/backfills)."""
-    if batch_df.isEmpty():
-        return  # availableNow can emit empty planning batches
+    # availableNow can emit empty planning batches; the batch's parquet
+    # footers (resolved via the checkpoint's file-source WAL) answer
+    # emptiness exactly with zero Spark jobs (isEmpty costs one job per
+    # micro-batch), with isEmpty as the non-file fallback
+    est_rows = _batch_rows_from_source_log(stream_dir, batch_id)
+    if est_rows == 0 or (est_rows is None and batch_df.isEmpty()):
+        return
     os.makedirs(stream_dir, exist_ok=True)
     manifest = current_state(stream_dir)
     if manifest is None:
@@ -545,6 +629,7 @@ def process_batch(
         config,
         stream_dir,
         run_id=f"incr_{batch_id}",
+        est_rows=est_rows,
     )
     manifest = _promote_deltas(
         stream_dir,
@@ -781,7 +866,9 @@ def compact_reopen(
     probe = nullsafe
     prior_h = prior.docs.select("conv_id", F.xxhash64("doc_text").alias("_h_old"))
     if scope == "dirty":
-        dirty_ids = _read_parts(spark, dirty_parts, cache=part_cache).distinct()
+        dirty_ids = _read_parts(
+            spark, dirty_parts, cache=part_cache, stage="dirty"
+        ).distinct()
         probe = _scope_to(nullsafe, dirty_ids)
         # the hash diff then compares dirty-sized sets on both sides — the
         # promoted docs are scanned with a broadcast probe, not shuffled
