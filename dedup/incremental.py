@@ -184,11 +184,10 @@ def merge_with_prior(
         F.broadcast(batch_ids), "conv_id", "left_semi"
     )
 
-    def build_docs() -> DataFrame:
-        fresh = new_turns.filter(
-            F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
-        ).join(F.broadcast(seen_in_batch), "conv_id", "left_anti")
-        return reassemble(fresh).withColumn("norm_text", normalize_text("doc_text"))
+    # (build_docs is defined after the seen-skip stage materializes: the
+    # anti-join consumes the MATERIALIZED batch-sized stage, not the
+    # seen_in_batch plan — otherwise the docs write's broadcast re-executes
+    # the whole subtree and the O(corpus) docs scan runs twice per batch)
 
     # Independent stages run concurrently (guide §2.6: a micro-batch's
     # fixed cost is dominated by sequential job barriers + driver planning
@@ -219,27 +218,45 @@ def merge_with_prior(
     # parquet file scans (in-memory tests, compaction's aggregated view)
     # fall back to the session profile until the doc count is known.
     est_turns = est_rows if est_rows is not None else _estimate_input_rows(new_turns)
-    spark_conf = spark.conf
+    # the profile must hit BOTH sessions: Structured Streaming hands
+    # foreachBatch a DataFrame owned by a CLONED SparkSession, and a plan
+    # is bound to the conf of the session that created its root — so the
+    # batch-derived docs phase plans under the clone's conf while every
+    # later stage (re-read from parquet by RunState under the caller's
+    # session) plans under the original's
+    _conf_keys = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.codegen.wholeStage",
+    )
+    confs = [spark.conf]
+    try:
+        batch_session = new_turns.sparkSession
+        if batch_session is not spark:
+            confs.append(batch_session.conf)
+    except Exception:
+        pass
+
+    def _set_all(k: str, v: str) -> None:
+        for c in confs:
+            c.set(k, v)
+
+    spark_conf = spark.conf  # promotion/folding notes below refer to this
     # get(k, None) (NOT the one-arg form, which substitutes the SQLConf
     # default): an unset key must restore to UNSET, not to a pinned default
-    saved_conf = {
-        k: spark_conf.get(k, None)
-        for k in (
-            "spark.sql.shuffle.partitions",
-            "spark.sql.adaptive.enabled",
-            "spark.sql.codegen.wholeStage",
-        )
-    }
+    saved_conf = [
+        {k: c.get(k, None) for k in _conf_keys} for c in confs
+    ]
     codegen_off = False
     try:
         if est_turns is not None:
             # turn-level exchanges (reassembly) size by turns; ~4k narrow
             # rows per task keeps tasks non-degenerate at any batch size
-            spark_conf.set(
+            _set_all(
                 "spark.sql.shuffle.partitions",
                 str(max(1, min(config.shuffle_partitions, (est_turns + 4095) // 4096))),
             )
-            spark_conf.set("spark.sql.adaptive.enabled", "false")
+            _set_all("spark.sql.adaptive.enabled", "false")
             if est_turns < 10_000:
                 # sub-10k-row plans execute in microseconds either way;
                 # whole-stage codegen only adds per-plan Janino compilation
@@ -248,17 +265,28 @@ def merge_with_prior(
                 # micro-batch — measured 43.5s -> 37.4s over an
                 # 8-micro-batch drain from this switch alone). Large
                 # batches keep codegen: there the per-row win dominates.
-                spark_conf.set("spark.sql.codegen.wholeStage", "false")
+                _set_all("spark.sql.codegen.wholeStage", "false")
                 codegen_off = True
 
         pool = ThreadPoolExecutor(5)
         # the skipped conv_ids are the compaction trigger: any of them MAY
         # have grown (redelivery vs growth is settled later by a
         # content-hash diff, streaming.compact_reopen) — O(batch) rows,
-        # appended to the state's dirty list by the streaming promoter
-        f_seen = pool.submit(
-            state.materialize, "incr_seen_skipped", lambda: seen_in_batch
-        )
+        # appended to the state's dirty list by the streaming promoter.
+        # Materialized FIRST (serial, not overlapped with docs): the docs
+        # anti-join then broadcasts the materialized batch-sized stage, so
+        # the prior-docs corpus scan runs ONCE per batch — the previous
+        # overlapped schedule re-executed the seen_in_batch subtree (scan
+        # included) inside the docs write's broadcast exchange.
+        seen_skipped = state.materialize("incr_seen_skipped", lambda: seen_in_batch)
+
+        def build_docs() -> DataFrame:
+            fresh = new_turns.filter(
+                F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+            ).join(F.broadcast(seen_skipped), "conv_id", "left_anti")
+            return reassemble(fresh).withColumn(
+                "norm_text", normalize_text("doc_text")
+            )
 
         new_docs_all = state.materialize("incr_docs", build_docs)
         new_docs = new_docs_all.filter(~F.col("ambiguous"))
@@ -287,10 +315,10 @@ def merge_with_prior(
         n_new = state.rows_of("incr_docs") or 0
         feat_parts = max(1, min(config.shuffle_partitions, (n_new + 63) // 64))
         merge_parts = max(1, min(config.shuffle_partitions, (n_new + 63) // 64))
-        spark_conf.set("spark.sql.shuffle.partitions", str(merge_parts))
-        spark_conf.set("spark.sql.adaptive.enabled", "false")
+        _set_all("spark.sql.shuffle.partitions", str(merge_parts))
+        _set_all("spark.sql.adaptive.enabled", "false")
         if n_new < 10_000 and not codegen_off:
-            spark_conf.set("spark.sql.codegen.wholeStage", "false")
+            _set_all("spark.sql.codegen.wholeStage", "false")
         f_features = pool.submit(
             state.materialize,
             "incr_features",
@@ -567,7 +595,6 @@ def merge_with_prior(
         clusters = prior_clusters.join(
             F.broadcast(reassigned.select("conv_id")), "conv_id", "left_anti"
         ).unionByName(reassigned)
-        seen_skipped = f_seen.result()
         quarantine = f_quarantine.result()
         exact_index_delta = f_eidx.result()
         cand_index_delta = f_cidx.result()
@@ -577,11 +604,12 @@ def merge_with_prior(
         # promotion/folding (corpus-sized reads) and for whatever the
         # caller runs next — also on failure, so a crashed micro-batch
         # never leaks micro-batch conf into the session
-        for k, v in saved_conf.items():
-            if v is None:
-                spark_conf.unset(k)
-            else:
-                spark_conf.set(k, v)
+        for c, saved in zip(confs, saved_conf):
+            for k, v in saved.items():
+                if v is None:
+                    c.unset(k)
+                else:
+                    c.set(k, v)
     state.flush_metrics()
     return {
         "new_docs": new_docs,

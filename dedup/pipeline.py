@@ -72,30 +72,44 @@ def run_pipeline(
     # failed run never leaks the small profile into the session.
     from .incremental import _estimate_input_rows
 
-    spark_conf = spark.conf
-    saved_conf = {
-        k: spark_conf.get(k, None)
-        for k in (
-            "spark.sql.shuffle.partitions",
-            "spark.sql.adaptive.enabled",
-            "spark.sql.codegen.wholeStage",
-        )
-    }
+    # both sessions: a streaming bootstrap's `turns` belongs to Structured
+    # Streaming's CLONED session, and a plan binds to the conf of the
+    # session that created its root (see merge_with_prior)
+    confs = [spark.conf]
+    try:
+        turns_session = turns.sparkSession
+        if turns_session is not spark:
+            confs.append(turns_session.conf)
+    except Exception:
+        pass
+    saved_conf = [
+        {
+            k: c.get(k, None)
+            for k in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.codegen.wholeStage",
+            )
+        }
+        for c in confs
+    ]
 
     def _apply_small(parts: int) -> None:
-        spark_conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(1, min(config.shuffle_partitions, parts))),
-        )
-        spark_conf.set("spark.sql.adaptive.enabled", "false")
-        spark_conf.set("spark.sql.codegen.wholeStage", "false")
+        for c in confs:
+            c.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, min(config.shuffle_partitions, parts))),
+            )
+            c.set("spark.sql.adaptive.enabled", "false")
+            c.set("spark.sql.codegen.wholeStage", "false")
 
     def _restore() -> None:
-        for k, v in saved_conf.items():
-            if v is None:
-                spark_conf.unset(k)
-            else:
-                spark_conf.set(k, v)
+        for c, saved in zip(confs, saved_conf):
+            for k, v in saved.items():
+                if v is None:
+                    c.unset(k)
+                else:
+                    c.set(k, v)
 
     est_turns = _estimate_input_rows(turns)
     applied = est_turns is not None and 0 < est_turns < 10_000

@@ -231,7 +231,14 @@ class RunState:
         blocks). Each lazy stage removes one checkpoint job + one count
         job + their driver planning gaps from a micro-batch's critical
         path — no metrics row is recorded (nothing ran yet)."""
-        df = build().localCheckpoint(eager=False)
+        prev = self._set_job_desc(f"stage:{stage}:plan")
+        try:
+            # no action runs here, but plan→RDD conversion submits the
+            # plan's broadcast-exchange futures, which capture the current
+            # (thread-local) description — label them for the event log
+            df = build().localCheckpoint(eager=False)
+        finally:
+            self._set_job_desc(prev)
         self._checkpointed.append(df)
         try:
             self._checkpoint_rdd_ids.append(
