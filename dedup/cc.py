@@ -109,7 +109,6 @@ def connected_components(
     # so the fallback is conservative). Only the big-graph path pays the
     # distinct + signature machinery it actually needs.
     spark = pairs.sparkSession
-    sc = spark.sparkContext
     from .state import push_job_desc
 
     edges_raw = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).filter(

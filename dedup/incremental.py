@@ -241,7 +241,6 @@ def merge_with_prior(
         for c in confs:
             c.set(k, v)
 
-    spark_conf = spark.conf  # promotion/folding notes below refer to this
     # get(k, None) (NOT the one-arg form, which substitutes the SQLConf
     # default): an unset key must restore to UNSET, not to a pinned default
     saved_conf = [
