@@ -320,7 +320,16 @@ def _run_stages(
             .dropDuplicates(["a", "b"])
         )
 
-    edges = state.materialize("edges", build_edges)
+    if state.mode == "persist":
+        # persist mode (the timed bench cadence): the only consumer of
+        # edges is connected components' bounded edge collect, and the
+        # dict consumers downstream read clusters — a lazy lineage cut
+        # computes edges inside that collect and caches there, removing
+        # one eager checkpoint+count barrier from the critical path.
+        # Parquet mode keeps the resumable materialization.
+        edges = state.materialize_lazy("edges", build_edges)
+    else:
+        edges = state.materialize("edges", build_edges)
 
     def build_clusters() -> DataFrame:
         assignment, _rounds = connected_components(

@@ -258,7 +258,12 @@ class RunState:
         t0 = time.monotonic()
         prev = self._set_job_desc(f"stage:{stage}")
         try:
-            df = build().localCheckpoint(eager=True)
+            # LAZY checkpoint + count: the count job computes the plan,
+            # caches every partition's blocks (getOrCompute) and finalizes
+            # the checkpoint in ONE job — the eager form paid a separate
+            # materialization job before the count (2 barriers per stage,
+            # ~8 stages per timed pipeline rep)
+            df = build().localCheckpoint(eager=False)
         finally:
             self._set_job_desc(prev)
         self._checkpointed.append(df)
